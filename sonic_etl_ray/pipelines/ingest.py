@@ -1,0 +1,317 @@
+"""The CDC upsert pipeline: change events → exactly-once partitioned lake.
+
+Ray-Data-first re-expression of the reference's end-to-end path (§3.1 of
+SURVEY.md): coordinator range chunks (``publish_ranges.py:122-146``) become
+epochs of Parquet segments; the per-block transform chain
+(``transformation/common.rs``) becomes vectorized ``map_batches`` stages; the
+at-least-once publish + daily MERGE repair
+(``daily_qc_airflow/daily_dedupe_mainnet.py:65-81``) becomes an inline,
+idempotent, key-partitioned merge applied by a stateful actor pool.
+
+Dataflow per epoch (one Dataset execution, streaming with backpressure)::
+
+    read_parquet(segments)                 # S1/S7 analog, column-pruned
+      → map_batches(validate_and_derive)   # typed decode/derive (M1..M12)
+      → map_batches(reduce_last_per_key)   # combiner: shrink the shuffle
+      → map_batches(add_partition_column)  # stable hash(repo,path) % P
+      → groupby(__part)                    # THE one all-to-all shuffle
+      → map_groups(MergeApplier, concurrency=N)   # stateful actor pool
+      → small table of per-partition commit records (lineage)
+
+Scale notes (100 TB / 256 nodes): the combiner bounds shuffle volume to at
+most one row per live key per epoch; partition count P is chosen so one
+partition's full state fits a worker heap (copy-on-write merge, the
+Hudi/Delta file-group model); partitioning on the full (repo, path) key is
+the hot-repo skew split; all lake I/O is rename-atomic on shared storage.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schemas import (
+    ENVELOPE_COLUMNS,
+    STATE_SCHEMA,
+    STATE_SORT,
+    conform_table,
+    unify_schemas,
+)
+from ..stages.keys import PART_COLUMN, add_partition_column, key_strings
+from ..stages.transform import reduce_last_per_key, validate_and_derive
+from ..state import commitlog as cl
+
+COMMIT_RECORD_SCHEMA = pa.schema(
+    [
+        ("epoch", pa.int64()),
+        ("part", pa.int64()),
+        ("applied_lsn", pa.int64()),
+        ("n_events", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("data_file", pa.string()),
+        ("noop", pa.bool_()),
+    ]
+)
+
+
+def _project_upserts(group: pa.Table) -> pa.Table:
+    """Winning upsert rows → state-schema rows (plus evolved extras)."""
+    ups = group.filter(pc.invert(pc.equal(group.column("op"), "delete")))
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    for f in STATE_SCHEMA:
+        if f.name == "applied_lsn":
+            cols[f.name] = ups.column("lsn")
+        else:
+            cols[f.name] = ups.column(f.name)
+    extra = [
+        c
+        for c in ups.column_names
+        if c not in STATE_SCHEMA.names
+        and c not in ENVELOPE_COLUMNS
+        and c != PART_COLUMN
+    ]
+    for c in extra:
+        cols[c] = ups.column(c)
+    return pa.table(cols)
+
+
+class MergeApplier:
+    """Stateful actor-pool merge applier for one hash partition at a time.
+
+    One actor handles many partitions over its lifetime (Ray routes groups to
+    the pool); per-call it performs the exactly-once, last-writer-wins merge
+    for a single ``(epoch, partition)``:
+
+    1. idempotence gate: if the (epoch, part) commit exists, no-op (Ray task
+       retries / resumed runs / duplicate segment delivery all hit this);
+    2. watermark gate: drop events with ``lsn <= applied watermark`` (late or
+       replayed deliveries from earlier epochs — the W2/W3 analog);
+    3. LSN dedupe + last-writer-wins per (repo, path);
+    4. schema unification with the prior state (column add / type widen);
+    5. copy-on-write state file + atomic commit record with lineage.
+
+    The reference repairs the same at-least-once duplicates with a daily
+    BigQuery MERGE keyed on natural keys
+    (``daily_qc_airflow/daily_dedupe_mainnet.py:28-35,65-81``).
+    """
+
+    def __init__(self, lake_dir: str, epoch: int, input_desc: dict[str, Any] | None = None):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.input_desc = input_desc or {}
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return COMMIT_RECORD_SCHEMA.empty_table()
+        part = group.column(PART_COLUMN)[0].as_py()
+        lake, epoch = self.lake_dir, self.epoch
+
+        existing = cl.read_commit(lake, epoch, part)
+        if existing is not None:  # idempotent replay of a committed unit
+            return self._record_row(existing)
+
+        watermark = cl.partition_watermark(lake, part, epoch)
+        n_events = group.num_rows
+        max_lsn = pc.max(group.column("lsn")).as_py()
+        fresh = group.filter(pc.greater(group.column("lsn"), watermark))
+        fresh = reduce_last_per_key(fresh)  # re-reduce across batch partials
+
+        prior_ref = cl.latest_state(lake, part, epoch)
+        record: dict[str, Any] = {
+            "epoch": epoch,
+            "part": part,
+            "n_events": n_events,
+            "applied_lsn": max(watermark, max_lsn if max_lsn is not None else -1),
+            "input": self.input_desc,
+        }
+
+        if fresh.num_rows == 0 and prior_ref is not None:
+            # nothing effective: commit references the prior state, no rewrite
+            prior_meta = cl.read_commit(lake, prior_ref[1], part) or {}
+            record.update(
+                n_rows=prior_meta.get("n_rows", -1),
+                data_file=prior_ref[0],
+                noop=True,
+            )
+            cl.write_commit(lake, record)
+            return self._record_row(record)
+
+        if prior_ref is not None:
+            prior = pq.read_table(prior_ref[0])
+        else:
+            prior = STATE_SCHEMA.empty_table()
+
+        ups = _project_upserts(fresh)
+        target = unify_schemas(prior.schema, ups.schema)
+        prior = conform_table(prior, target)
+        ups = conform_table(ups, target)
+
+        # remove every touched key from prior (upserts replace, deletes drop)
+        touched = key_strings(fresh)
+        if prior.num_rows:
+            keep = pc.invert(pc.is_in(key_strings(prior), value_set=touched))
+            prior = prior.filter(keep)
+        state = pa.concat_tables([prior, ups], promote_options="default")
+        # canonical order: scheduling nondeterminism must not leak into files
+        state = state.take(pc.sort_indices(state, sort_keys=STATE_SORT))
+
+        out = cl.state_path(lake, part, epoch)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(state, tmp, compression="zstd")
+        os.rename(tmp, out)  # atomic publish of the data file
+
+        record.update(
+            n_rows=state.num_rows,
+            data_file=out,
+            noop=False,
+            schema={f.name: str(f.type) for f in state.schema},
+        )
+        cl.write_commit(lake, record)  # atomic commit point
+        return self._record_row(record)
+
+    @staticmethod
+    def _record_row(rec: dict[str, Any]) -> pa.Table:
+        return pa.table(
+            {
+                "epoch": [int(rec["epoch"])],
+                "part": [int(rec["part"])],
+                "applied_lsn": [int(rec["applied_lsn"])],
+                "n_events": [int(rec.get("n_events", 0))],
+                "n_rows": [int(rec.get("n_rows", -1))],
+                "data_file": [rec.get("data_file", "")],
+                "noop": [bool(rec.get("noop", False))],
+            },
+            schema=COMMIT_RECORD_SCHEMA,
+        )
+
+
+def apply_epoch(
+    ds: ray.data.Dataset,
+    lake_dir: str,
+    epoch: int,
+    num_partitions: int = 32,
+    merge_concurrency: int | tuple[int, int] = (1, 8),
+    input_desc: dict[str, Any] | None = None,
+    batch_size: int | None = 32_768,
+) -> list[dict[str, Any]]:
+    """Apply one epoch of change events; returns per-partition commit records.
+
+    Idempotent: committed (epoch, partition) units are skipped inside the
+    appliers, so re-running after a crash resumes without duplicate or lost
+    applies.
+    """
+    os.makedirs(lake_dir, exist_ok=True)
+    ds = ds.map_batches(validate_and_derive, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(reduce_last_per_key, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        add_partition_column,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_kwargs={"num_partitions": num_partitions},
+    )
+    commits = ds.groupby(PART_COLUMN).map_groups(
+        MergeApplier,
+        fn_constructor_args=(lake_dir, epoch, input_desc),
+        batch_format="pyarrow",
+        concurrency=merge_concurrency,
+        num_cpus=1,
+    )
+    records = commits.take_all()  # one small row per touched partition
+    summary = {
+        "epoch": epoch,
+        "parts": sorted(int(r["part"]) for r in records),
+        "applied_lsn_max": max((int(r["applied_lsn"]) for r in records), default=-1),
+        "n_events": sum(int(r["n_events"]) for r in records),
+        "input": input_desc or {},
+        "num_partitions": num_partitions,
+    }
+    cl.write_manifest(lake_dir, epoch, summary)
+    return records
+
+
+def run_ingest(
+    segment_files: Iterable[str],
+    lake_dir: str,
+    num_partitions: int = 32,
+    segments_per_epoch: int = 8,
+    merge_concurrency: int | tuple[int, int] = (1, 8),
+    read_kwargs: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Ingest a segmented change stream epoch by epoch, resumably.
+
+    Segments (sorted by name = ascending LSN spans, the coordinator's
+    range-chunk analog) are grouped into epochs; epochs with a manifest are
+    skipped entirely — this is the resume fast-forward
+    (``main.rs:188-241`` ``pick_up_from_previous_range``).
+    """
+    files = sorted(segment_files)
+    epochs = [files[i : i + segments_per_epoch] for i in range(0, len(files), segments_per_epoch)]
+    applied, skipped = 0, 0
+    for epoch, efiles in enumerate(epochs):
+        if cl.epoch_manifest_exists(lake_dir, epoch):
+            skipped += 1
+            continue
+        ds = ray.data.read_parquet(efiles, **(read_kwargs or {}))
+        apply_epoch(
+            ds,
+            lake_dir,
+            epoch,
+            num_partitions=num_partitions,
+            merge_concurrency=merge_concurrency,
+            input_desc={"segments": [os.path.basename(f) for f in efiles]},
+        )
+        applied += 1
+    return {"epochs_applied": applied, "epochs_skipped": skipped, "epochs_total": len(epochs)}
+
+
+def lake_state_files(lake_dir: str) -> list[str]:
+    """Latest committed state file per partition."""
+    out = []
+    if not os.path.isdir(lake_dir):
+        return out
+    last_epoch = 1 << 60
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=")[1])
+        ref = cl.latest_state(lake_dir, part, last_epoch)
+        if ref is not None:
+            out.append(ref[0])
+    return out
+
+
+def read_lake(lake_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """The lake's current state as a Dataset (one block per partition file)."""
+    files = lake_state_files(lake_dir)
+    if not files:
+        return ray.data.from_arrow(STATE_SCHEMA.empty_table())
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def lake_final_table(lake_dir: str, columns: list[str] | None = None) -> pa.Table:
+    """Full lake state as one canonically sorted Arrow table (tests/oracle)."""
+    files = lake_state_files(lake_dir)
+    if not files:
+        return STATE_SCHEMA.empty_table()
+    schemas = [pq.read_schema(f) for f in files]
+    target = schemas[0]
+    for s in schemas[1:]:
+        target = unify_schemas(target, s)
+    tbl = pa.concat_tables(
+        [conform_table(pq.read_table(f), target) for f in files],
+        promote_options="default",
+    )
+    return tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
+
+
+def scratch_lake_dir(tag: str = "lake") -> str:
+    """A fresh scratch lake directory under /tmp."""
+    return tempfile.mkdtemp(prefix=f"sonic_etl_ray_{tag}_")

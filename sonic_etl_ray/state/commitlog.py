@@ -1,0 +1,149 @@
+"""Idempotent commit log, per-partition watermarks and lineage for the lake.
+
+The reference achieves effective exactly-once with three loosely coupled
+mechanisms — Pub/Sub ack boundaries (``sonic_config/mod.rs:140-164``), a
+resumption topic (``indexing_coordinator/publish_ranges.py:148-203``), a
+file-per-range resume dir (``main.rs:188-241``) — plus a daily MERGE repair.
+Here exactly-once is inline and transactional per ``(epoch, partition)``:
+
+- every merge applier writes its partition state file to a temp name and
+  renames it, then writes a commit record (JSON) the same way — the rename
+  is the atomic commit point;
+- a commit record carries the lineage the north rule demands: input segment
+  offsets (LSN span), batch/event counts, applied-LSN watermark, schema
+  version, data-file name, checkpoint epoch;
+- re-executed tasks (Ray retry, killed-and-resumed runs, duplicate segment
+  delivery) find the commit record and become no-ops.
+
+On a multi-node cluster ``lake_dir`` is shared storage (NFS/S3-style); all
+operations here are rename-atomic and never read-modify-write a shared file,
+so concurrent appliers for different partitions never conflict.
+
+Layout::
+
+    lake/
+      _commits/epoch=E/part=P.json     # per-partition commit + lineage
+      _commits/epoch=E.MANIFEST.json   # epoch fully applied (driver-written)
+      part=P/state-epoch=E.parquet     # full partition state as of epoch E
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+EPOCH_FMT = "epoch={:08d}"
+PART_FMT = "part={:05d}"
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def commit_dir(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, "_commits", EPOCH_FMT.format(epoch))
+
+
+def commit_path(lake_dir: str, epoch: int, part: int) -> str:
+    return os.path.join(commit_dir(lake_dir, epoch), PART_FMT.format(part) + ".json")
+
+
+def manifest_path(lake_dir: str, epoch: int) -> str:
+    return os.path.join(lake_dir, "_commits", EPOCH_FMT.format(epoch) + ".MANIFEST.json")
+
+
+def state_path(lake_dir: str, part: int, epoch: int) -> str:
+    return os.path.join(
+        lake_dir, PART_FMT.format(part), f"state-{EPOCH_FMT.format(epoch)}.parquet"
+    )
+
+
+def is_committed(lake_dir: str, epoch: int, part: int) -> bool:
+    return os.path.exists(commit_path(lake_dir, epoch, part))
+
+
+def epoch_manifest_exists(lake_dir: str, epoch: int) -> bool:
+    return os.path.exists(manifest_path(lake_dir, epoch))
+
+
+def write_commit(lake_dir: str, record: dict[str, Any]) -> None:
+    """Atomically record a per-(epoch, partition) commit with lineage."""
+    epoch, part = record["epoch"], record["part"]
+    os.makedirs(commit_dir(lake_dir, epoch), exist_ok=True)
+    _atomic_write(
+        commit_path(lake_dir, epoch, part),
+        json.dumps(record, sort_keys=True).encode(),
+    )
+
+
+def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
+    p = commit_path(lake_dir, epoch, part)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return json.loads(f.read())
+
+
+def write_manifest(lake_dir: str, epoch: int, summary: dict[str, Any]) -> None:
+    _atomic_write(
+        manifest_path(lake_dir, epoch), json.dumps(summary, sort_keys=True).encode()
+    )
+
+
+def read_manifest(lake_dir: str, epoch: int) -> dict[str, Any] | None:
+    p = manifest_path(lake_dir, epoch)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return json.loads(f.read())
+
+
+def committed_epochs(lake_dir: str) -> list[int]:
+    """Epochs with a driver manifest (fully applied), ascending."""
+    d = os.path.join(lake_dir, "_commits")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".MANIFEST.json"):
+            out.append(int(name.split("=")[1].split(".")[0]))
+    return sorted(out)
+
+
+def latest_state(lake_dir: str, part: int, before_epoch: int) -> tuple[str, int] | None:
+    """Newest committed state file for ``part`` with epoch < ``before_epoch``.
+
+    Only files referenced by a commit record count — a crashed applier may
+    leave a renamed state file without a commit record? No: the state file is
+    renamed *before* the commit record, so an orphaned state file with no
+    commit is possible and must be ignored (it will be rewritten
+    deterministically on retry).
+    """
+    pdir = os.path.join(lake_dir, PART_FMT.format(part))
+    if not os.path.isdir(pdir):
+        return None
+    best = -1
+    for name in os.listdir(pdir):
+        if name.startswith("state-epoch=") and name.endswith(".parquet"):
+            e = int(name[len("state-epoch=") : -len(".parquet")])
+            if e < before_epoch and e > best and is_committed(lake_dir, e, part):
+                best = e
+    if best < 0:
+        return None
+    return state_path(lake_dir, part, best), best
+
+
+def partition_watermark(lake_dir: str, part: int, before_epoch: int) -> int:
+    """Applied-LSN high watermark for a partition (−1 if empty)."""
+    latest = latest_state(lake_dir, part, before_epoch)
+    if latest is None:
+        return -1
+    rec = read_commit(lake_dir, latest[1], part)
+    return int(rec["applied_lsn"]) if rec else -1
