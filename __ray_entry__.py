@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in sonic_etl_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship CDC replay on /root/testdata/sf0.001.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 inventory + training-data ops).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where expressible.
+  Float aggregates are ROUND(x, 4) on BOTH sides so cross-engine
+  accumulation-order differences don't break value-hash equality.
 """
 
 from __future__ import annotations
@@ -18,27 +16,343 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+_ROUND = 4
+
+
+def _r(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    import numpy as np
+
+    # DuckDB ROUND is half-away-from-zero; numpy/pandas round is banker's —
+    # match DuckDB so value hashes agree at exact .5 boundaries.
+    for c in cols:
+        x = df[c].astype("float64")
+        df[c] = np.sign(x) * np.floor(np.abs(x) * 10**_ROUND + 0.5) / 10**_ROUND
+    return df
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC engine replay of the sf0.001 event log
+    (typed transforms → hash-partitioned shuffle → exactly-once merge)."""
+    from sonic_etl_ray.pipelines import cdc_queries
+
+    return cdc_queries.cdc_apply_upserts("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_q1(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import q1_pricing_summary
+
+    return _r(
+        q1_pricing_summary(sf_dir),
+        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"],
+    )
+
+
+def _q_q6(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import filter_project_revenue
+
+    return _r(filter_project_revenue(sf_dir), ["revenue"])
+
+
+def _q_join(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import join_orders_customers
+
+    out = join_orders_customers(sf_dir)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return _r(out, ["total_price"])
+
+
+def _q_top_orders(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import top_orders_by_revenue
+
+    return _r(top_orders_by_revenue(sf_dir), ["revenue"])
+
+
+def _q_distinct(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import distinct_mktsegments
+
+    return distinct_mktsegments(sf_dir)
+
+
+def _q_supplier_stats(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import supplier_balance_stats
+
+    out = supplier_balance_stats(sf_dir)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return _r(out, ["min_bal", "max_bal", "avg_bal"])
+
+
+def _q_window(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import windowed_user_daily
+
+    out = windowed_user_daily(sf_dir)
+    out["n_events"] = out["n_events"].astype("int64")
+    return _r(out, ["sum_value"])
+
+
+def _q_asof(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import asof_join_last_signup
+
+    return _r(asof_join_last_signup(sf_dir), ["value"])
+
+
+def _q_token_counts(sf_dir: str):
+    from sonic_etl_ray.functions.text import token_counts
+
+    return token_counts(sf_dir)
+
+
+def _q_doc_quality(sf_dir: str):
+    from sonic_etl_ray.functions.text import doc_quality
+
+    return _r(doc_quality(sf_dir), ["stop_ratio"])
+
+
+def _q_lang_id(sf_dir: str):
+    from sonic_etl_ray.functions.text import lang_id
+
+    return lang_id(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str):
+    from sonic_etl_ray.functions.text import doc_fingerprints
+
+    out = doc_fingerprints(sf_dir)
+    out["fingerprint"] = out["fingerprint"].astype("uint64")
+    return out
+
+
+def _q_dedup_exact(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import exact_dedup_docs
+
+    return exact_dedup_docs(sf_dir)
+
+
+def _q_minhash(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import minhash_lsh_dedup
+
+    return _r(minhash_lsh_dedup(sf_dir, threshold=0.5), ["jaccard"])
+
+
+def _q_simhash(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(sf_dir)
+
+
+def _q_ngram_pairs(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import ngram_jaccard_pairs
+
+    return _r(ngram_jaccard_pairs(sf_dir, threshold=0.5), ["jaccard"])
+
+
+def _q_embed_topk(sf_dir: str):
+    from sonic_etl_ray.functions.similarity import brute_force_topk
+
+    return _r(brute_force_topk(sf_dir, k=10), ["cosine"])
+
+
+def _q_embed_neardup(sf_dir: str):
+    from sonic_etl_ray.functions.similarity import cosine_neardup_pairs
+
+    return _r(cosine_neardup_pairs(sf_dir, threshold=0.35), ["cosine"])
+
+
+def _q_embed_lsh(sf_dir: str):
+    from sonic_etl_ray.functions.similarity import lsh_topk
+
+    return _r(lsh_topk(sf_dir, k=10), ["cosine"])
+
+
+def _q_cdc_upserts(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_upserts
+
+    return cdc_apply_upserts(sf_dir)
+
+
+def _q_cdc_dup(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_dup_replay
+
+    return cdc_apply_dup_replay(sf_dir)
+
+
+def _q_cdc_counts(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_row_counts
+
+    return cdc_row_counts(sf_dir)
+
+
+def _q_cdc_watermark(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_watermark_by_repo
+
+    return cdc_watermark_by_repo(sf_dir)
+
+
+def _q_cdc_gaps(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_gap_detect
+
+    return cdc_gap_detect(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # CDC engine (the core): real pipeline vs SQL-window oracle
+        "cdc_apply_upserts": _q_cdc_upserts,
+        "cdc_apply_dup_replay": _q_cdc_dup,
+        "cdc_row_counts": _q_cdc_counts,
+        "cdc_watermark_by_repo": _q_cdc_watermark,
+        "cdc_gap_detect": _q_cdc_gaps,
+        # relational operator surface
+        "q1_pricing_summary": _q_q1,
+        "q6_filter_revenue": _q_q6,
+        "join_orders_customers": _q_join,
+        "top_orders_by_revenue": _q_top_orders,
+        "distinct_mktsegments": _q_distinct,
+        "supplier_balance_stats": _q_supplier_stats,
+        "windowed_user_daily": _q_window,
+        "asof_join_last_signup": _q_asof,
+        # training-data ops
+        "token_counts": _q_token_counts,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_dedup": _q_minhash,
+        "simhash_fingerprints": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_pairs,
+        "embedding_topk_cosine": _q_embed_topk,
+        "embedding_neardup_pairs": _q_embed_neardup,
+        "embedding_lsh_topk": _q_embed_lsh,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+_TOK = "regexp_extract_all(text, '\\S+')"
+_STOP = "['the', 'a', 'and', 'of', 'to']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sonic_etl_ray.pipelines.cdc_queries import ORACLES as CDC_ORACLES
+
+    sql: dict[str, str] = dict(CDC_ORACLES)
+
+    sql["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), {_ROUND}) AS sum_qty,
+               ROUND(SUM(l_extendedprice), {_ROUND}) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {_ROUND}) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {_ROUND}) AS sum_charge,
+               ROUND(AVG(l_quantity), {_ROUND}) AS avg_qty,
+               ROUND(AVG(l_extendedprice), {_ROUND}) AS avg_price,
+               ROUND(AVG(l_discount), {_ROUND}) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+    sql["q6_filter_revenue"] = f"""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), {_ROUND}) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.02 AND l_quantity < 30"""
+
+    sql["join_orders_customers"] = f"""
+        SELECT c_mktsegment, n_name,
+               ROUND(SUM(o_totalprice), {_ROUND}) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment, n_name
+        ORDER BY c_mktsegment, n_name"""
+
+    sql["top_orders_by_revenue"] = f"""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {_ROUND}) AS revenue
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        LIMIT 10"""
+
+    sql["distinct_mktsegments"] = (
+        "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+    )
+
+    sql["supplier_balance_stats"] = f"""
+        SELECT s_nationkey,
+               ROUND(MIN(s_acctbal), {_ROUND}) AS min_bal,
+               ROUND(MAX(s_acctbal), {_ROUND}) AS max_bal,
+               ROUND(AVG(s_acctbal), {_ROUND}) AS avg_bal,
+               COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+    sql["windowed_user_daily"] = f"""
+        SELECT user_id, date_trunc('day', ts) AS day,
+               ROUND(SUM(value), {_ROUND}) AS sum_value,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id, day ORDER BY user_id, day"""
+
+    sql["asof_join_last_signup"] = f"""
+        WITH purchases AS (
+          SELECT event_id, user_id, ts, ROUND(value, {_ROUND}) AS value
+          FROM events WHERE event_type = 'purchase'
+        ),
+        signups AS (
+          SELECT event_id AS signup_event_id, user_id, ts FROM events
+          WHERE event_type = 'signup'
+        )
+        SELECT p.event_id, p.user_id, p.value, s.signup_event_id
+        FROM purchases p
+        ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id"""
+
+    sql["token_counts"] = f"""
+        SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id"""
+
+    sql["doc_quality"] = f"""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+               ROUND(CAST(len(list_filter({_TOK}, x -> list_contains({_STOP}, x))) AS DOUBLE)
+                     / GREATEST(len({_TOK}), 1), {_ROUND}) AS stop_ratio
+        FROM documents ORDER BY doc_id"""
+
+    sql["dedup_exact"] = """
+        SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+        ORDER BY doc_id"""
+
+    # CAST to DOUBLE[] so DuckDB computes cosine in float64 like the engine
+    # (on FLOAT[] it computes in float32 → rounding-boundary flips).
+    sql["embedding_topk_cosine"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT qv FROM q)), {_ROUND}) AS cosine
+        FROM embeddings
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT qv FROM q)) DESC, vec_id
+        LIMIT 10"""
+
+    sql["embedding_neardup_pairs"] = f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), {_ROUND}) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+        ORDER BY vec_a, vec_b"""
+
+    # lang_id, doc_fingerprints, minhash_lsh_dedup, simhash_fingerprints,
+    # ngram_jaccard_pairs, embedding_lsh_topk: algorithmic / approximate ops
+    # with no faithful ANSI-SQL equivalent → rows-only driver check; their
+    # exactness is covered by pytest brute-force comparisons instead.
+    return sql

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata columns beside them. The Ray-side plumbing — schemas, actor-pool
+stage signatures, small-batch sizing for wide rows, output layout — is real
+and tested; the actual codec work is STUBBED (the decode libraries are not
+in this container): ``DecodeStub`` raises ``NotImplementedError`` unless
+constructed with ``fake=True``, in which case it produces a deterministic
+fake feature vector so the distributed plumbing can be exercised end-to-end.
+
+Wide-row guidance (SURVEY.md §7.5): binary payloads make rows KBs–MBs, so
+stages here default to small ``batch_size`` and callers should raise
+``DataContext.target_max_block_size`` rather than letting blocks split
+absurdly small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64(), nullable=False),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("mime", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media_table(n: int = 64, seed: int = 0) -> pa.Table:
+    """Deterministic fake media rows for tests (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
+    payloads = [rng.bytes(int(64 + 512 * rng.random())) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds, pa.string()),
+            "mime": pa.array(["application/octet-stream"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(rng.integers(16, 512, n, dtype=np.int32)),
+            "height": pa.array(rng.integers(16, 512, n, dtype=np.int32)),
+            "duration_ms": pa.array(rng.integers(0, 10_000, n, dtype=np.int32)),
+        }
+    )
+
+
+class DecodeStub:
+    """Actor-pool decode/feature-extract stage (signature is production-real).
+
+    With ``fake=False`` (default): raises NotImplementedError — the decode
+    libraries (PIL/ffmpeg/torchaudio) are not available in this container.
+    With ``fake=True``: emits a deterministic FEATURE_DIM-float vector from
+    sha256(payload), preserving all plumbing semantics (arrow list column
+    out, per-actor init, small batches).
+    """
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+        return (raw % 1000).astype(np.float32) / 1000.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "media decode requires codec libraries not present in this container; "
+                "construct DecodeStub(fake=True) for the deterministic test path"
+            )
+        feats = [self._features(p) for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(p).hexdigest() for p in batch.column("payload").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+
+def extract_features(ds: ray.data.Dataset, fake: bool = True, batch_size: int = 16) -> ray.data.Dataset:
+    """Feature-extraction pipeline stage: actor pool, small batches for wide
+    binary rows, arrow-native list<float> output."""
+    return ds.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

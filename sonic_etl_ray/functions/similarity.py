@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and each batch does one numpy matmul (never re-shipped per
+batch). Scale path: LSH-bucketed search (random-hyperplane signatures →
+bucket groupby → exact rerank inside buckets), the IVF-style pruning
+pattern: at 100 TB only the matching buckets are scanned.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(vec_id)
+    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+class CosineScorer:
+    """Per-actor state: the normalized query matrix fetched from the object
+    store once in ``__init__`` (broadcast pattern, J2 analog)."""
+
+    def __init__(self, query_ref):
+        q = ray.get(query_ref)
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = m @ self.q.T  # (batch, n_queries)
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "cosine": sims[:, 0]})
+
+
+def brute_force_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.DataFrame:
+    """Exact cosine top-k against one query vector (per-batch matmul, then a
+    per-batch local top-k so only k rows per batch reach the final sort)."""
+    qref = ray.put(_query_vector(sf_dir, query_vec_id))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(
+        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
+
+    top = (
+        scored.map_batches(local_topk, batch_format="pandas")
+        .sort(["cosine", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+    return top.to_pandas().reset_index(drop=True)
+
+
+class HyperplaneHasher:
+    """Random-hyperplane LSH signatures (per-actor plane matrix)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        return ((m @ self.planes) > 0).astype(np.int64) @ self.weights
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        out = b.copy()
+        out["bucket"] = self.bucket(m)
+        return out
+
+
+def lsh_topk(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, n_planes: int = 8, seed: int = 13
+) -> pd.DataFrame:
+    """Approximate top-k: scan only vectors whose LSH bucket matches the
+    query's (single-probe). At scale buckets are a partition key — the read
+    prunes everything else; here the filter runs distributed per batch."""
+    q = _query_vector(sf_dir, query_vec_id)
+    hasher = HyperplaneHasher(q.size, n_planes, seed)
+    target = int(hasher.bucket(np.atleast_2d(q))[0])
+    qref = ray.put(q)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        HyperplaneHasher,
+        fn_constructor_args=(q.size, n_planes, seed),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    candidates = bucketed.map_batches(
+        lambda b: b[b["bucket"] == target].drop(columns=["bucket"]), batch_format="pandas"
+    )
+    scored = candidates.map_batches(
+        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
+    )
+    top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return top.to_pandas().reset_index(drop=True)
+
+
+def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) within same-label
+    blocks: groupby(label) → per-group normalized gram matrix. Blocking
+    bounds the pairwise cost; the groupby is the only shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="stable")
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep].astype("int64"),
+                "vec_b": ids[ib][keep].astype("int64"),
+                "cosine": sims[ia, ib][keep].astype("float64"),
+            }
+        )
+
+    out = ds.groupby("label").map_groups(per_label, batch_format="pandas").to_pandas()
+    if out.empty:  # all-empty groups can lose the schema through Ray blocks
+        out = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

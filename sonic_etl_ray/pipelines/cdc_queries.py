@@ -1,0 +1,178 @@
+"""Correctness-gate CDC queries: the real engine vs a DuckDB oracle.
+
+The driver's `events` table is treated as a CDC change log — the exact shape
+of the reference's block stream (dense monotone ``event_id`` = LSN,
+``sonic_config/mod.rs:264``). A deterministic, SQL-expressible projection
+turns each event into a repo-file change event (BASELINE.json input shape),
+and the FULL engine (typed transforms → hash-partitioned shuffle →
+actor-pool merge appliers → commit log) applies it into a scratch lake.
+The matching ``oracle_sql()`` entries replay the same projection in pure SQL
+(window functions), so the driver's side-by-side compare checks the engine's
+exactly-once upsert semantics end-to-end, including per-row sha256.
+
+Projection (mirrored verbatim in SQL):
+    lsn    = event_id
+    op     = 'delete' if value < 20 else 'insert'
+    repo   = 'r' || (user_id % 5)
+    path   = 'u' || user_id || '/' || event_type
+    commit = sha256(event_id as string)
+    lang   = event_type
+    content= props                      (NULL for deletes)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..pipelines.ingest import apply_epoch, lake_final_table, scratch_lake_dir
+from ..pipelines.qc import detect_gaps
+
+FINAL_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", "size_bytes", "applied_lsn"]
+
+
+def _to_change_events(t: pa.Table) -> pa.Table:
+    import numpy as np
+
+    is_del = pc.less(t["value"], 20.0)
+    user_mod5 = pa.array(np.asarray(t["user_id"]) % 5)
+    repo = pc.binary_join_element_wise("r", pc.cast(user_mod5, pa.string()), "")
+    path = pc.binary_join_element_wise(
+        "u", pc.cast(t["user_id"], pa.string()), "/", t["event_type"], ""
+    )
+    commit = pa.array(
+        [hashlib.sha256(str(e).encode()).hexdigest() for e in t["event_id"].to_pylist()],
+        pa.string(),
+    )
+    content = pc.if_else(is_del, pa.scalar(None, pa.string()), t["props"])
+    op = pc.if_else(is_del, "delete", "insert")
+    return pa.table(
+        {
+            "lsn": pc.cast(t["event_id"], pa.int64()),
+            "op": op,
+            "repo": repo,
+            "path": path,
+            "commit": commit,
+            "lang": t["event_type"],
+            "content": content,
+        }
+    )
+
+
+def _events_as_cdc(sf_dir: str, duplicate: bool = False) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    if duplicate:  # at-least-once: the whole stream delivered twice
+        ds = ds.union(
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "event_type", "value", "props"],
+            )
+        )
+    return ds.map_batches(_to_change_events, batch_format="pyarrow")
+
+
+def _run_engine(sf_dir: str, duplicate: bool = False) -> pa.Table:
+    lake = scratch_lake_dir("cdcq")
+    apply_epoch(_events_as_cdc(sf_dir, duplicate), lake, epoch=0, num_partitions=8)
+    return lake_final_table(lake)
+
+
+def cdc_apply_upserts(sf_dir: str) -> pa.Table:
+    """Engine replay of the event log → final upserted table state."""
+    return _run_engine(sf_dir).select(FINAL_COLUMNS)
+
+
+def cdc_apply_dup_replay(sf_dir: str) -> pa.Table:
+    """Same stream delivered twice (at-least-once) — must equal single
+    delivery (the inline analog of the reference's daily MERGE repair)."""
+    return _run_engine(sf_dir, duplicate=True).select(FINAL_COLUMNS)
+
+
+def cdc_row_counts(sf_dir: str) -> pd.DataFrame:
+    """QC row-count invariant per repo (``row_counts.py:85-102`` analog)."""
+    t = _run_engine(sf_dir)
+    df = t.to_pandas()
+    out = df.groupby("repo", as_index=False).agg(
+        n_files=("path", "count"), total_bytes=("size_bytes", "sum")
+    )
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return out.sort_values("repo").reset_index(drop=True)
+
+
+def cdc_watermark_by_repo(sf_dir: str) -> pd.DataFrame:
+    """Max applied LSN per repo — the watermark readback."""
+    t = _run_engine(sf_dir)
+    df = t.to_pandas()
+    return (
+        df.groupby("repo", as_index=False)
+        .agg(watermark=("applied_lsn", "max"))
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+
+
+def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
+    """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
+    drop lsn % 97 == 3 events, detect exactly those as missing."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def drop_holes(t: pa.Table) -> pa.Table:
+        lsn = np.asarray(t["event_id"], dtype=np.int64)
+        return pa.table({"lsn": pa.array(lsn[lsn % 97 != 3])})
+
+    ds = ds.map_batches(drop_holes, batch_format="pyarrow")
+    gaps = detect_gaps(ds, lsn_column="lsn")
+    return pd.DataFrame({"missing_lsn": gaps})
+
+
+ORACLE_SRC = """
+WITH src AS (
+  SELECT
+    event_id AS lsn,
+    CASE WHEN value < 20 THEN 'delete' ELSE 'insert' END AS op,
+    'r' || CAST(user_id % 5 AS VARCHAR) AS repo,
+    'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS path,
+    sha256(CAST(event_id AS VARCHAR)) AS "commit",
+    event_type AS lang,
+    CASE WHEN value < 20 THEN NULL ELSE props END AS content
+  FROM events
+),
+last AS (
+  SELECT * FROM src
+  QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1
+),
+final AS (
+  SELECT repo, path, "commit", lang, content,
+         sha256(content) AS content_sha256,
+         CAST(strlen(content) AS BIGINT) AS size_bytes,
+         lsn AS applied_lsn
+  FROM last WHERE op <> 'delete'
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_row_counts": ORACLE_SRC
+    + """
+    SELECT repo, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes
+    FROM final GROUP BY repo ORDER BY repo""",
+    "cdc_watermark_by_repo": ORACLE_SRC
+    + """
+    SELECT repo, MAX(applied_lsn) AS watermark FROM final GROUP BY repo ORDER BY repo""",
+    "cdc_gap_detect": """
+    WITH present AS (SELECT event_id AS lsn FROM events WHERE event_id % 97 <> 3),
+    bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM present),
+    expected AS (SELECT UNNEST(generate_series(lo, hi)) AS missing_lsn FROM bounds)
+    SELECT missing_lsn FROM expected
+    WHERE missing_lsn NOT IN (SELECT lsn FROM present) ORDER BY missing_lsn""",
+}

@@ -1,0 +1,111 @@
+"""QC jobs: gap detection, row-count invariants, freshness, lake audit.
+
+Re-expressions of the reference's Airflow QC DAGs:
+- gap detection → ``daily_qc_airflow/daily_backfill_mainnet.py:47-159``
+  (missing block numbers in the dense LSN range, re-compressed into
+  contiguous backfill ranges);
+- row-count invariants → ``daily_qc_airflow/row_counts.py:16-22,85-102``
+  (per-parent child counts must match stored count columns);
+- freshness/liveness → ``daily_qc_airflow/mainnet_hourly_block_check.py:33-47``.
+
+All distributed: per-batch partial summaries inside ``map_batches``, a tiny
+driver-side merge at the end (never ``take_all`` on the raw data).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def detect_gaps(ds: ray.data.Dataset, lsn_column: str = "lsn") -> list[int]:
+    """Missing LSNs in the dense [min, max] span of ``ds``.
+
+    Distributed set-difference: each batch emits (sorted unique lsns as one
+    compact numpy row); the driver merges the per-batch summaries — the data
+    itself never leaves the cluster unaggregated. For truly huge spans the
+    per-batch summary is bounded by block size, and gaps are reported as
+    ranges (run-length compression like the backfill DAG's
+    ``find_contiguous_ranges``, ``daily_backfill_mainnet.py:104-144``).
+    """
+
+    def summarize(t: pa.Table) -> pa.Table:
+        arr = np.unique(np.asarray(t.column(lsn_column)))
+        return pa.table({"lsns": pa.array([arr], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    if not parts:
+        return []
+    present = np.unique(np.concatenate([np.asarray(p["lsns"]) for p in parts]))
+    if present.size == 0:
+        return []
+    full = np.arange(present[0], present[-1] + 1, dtype=np.int64)
+    missing = np.setdiff1d(full, present, assume_unique=True)
+    return missing.tolist()
+
+
+def gaps_to_ranges(missing: list[int]) -> list[tuple[int, int]]:
+    """Compress missing LSNs into contiguous inclusive ranges (re-publishable
+    as backfill work units, ``daily_backfill_mainnet.py:104-144``)."""
+    out: list[tuple[int, int]] = []
+    for m in missing:
+        if out and out[-1][1] == m - 1:
+            out[-1] = (out[-1][0], m)
+        else:
+            out.append((m, m))
+    return out
+
+
+def row_count_invariants(state: ray.data.Dataset) -> dict[str, Any]:
+    """Per-repo file counts + byte totals from the lake state (J3 analog)."""
+    from ray.data.aggregate import Count, Sum
+
+    per_repo = (
+        state.groupby("repo")
+        .aggregate(Count(alias_name="n_files"), Sum("size_bytes", alias_name="total_bytes"))
+        .take_all()
+    )
+    return {r["repo"]: {"n_files": r["n_files"], "total_bytes": r["total_bytes"]} for r in per_repo}
+
+
+def freshness(lake_dir: str) -> dict[str, Any]:
+    """Max applied LSN + commit epoch per partition (liveness metric, W5)."""
+    import os
+
+    from ..state import commitlog as cl
+
+    out: dict[str, Any] = {}
+    if not os.path.isdir(lake_dir):
+        return out
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("part="):
+            continue
+        part = int(name.split("=")[1])
+        ref = cl.latest_state(lake_dir, part, 1 << 60)
+        if ref:
+            rec = cl.read_commit(lake_dir, ref[1], part) or {}
+            out[part] = {
+                "epoch": ref[1],
+                "applied_lsn": rec.get("applied_lsn"),
+                "n_rows": rec.get("n_rows"),
+            }
+    return out
+
+
+def verify_lake_counts(lake_dir: str) -> bool:
+    """Commit-log n_rows must equal actual state-file row counts (the
+    count-column cross-check, A1–A4/J3 analog)."""
+    import pyarrow.parquet as pq
+
+    from ..state import commitlog as cl
+
+    for part, info in freshness(lake_dir).items():
+        ref = cl.latest_state(lake_dir, part, 1 << 60)
+        actual = pq.read_metadata(ref[0]).num_rows
+        if actual != info["n_rows"]:
+            return False
+    return True
