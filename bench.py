@@ -1,0 +1,172 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: the CDC ingest pipeline (the engine's reason to exist) applying a
+deterministic synthetic change stream scaled to the sf of ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1), through the full path: typed transforms →
+combiner → hash shuffle → actor-pool exactly-once merge → commit log.
+Also times every ``__ray_entry__.queries()`` entry at the same sf.
+
+    python bench.py              # one JSON line with headline + per-query secs
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes → throughput + scaling efficiency
+
+Env: GRAFT_SF_DIR (input dir), RAY_GRAFT_CPUS (num_cpus, default 32),
+BENCH_EVENTS (override headline event count), BENCH_SKIP_QUERIES=1.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline stream size per sf (events); generation is cached on disk
+_SF_EVENTS = {"0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000}
+
+
+def _sf_tag() -> str:
+    for tag in _SF_EVENTS:
+        if SF_DIR.rstrip("/").endswith("sf" + tag):
+            return tag
+    return "0.1"
+
+
+def _bench_stream(tag: str) -> list[str]:
+    """Generate (once, cached) the headline change stream for this sf."""
+    from sonic_etl_ray.generator import StreamSpec, generate_stream
+
+    n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))
+    out_dir = f"/tmp/sonic_etl_ray_bench/stream_sf{tag}_n{n}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spec = StreamSpec(
+            n_events=n, n_repos=200, seed=42, segment_size=max(n // 64, 1000),
+            hot_repo_frac=0.2,
+        )
+        generate_stream(out_dir, spec)
+        open(done, "w").close()
+    return sorted(glob.glob(os.path.join(out_dir, "segment_*.parquet")))
+
+
+def _run_headline() -> dict:
+    from sonic_etl_ray.pipelines.ingest import lake_final_table, run_ingest
+
+    tag = _sf_tag()
+    files = _bench_stream(tag)
+    n_events = sum(1 for _ in files)  # segments
+    lake = f"/tmp/sonic_etl_ray_bench/lake_{os.getpid()}"
+    shutil.rmtree(lake, ignore_errors=True)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    t0 = time.perf_counter()
+    run_ingest(
+        files,
+        lake,
+        num_partitions=max(NUM_CPUS, 8),
+        segments_per_epoch=16,
+        merge_concurrency=(1, max(NUM_CPUS // 2, 2)),
+    )
+    sec = time.perf_counter() - t0
+    n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))
+    rows = lake_final_table(lake, columns=["repo"]).num_rows
+    shutil.rmtree(lake, ignore_errors=True)
+    return {"sec": sec, "events": n, "events_per_sec": n / sec, "final_rows": rows,
+            "segments": n_events}
+
+
+def _run_queries() -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+
+    headline = _run_headline()
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else _run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_ingest_headline_sec",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "events": headline["events"],
+                "events_per_sec": round(headline["events_per_sec"], 1),
+                "final_rows": headline["final_rows"],
+                "queries": queries,
+                "sf": _sf_tag(),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Same headline job at two parallelism levels in fresh processes —
+    the in-sandbox evidence for the N→4N scaling-efficiency criterion."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "events_per_sec_8": r_lo["events_per_sec"],
+                "events_per_sec_32": r_hi["events_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": _sf_tag(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

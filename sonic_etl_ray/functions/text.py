@@ -107,11 +107,11 @@ class Fingerprinter:
 
     @staticmethod
     def fingerprint(text: str) -> int:
-        h = _FP_OFFSET
+        h = int(_FP_OFFSET)
+        base = int(_FP_BASE)
         for tok in re.findall(TOKEN_RE, text):
-            th = np.uint64(hash_token(tok))
-            h = (h * _FP_BASE + th) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        return int(h)
+            h = (h * base + hash_token(tok)) & 0xFFFFFFFFFFFFFFFF  # wraparound intended
+        return h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         fps = batch["text"].map(self.fingerprint).astype("uint64")

@@ -1,0 +1,116 @@
+"""The streaming tailer: micro-batch loop over a growing segment directory.
+
+The coordinator+consumer loop of the reference
+(``indexing_coordinator/publish_ranges.py:214-248``: poll head every 5 s,
+publish [last+1, head] chunks; consumers pull/ack) becomes a driver-side
+micro-batch loop: each tick discovers segments beyond the committed
+watermark, groups them into epochs, and applies them through the exactly-
+once ingest pipeline. Graceful shutdown (SIGTERM flag checked between
+epochs, ``sonic_config/mod.rs:70-98``) and head-regression warnings
+(``publish_ranges.py:222-223``) carry over; the resumption state IS the
+commit log, so a killed tailer resumes exactly (W4/O4).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable
+
+import ray.data
+
+from ..sources.planner import discover_segments
+from ..state import commitlog as cl
+from .ingest import apply_epoch
+
+log = logging.getLogger(__name__)
+
+
+class Tailer:
+    """Micro-batch change-stream tailer with watermark resume.
+
+    ``tick()`` is one poll: discover → plan → apply new epochs. ``run()``
+    loops with a poll interval until ``stop()`` (the SIGTERM-flag analog)
+    or ``max_ticks``. Epoch numbering is derived from segment position so
+    a restarted tailer maps the same segments to the same epochs —
+    idempotence comes from the commit log, not from the loop.
+    """
+
+    def __init__(
+        self,
+        seg_dir: str,
+        lake_dir: str,
+        num_partitions: int = 32,
+        segments_per_epoch: int = 8,
+        merge_concurrency: int | tuple[int, int] = (1, 8),
+        read_kwargs: dict[str, Any] | None = None,
+    ):
+        self.seg_dir = seg_dir
+        self.lake_dir = lake_dir
+        self.num_partitions = num_partitions
+        self.segments_per_epoch = segments_per_epoch
+        self.merge_concurrency = merge_concurrency
+        self.read_kwargs = read_kwargs or {}
+        self._stop = False
+        self._last_seen = -1  # highest segment index observed (head watermark)
+
+    def stop(self) -> None:
+        """Graceful shutdown flag (checked between epochs, never mid-epoch)."""
+        self._stop = True
+
+    def tick(self) -> dict[str, Any]:
+        files = discover_segments(self.seg_dir)
+        head = len(files) - 1
+        if head < self._last_seen:
+            log.warning(
+                "segment head regressed from %d to %d — source appeared to revert",
+                self._last_seen, head,
+            )
+        self._last_seen = max(self._last_seen, head)
+
+        applied = skipped = 0
+        n_full = (head + 1) // self.segments_per_epoch
+        for epoch in range(n_full):
+            if self._stop:
+                break
+            if cl.epoch_manifest_exists(self.lake_dir, epoch):
+                skipped += 1
+                continue
+            efiles = files[epoch * self.segments_per_epoch : (epoch + 1) * self.segments_per_epoch]
+            ds = ray.data.read_parquet(efiles, **self.read_kwargs)
+            apply_epoch(
+                ds,
+                self.lake_dir,
+                epoch,
+                num_partitions=self.num_partitions,
+                merge_concurrency=self.merge_concurrency,
+                input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
+            )
+            applied += 1
+        return {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
+
+    def run(
+        self,
+        poll_interval_s: float = 1.0,
+        max_ticks: int | None = None,
+        on_tick: Callable[[dict[str, Any]], None] | None = None,
+    ) -> dict[str, Any]:
+        ticks = 0
+        last: dict[str, Any] = {}
+        while not self._stop and (max_ticks is None or ticks < max_ticks):
+            last = self.tick()
+            if on_tick:
+                on_tick(last)
+            ticks += 1
+            if not self._stop and (max_ticks is None or ticks < max_ticks):
+                time.sleep(poll_interval_s)
+        return {"ticks": ticks, **last}
+
+
+def set_watermark_override(lake_dir: str, epoch: int) -> None:
+    """Admin override: mark epochs < ``epoch`` as committed so the tailer
+    fast-forwards — the ``manual_set.py`` analog
+    (``indexing_coordinator/manual_set.py:49-56``). Writes empty manifests."""
+    for e in range(epoch):
+        if not cl.epoch_manifest_exists(lake_dir, e):
+            cl.write_manifest(lake_dir, e, {"epoch": e, "manual_override": True, "parts": []})

@@ -41,13 +41,21 @@ def checked_int64(arr: pa.Array | pa.ChunkedArray, field: str = "value") -> pa.C
         raise TypedCastError(field, f"overflows int64 ({e})") from e
 
 
-def checked_numeric(arr: pa.Array | pa.ChunkedArray, field: str = "value") -> pa.ChunkedArray:
-    """NUMERIC discipline: int64 values bounded at ±(1e28-1), error beyond."""
-    arr = checked_int64(arr, field)
-    bad = pc.any(pc.greater(pc.abs_checked(arr), NUMERIC_MAX)).as_py()
-    if bad:
-        raise TypedCastError(field, f"exceeds NUMERIC bound ±{NUMERIC_MAX}")
-    return arr
+def checked_numeric(
+    decimal_strings: pa.Array | pa.ChunkedArray, field: str = "value"
+) -> pa.Array:
+    """NUMERIC discipline on decimal-as-string values (the i128/u128 range of
+    the reference): bounded at ±(1e28-1), *error* beyond — unlike BIGNUMERIC
+    which saturates. Length fast-path: ≤28 digits is always in range."""
+    if isinstance(decimal_strings, pa.ChunkedArray):
+        decimal_strings = decimal_strings.combine_chunks()
+    lengths = pc.utf8_length(pc.utf8_ltrim(decimal_strings, "-"))
+    maybe_over = pc.fill_null(pc.greater(lengths, 28), False)
+    if pc.any(maybe_over).as_py():
+        for v in decimal_strings.to_pylist():
+            if v is not None and abs(int(v)) > NUMERIC_MAX:
+                raise TypedCastError(field, f"{v} exceeds NUMERIC bound ±{NUMERIC_MAX}")
+    return decimal_strings
 
 
 def cap_bignumeric(decimal_strings: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:

@@ -92,6 +92,7 @@ def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
 
 
 def write_manifest(lake_dir: str, epoch: int, summary: dict[str, Any]) -> None:
+    os.makedirs(os.path.join(lake_dir, "_commits"), exist_ok=True)
     _atomic_write(
         manifest_path(lake_dir, epoch), json.dumps(summary, sort_keys=True).encode()
     )

@@ -1,0 +1,49 @@
+"""QC-job tests: gap detection, range compression, count invariants,
+freshness — the pytest analog of the reference's QC-as-production-DAGs
+(``daily_qc_airflow/``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from sonic_etl_ray.generator import StreamSpec, generate_stream
+from sonic_etl_ray.pipelines.ingest import read_lake, run_ingest, scratch_lake_dir
+from sonic_etl_ray.pipelines.qc import (
+    detect_gaps,
+    freshness,
+    gaps_to_ranges,
+    row_count_invariants,
+    verify_lake_counts,
+)
+
+
+def test_detect_gaps_dense_and_holed():
+    ds = ray.data.from_arrow(pa.table({"lsn": [0, 1, 2, 3, 4]}))
+    assert detect_gaps(ds) == []
+    ds = ray.data.from_arrow(pa.table({"lsn": [0, 1, 5, 6, 9]}))
+    assert detect_gaps(ds) == [2, 3, 4, 7, 8]
+
+
+def test_gaps_to_ranges():
+    assert gaps_to_ranges([2, 3, 4, 7, 8, 11]) == [(2, 4), (7, 8), (11, 11)]
+    assert gaps_to_ranges([]) == []
+
+
+def test_lake_qc_roundtrip(tmp_path):
+    spec = StreamSpec(n_events=3000, n_repos=8, seed=17, segment_size=500)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+    lake = scratch_lake_dir("qc")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=6)
+
+    assert verify_lake_counts(lake)  # commit-log n_rows == actual file rows
+
+    fresh = freshness(lake)
+    assert fresh and all(v["applied_lsn"] is not None for v in fresh.values())
+    assert max(v["applied_lsn"] for v in fresh.values()) == spec.n_events - 1
+
+    counts = row_count_invariants(read_lake(lake))
+    total = sum(v["n_files"] for v in counts.values())
+    from sonic_etl_ray.pipelines.ingest import lake_final_table
+
+    assert total == lake_final_table(lake).num_rows
