@@ -110,6 +110,10 @@ class MergeApplier:
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return COMMIT_RECORD_SCHEMA.empty_table()
+        # groups arrive assembled from many shuffle blocks → thousands of
+        # tiny chunks; Arrow kernels (sort, is_in, join) crawl on chunked
+        # input, so defragment once up front
+        group = group.combine_chunks()
         part = group.column(PART_COLUMN)[0].as_py()
         lake, epoch = self.lake_dir, self.epoch
 
@@ -165,7 +169,7 @@ class MergeApplier:
         out = cl.state_path(lake, part, epoch)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(state, tmp, compression="zstd")
+        pq.write_table(state, tmp, compression="snappy")
         os.rename(tmp, out)  # atomic publish of the data file
 
         record.update(
@@ -193,14 +197,26 @@ class MergeApplier:
         )
 
 
+def _default_merge_concurrency(num_partitions: int) -> int:
+    """Fixed actor-pool size: enough to cover the partitions, but never the
+    whole cluster — actors that reserve every CPU starve the read/transform
+    stages and serialize the pipeline."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no cluster yet
+        ncpu = 8
+    return max(1, min(num_partitions, max(2, ncpu // 2)))
+
+
 def apply_epoch(
     ds: ray.data.Dataset,
     lake_dir: str,
     epoch: int,
     num_partitions: int = 32,
-    merge_concurrency: int | tuple[int, int] = (1, 8),
+    merge_concurrency: int | tuple[int, int] | None = None,
     input_desc: dict[str, Any] | None = None,
     batch_size: int | None = 32_768,
+    use_actor_pool: bool = False,
 ) -> list[dict[str, Any]]:
     """Apply one epoch of change events; returns per-partition commit records.
 
@@ -217,13 +233,29 @@ def apply_epoch(
         batch_size=batch_size,
         fn_kwargs={"num_partitions": num_partitions},
     )
-    commits = ds.groupby(PART_COLUMN).map_groups(
-        MergeApplier,
-        fn_constructor_args=(lake_dir, epoch, input_desc),
-        batch_format="pyarrow",
-        concurrency=merge_concurrency,
-        num_cpus=1,
-    )
+    grouped = ds.groupby(PART_COLUMN)
+    if use_actor_pool:
+        # dedicated actor pool: amortizes nothing here (the applier's state is
+        # the durable commit log, by design), but isolates merge resources
+        if merge_concurrency is None:
+            merge_concurrency = _default_merge_concurrency(num_partitions)
+        commits = grouped.map_groups(
+            MergeApplier,
+            fn_constructor_args=(lake_dir, epoch, input_desc),
+            batch_format="pyarrow",
+            concurrency=merge_concurrency,
+            num_cpus=1,
+        )
+    else:
+        # default: the applier instance runs as plain tasks on warm workers —
+        # no per-epoch actor-process spin-up; idempotence and partition state
+        # live in the commit log on shared storage, so task retry is safe
+        applier = MergeApplier(lake_dir, epoch, input_desc)
+
+        def merge_partition(group: pa.Table) -> pa.Table:
+            return applier(group)
+
+        commits = grouped.map_groups(merge_partition, batch_format="pyarrow")
     records = commits.take_all()  # one small row per touched partition
     summary = {
         "epoch": epoch,
@@ -242,8 +274,9 @@ def run_ingest(
     lake_dir: str,
     num_partitions: int = 32,
     segments_per_epoch: int = 8,
-    merge_concurrency: int | tuple[int, int] = (1, 8),
+    merge_concurrency: int | tuple[int, int] | None = None,
     read_kwargs: dict[str, Any] | None = None,
+    use_actor_pool: bool = False,
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
 
@@ -266,6 +299,7 @@ def run_ingest(
             epoch,
             num_partitions=num_partitions,
             merge_concurrency=merge_concurrency,
+            use_actor_pool=use_actor_pool,
             input_desc={"segments": [os.path.basename(f) for f in efiles]},
         )
         applied += 1

@@ -42,7 +42,7 @@ class Tailer:
         lake_dir: str,
         num_partitions: int = 32,
         segments_per_epoch: int = 8,
-        merge_concurrency: int | tuple[int, int] = (1, 8),
+        merge_concurrency: int | tuple[int, int] | None = None,
         read_kwargs: dict[str, Any] | None = None,
     ):
         self.seg_dir = seg_dir
