@@ -56,16 +56,22 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
 # ---------------------------------------------------------------- MinHash/LSH
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashed k-shingles (character k-grams) as uint64."""
-    if len(text) < k:
+    """Hashed k-shingles (character k-grams) as uint64, fully vectorized:
+    polynomial rolling hash over the utf-8 byte array (k strided
+    multiply-adds instead of a Python loop per shingle)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.size
+    if n < k:
         return np.array([hash_token(text)], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (hash_token(text[i : i + k]) for i in range(len(text) - k + 1)),
-            dtype=np.uint64,
-        )
-    )
+    with np.errstate(over="ignore"):
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):  # k (=5) vector ops, not n python ops
+            h = h * _SHINGLE_BASE + data[j : n - k + 1 + j]
+    return np.unique(h)
 
 
 class MinHasher:

@@ -127,7 +127,19 @@ def top_orders_by_revenue(sf_dir: str) -> pd.DataFrame:
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
-    top = per_order.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-block top-k so the global sort sees ≤k rows per block
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")]
+        )
+        return t.take(idx[:10])
+
+    top = (
+        per_order.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
     return top.to_pandas()
 
 
