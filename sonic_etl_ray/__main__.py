@@ -1,0 +1,150 @@
+"""CLI entry points — the ``IndexRange`` / ``SaveRange`` analog
+(``extractor_transformer/src/main.rs:406-476``).
+
+Commands own the Ray session (the only places besides bench/tests allowed
+to call ``ray.init``):
+
+    python -m sonic_etl_ray generate --out DIR --events N [--seed S] ...
+    python -m sonic_etl_ray ingest --segments DIR --lake DIR [--partitions P] ...
+    python -m sonic_etl_ray tail --segments DIR --lake DIR [--ticks N] ...
+    python -m sonic_etl_ray qc --lake DIR
+    python -m sonic_etl_ray set-watermark --lake DIR --epoch E
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sonic_etl_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="deterministic synthetic change stream")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--repos", type=int, default=20)
+    g.add_argument("--segment-size", type=int, default=1000)
+    g.add_argument("--hot-repo-frac", type=float, default=None)
+
+    i = sub.add_parser("ingest", help="apply a segment directory into a lake")
+    i.add_argument("--segments", required=True)
+    i.add_argument("--lake", required=True)
+    i.add_argument("--partitions", type=int, default=32)
+    i.add_argument("--segments-per-epoch", type=int, default=8)
+    i.add_argument("--on-error", choices=["abort", "route"], default="abort")
+
+    t = sub.add_parser("tail", help="micro-batch tail a growing segment dir")
+    t.add_argument("--segments", required=True)
+    t.add_argument("--lake", required=True)
+    t.add_argument("--partitions", type=int, default=32)
+    t.add_argument("--segments-per-epoch", type=int, default=8)
+    t.add_argument("--ticks", type=int, default=None)
+    t.add_argument("--poll-interval", type=float, default=2.0)
+
+    q = sub.add_parser("qc", help="freshness + count invariants of a lake")
+    q.add_argument("--lake", required=True)
+
+    w = sub.add_parser("set-watermark", help="manual watermark override")
+    w.add_argument("--lake", required=True)
+    w.add_argument("--epoch", type=int, required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .generator import StreamSpec, generate_stream
+
+        files = generate_stream(
+            args.out,
+            StreamSpec(
+                n_events=args.events,
+                n_repos=args.repos,
+                seed=args.seed,
+                segment_size=args.segment_size,
+                hot_repo_frac=args.hot_repo_frac,
+            ),
+        )
+        print(json.dumps({"segments": len(files), "out": args.out}))
+        return 0
+
+    _ray_init(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "ingest":
+            from .pipelines.ingest import run_ingest
+            from .sources.planner import discover_segments
+
+            stats = run_ingest(
+                discover_segments(args.segments),
+                args.lake,
+                num_partitions=args.partitions,
+                segments_per_epoch=args.segments_per_epoch,
+                on_error=args.on_error,
+            )
+            print(json.dumps(stats))
+        elif args.cmd == "tail":
+            import signal
+
+            from .pipelines.tail import Tailer
+
+            tailer = Tailer(
+                args.segments,
+                args.lake,
+                num_partitions=args.partitions,
+                segments_per_epoch=args.segments_per_epoch,
+            )
+            signal.signal(signal.SIGTERM, lambda *_: tailer.stop())
+            signal.signal(signal.SIGINT, lambda *_: tailer.stop())
+            res = tailer.run(
+                poll_interval_s=args.poll_interval,
+                max_ticks=args.ticks,
+                on_tick=lambda r: print(json.dumps(r), flush=True),
+            )
+            print(json.dumps(res))
+        elif args.cmd == "qc":
+            from .pipelines.qc import freshness, verify_lake_counts
+
+            print(
+                json.dumps(
+                    {
+                        "freshness": freshness(args.lake),
+                        "counts_ok": verify_lake_counts(args.lake),
+                    }
+                )
+            )
+        elif args.cmd == "set-watermark":
+            from .pipelines.tail import set_watermark_override
+
+            set_watermark_override(args.lake, args.epoch)
+            print(json.dumps({"watermark_epoch": args.epoch}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,7 +45,7 @@ from ..schemas import (
     unify_schemas,
 )
 from ..stages.keys import PART_COLUMN, add_partition_column, key_strings
-from ..stages.transform import reduce_last_per_key, validate_and_derive
+from ..stages.transform import ERROR_COLUMN, reduce_last_per_key, validate_and_derive
 from ..state import commitlog as cl
 
 COMMIT_RECORD_SCHEMA = pa.schema(
@@ -57,6 +57,7 @@ COMMIT_RECORD_SCHEMA = pa.schema(
         ("n_rows", pa.int64()),
         ("data_file", pa.string()),
         ("noop", pa.bool_()),
+        ("n_errors", pa.int64()),
     ]
 )
 
@@ -121,8 +122,25 @@ class MergeApplier:
         if existing is not None:  # idempotent replay of a committed unit
             return self._record_row(existing)
 
+        n_errors = 0
+        if ERROR_COLUMN in group.column_names:
+            err_mask = pc.is_valid(group.column(ERROR_COLUMN))
+            errors = group.filter(err_mask)
+            n_errors = errors.num_rows
+            if n_errors:
+                # divert malformed rows to the per-partition error channel
+                epath = os.path.join(
+                    lake, "_errors", cl.EPOCH_FMT.format(epoch),
+                    cl.PART_FMT.format(part) + ".parquet",
+                )
+                os.makedirs(os.path.dirname(epath), exist_ok=True)
+                etmp = f"{epath}.tmp.{uuid.uuid4().hex[:8]}"
+                pq.write_table(errors.drop_columns([PART_COLUMN]), etmp)
+                os.rename(etmp, epath)
+            group = group.filter(pc.invert(err_mask)).drop_columns([ERROR_COLUMN])
+
         watermark = cl.partition_watermark(lake, part, epoch)
-        n_events = group.num_rows
+        n_events = group.num_rows + n_errors
         max_lsn = pc.max(group.column("lsn")).as_py()
         fresh = group.filter(pc.greater(group.column("lsn"), watermark))
         fresh = reduce_last_per_key(fresh)  # re-reduce across batch partials
@@ -132,6 +150,7 @@ class MergeApplier:
             "epoch": epoch,
             "part": part,
             "n_events": n_events,
+            "n_errors": n_errors,
             "applied_lsn": max(watermark, max_lsn if max_lsn is not None else -1),
             "input": self.input_desc,
         }
@@ -192,6 +211,7 @@ class MergeApplier:
                 "n_rows": [int(rec.get("n_rows", -1))],
                 "data_file": [rec.get("data_file", "")],
                 "noop": [bool(rec.get("noop", False))],
+                "n_errors": [int(rec.get("n_errors", 0))],
             },
             schema=COMMIT_RECORD_SCHEMA,
         )
@@ -217,6 +237,7 @@ def apply_epoch(
     input_desc: dict[str, Any] | None = None,
     batch_size: int | None = 32_768,
     use_actor_pool: bool = False,
+    on_error: str = "abort",
 ) -> list[dict[str, Any]]:
     """Apply one epoch of change events; returns per-partition commit records.
 
@@ -225,7 +246,12 @@ def apply_epoch(
     applies.
     """
     os.makedirs(lake_dir, exist_ok=True)
-    ds = ds.map_batches(validate_and_derive, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        validate_and_derive,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_kwargs={"on_error": on_error},
+    )
     ds = ds.map_batches(reduce_last_per_key, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
         add_partition_column,
@@ -277,6 +303,7 @@ def run_ingest(
     merge_concurrency: int | tuple[int, int] | None = None,
     read_kwargs: dict[str, Any] | None = None,
     use_actor_pool: bool = False,
+    on_error: str = "abort",
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
 
@@ -300,6 +327,7 @@ def run_ingest(
             num_partitions=num_partitions,
             merge_concurrency=merge_concurrency,
             use_actor_pool=use_actor_pool,
+            on_error=on_error,
             input_desc={"segments": [os.path.basename(f) for f in efiles]},
         )
         applied += 1
@@ -344,6 +372,17 @@ def lake_final_table(lake_dir: str, columns: list[str] | None = None) -> pa.Tabl
         promote_options="default",
     )
     return tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
+
+
+def read_errors(lake_dir: str) -> pa.Table:
+    """All diverted error rows across epochs/partitions (the typed error
+    channel readback; empty table when no errors were routed)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet")))
+    if not files:
+        return pa.table({})
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
 
 
 def scratch_lake_dir(tag: str = "lake") -> str:

@@ -46,31 +46,67 @@ def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, pa.string())
 
 
-def validate_and_derive(batch: pa.Table) -> pa.Table:
+ERROR_COLUMN = "__error"
+
+
+def validate_and_derive(batch: pa.Table, on_error: str = "abort") -> pa.Table:
     """Validate ops + derive ``content_sha256``/``size_bytes``.
 
     Unknown extra columns (schema evolution) pass through untouched.
     Deletes must carry null content; inserts/updates must carry content.
+
+    ``on_error``: ``"abort"`` raises on any malformed event (the reference's
+    abort-the-block path, ``transformation/common.rs:309-496``); ``"route"``
+    tags malformed rows in an ``__error`` reason column instead — downstream
+    the merge applier diverts them to the lake's per-partition error channel
+    (the typed-error-row analog of ``TransformationErr``,
+    ``transformation/err.rs:1-31``).
     """
     if batch.num_rows == 0:
         return batch
     op = batch.column("op")
-    ok = pc.is_in(op, value_set=pa.array(OPS))
-    if not pc.all(pc.fill_null(ok, False)).as_py():
-        bad = pc.unique(pc.drop_null(op.filter(pc.invert(pc.fill_null(ok, False)))))
-        raise MalformedEventError(f"unknown op values: {bad.to_pylist()[:5]}")
+    known_op = pc.fill_null(pc.is_in(op, value_set=pa.array(OPS)), False)
     is_delete = pc.equal(op, "delete")
     content = batch.column("content")
     has_content = pc.is_valid(content)
-    bad_delete = pc.and_(is_delete, has_content)
-    bad_upsert = pc.and_(pc.invert(is_delete), pc.invert(has_content))
-    if pc.any(bad_delete).as_py() or pc.any(bad_upsert).as_py():
+    bad_delete = pc.and_(pc.fill_null(is_delete, False), has_content)
+    bad_upsert = pc.and_(
+        pc.and_(known_op, pc.invert(pc.fill_null(is_delete, False))),
+        pc.invert(has_content),
+    )
+
+    any_bad = (
+        not pc.all(known_op).as_py()
+        or pc.any(bad_delete).as_py()
+        or pc.any(bad_upsert).as_py()
+    )
+    if any_bad and on_error == "abort":
+        if not pc.all(known_op).as_py():
+            bad = pc.unique(pc.drop_null(op.filter(pc.invert(known_op))))
+            raise MalformedEventError(f"unknown op values: {bad.to_pylist()[:5]}")
         raise MalformedEventError("delete with content or upsert without content")
 
     batch = batch.append_column("content_sha256", sha256_column(content))
     # binary_length = utf8 byte length; nulls (deletes) propagate
     size = checked_int64(pc.binary_length(content), "size_bytes")
-    return batch.append_column("size_bytes", size)
+    batch = batch.append_column("size_bytes", size)
+
+    if on_error == "route":
+        reason = pc.if_else(
+            pc.invert(known_op),
+            pa.scalar("unknown_op", pa.string()),
+            pc.if_else(
+                bad_delete,
+                pa.scalar("delete_with_content", pa.string()),
+                pc.if_else(
+                    bad_upsert,
+                    pa.scalar("upsert_without_content", pa.string()),
+                    pa.scalar(None, pa.string()),
+                ),
+            ),
+        )
+        batch = batch.append_column(ERROR_COLUMN, reason)
+    return batch
 
 
 def reduce_last_per_key(batch: pa.Table) -> pa.Table:
@@ -81,6 +117,23 @@ def reduce_last_per_key(batch: pa.Table) -> pa.Table:
     partition. Fully vectorized: stable sort by lsn, then group-max of the
     positional index.
     """
+    if batch.num_rows <= 1:
+        return batch
+    if ERROR_COLUMN in batch.column_names:
+        # error rows are diverted, not applied — they must never win (or
+        # lose) a last-writer-wins race against valid rows
+        err_mask = pc.is_valid(batch.column(ERROR_COLUMN))
+        if pc.any(err_mask).as_py():
+            errors = batch.filter(err_mask)
+            valid = batch.filter(pc.invert(err_mask))
+            if valid.num_rows == 0:
+                return errors
+            return pa.concat_tables([_reduce_valid(batch=valid), errors])
+        # all-null error column → plain reduction below
+    return _reduce_valid(batch)
+
+
+def _reduce_valid(batch: pa.Table) -> pa.Table:
     if batch.num_rows <= 1:
         return batch
     order = pc.sort_indices(batch, sort_keys=[("lsn", "ascending")])

@@ -1,0 +1,125 @@
+"""Error-row channel (M15/TransformationErr analog) and catalog stage tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sonic_etl_ray.generator import StreamSpec, generate_events, write_segments
+from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
+from sonic_etl_ray.pipelines.ingest import (
+    lake_final_table,
+    read_errors,
+    run_ingest,
+    scratch_lake_dir,
+)
+from sonic_etl_ray.stages.transform import MalformedEventError
+
+
+def _corrupt(table: pa.Table, every: int = 50) -> pa.Table:
+    """Deterministically corrupt every Nth row: alternate unknown op /
+    delete-with-content."""
+    import pyarrow.compute as pc
+
+    op = table.column("op").to_pylist()
+    content = table.column("content").to_pylist()
+    for i in range(0, len(op), every):
+        if (i // every) % 2 == 0:
+            op[i] = "upsurt"  # unknown op
+        else:
+            op[i] = "delete"
+            content[i] = "stray content"  # delete must not carry content
+    table = table.set_column(table.column_names.index("op"), "op", pa.array(op, pa.string()))
+    return table.set_column(
+        table.column_names.index("content"), "content", pa.array(content, pa.string())
+    )
+
+
+def _write_corrupted(tmp_path, spec):
+    table = _corrupt(generate_events(spec))
+    seg_dir = str(tmp_path / "segs")
+    files = write_segments(table, seg_dir, spec)
+    return table, files
+
+
+def test_abort_mode_raises(tmp_path):
+    spec = StreamSpec(n_events=500, n_repos=5, seed=41, segment_size=250)
+    _, files = _write_corrupted(tmp_path, spec)
+    lake = scratch_lake_dir("abort")
+    with pytest.raises(Exception) as ei:
+        run_ingest(files, lake, num_partitions=2, on_error="abort")
+    assert "MalformedEventError" in str(ei.value) or isinstance(
+        ei.value, MalformedEventError
+    )
+
+
+def test_route_mode_diverts_and_applies_valid(tmp_path):
+    spec = StreamSpec(n_events=4000, n_repos=8, seed=43, segment_size=500)
+    table, files = _write_corrupted(tmp_path, spec)
+    lake = scratch_lake_dir("route")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=4, on_error="route")
+
+    errs = read_errors(lake)
+    n_corrupt = (4000 + 49) // 50
+    assert errs.num_rows == n_corrupt
+    assert set(errs.column("__error").to_pylist()) == {
+        "unknown_op",
+        "delete_with_content",
+    }
+
+    # final state equals the oracle over only the VALID rows
+    valid_files = []
+    import pyarrow.compute as pc
+
+    for i, f in enumerate(files):
+        t = pq.read_table(f)
+        ok = pc.and_(
+            pc.is_in(t["op"], value_set=pa.array(["insert", "update", "delete"])),
+            pc.or_(
+                pc.invert(pc.equal(t["op"], "delete")),
+                pc.is_null(t["content"]),
+            ),
+        )
+        # upserts must have content
+        ok = pc.and_(
+            ok,
+            pc.or_(pc.equal(t["op"], "delete"), pc.is_valid(t["content"])),
+        )
+        p = str(tmp_path / f"valid_{i}.parquet")
+        pq.write_table(t.filter(ok), p)
+        valid_files.append(p)
+    assert_state_equal(lake_final_table(lake), oracle_final_state(valid_files))
+
+
+def test_lang_catalog_conflicts_and_normalizer():
+    import pandas as pd
+    import ray.data
+
+    from sonic_etl_ray.stages.catalog import (
+        CatalogConflictError,
+        LangCatalog,
+        LangNormalizer,
+    )
+
+    cat = LangCatalog()
+    cat.add("py", "python")  # identical re-insert: fine
+    with pytest.raises(CatalogConflictError):
+        cat.add("py", "snake")  # conflicting decoding: hard error
+
+    batch = pa.table(
+        {
+            "path": ["a/b.py", "c/d.unknownext", "e/f.rs", "g/h"],
+            "lang": ["python", "mystery", "go", "x"],
+        }
+    )
+    out = LangNormalizer()(batch)
+    assert out.column("lang_norm").to_pylist() == ["python", "mystery", "rust", "x"]
+    assert out.column("lang_mismatch").to_pylist() == [False, False, True, False]
+
+    # as an actor-pool stage over a Dataset
+    ds = ray.data.from_arrow(batch)
+    got = ds.map_batches(
+        LangNormalizer, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert list(got["lang_norm"]) == ["python", "mystery", "rust", "x"]
