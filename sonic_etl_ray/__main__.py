@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--lake", required=True)
     w.add_argument("--epoch", type=int, required=True)
 
+    v = sub.add_parser("vacuum", help="GC superseded copy-on-write state files")
+    v.add_argument("--lake", required=True)
+    v.add_argument("--keep-epochs", type=int, default=2)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -88,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         print(json.dumps({"segments": len(files), "out": args.out}))
+        return 0
+    if args.cmd == "vacuum":
+        from .pipelines.ingest import vacuum
+
+        print(json.dumps(vacuum(args.lake, keep_epochs=args.keep_epochs)))
         return 0
 
     _ray_init(args.num_cpus)

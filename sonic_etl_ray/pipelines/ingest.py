@@ -374,6 +374,37 @@ def lake_final_table(lake_dir: str, columns: list[str] | None = None) -> pa.Tabl
     return tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
 
 
+def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
+    """Garbage-collect superseded copy-on-write state files.
+
+    Each epoch rewrites a partition's full state, so older state files are
+    only needed for time travel / crash forensics. Keeps, per partition, the
+    newest ``keep_epochs`` committed state files and deletes older ones
+    (commit records are always kept — they are the lineage log). The Delta
+    VACUUM analog; without it a 10^10-event lake grows by one full copy per
+    epoch per partition.
+    """
+    if keep_epochs < 1:
+        raise ValueError("keep_epochs must be >= 1 (the live state must survive)")
+    removed = kept = 0
+    if not os.path.isdir(lake_dir):
+        return {"removed": 0, "kept": 0}
+    for name in sorted(os.listdir(lake_dir)):
+        if not name.startswith("part="):
+            continue
+        pdir = os.path.join(lake_dir, name)
+        epochs = sorted(
+            int(f[len("state-epoch=") : -len(".parquet")])
+            for f in os.listdir(pdir)
+            if f.startswith("state-epoch=") and f.endswith(".parquet")
+        )
+        for e in epochs[:-keep_epochs]:
+            os.remove(os.path.join(pdir, f"state-epoch={e:08d}.parquet"))
+            removed += 1
+        kept += min(len(epochs), keep_epochs)
+    return {"removed": removed, "kept": kept}
+
+
 def read_errors(lake_dir: str) -> pa.Table:
     """All diverted error rows across epochs/partitions (the typed error
     channel readback; empty table when no errors were routed)."""

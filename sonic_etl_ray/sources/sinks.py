@@ -41,6 +41,24 @@ def write_json_fixture(records: dict[str, Any], out_dir: str, name: str) -> str:
     return path
 
 
+def write_arrow_ipc(table: pa.Table, path: str) -> str:
+    """Arrow IPC (Feather v2) writer — the native substitute for the
+    reference's optional Avro record encoding (``output/google_pubsub.rs:
+    176-184``, ``sonic_config/avro_helpers.rs:1-23``): schema-carrying,
+    zero-copy-readable interchange for stage boundaries and fixtures."""
+    import pyarrow.feather as feather
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    feather.write_feather(table, path)
+    return path
+
+
+def read_arrow_ipc(path: str) -> pa.Table:
+    import pyarrow.feather as feather
+
+    return feather.read_table(path)
+
+
 def write_bucketed_parquet(
     ds: ray.data.Dataset,
     out_dir: str,
