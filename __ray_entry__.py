@@ -100,6 +100,18 @@ def _q_asof(sf_dir: str):
     return _r(asof_join_last_signup(sf_dir), ["value"])
 
 
+def _q_sessionize(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import sessionize_events
+
+    return sessionize_events(sf_dir)
+
+
+def _q_bpe_tokens(sf_dir: str):
+    from sonic_etl_ray.functions.text import bpe_token_counts
+
+    return bpe_token_counts(sf_dir)
+
+
 def _q_token_counts(sf_dir: str):
     from sonic_etl_ray.functions.text import token_counts
 
@@ -215,8 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_stats": _q_supplier_stats,
         "windowed_user_daily": _q_window,
         "asof_join_last_signup": _q_asof,
+        "sessionize_events": _q_sessionize,
         # training-data ops
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
@@ -315,6 +329,32 @@ def oracle_sql() -> dict[str, str]:
     sql["token_counts"] = f"""
         SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
         FROM documents ORDER BY doc_id"""
+
+    sql["bpe_token_counts"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""
+
+    sql["sessionize_events"] = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""
 
     sql["doc_quality"] = f"""
         SELECT doc_id,

@@ -119,12 +119,17 @@ def main() -> None:
     from ray.data import DataContext
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # IO threads scale with the parallelism level: a "2-CPU cluster" must not
+    # borrow 8 hidden IO threads per worker or low-CPU baselines are inflated
+    io_threads = str(max(1, NUM_CPUS // 4))
+    os.environ["ARROW_IO_THREADS"] = io_threads
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"env_vars": {"ARROW_IO_THREADS": io_threads}},
     )
     DataContext.get_current().enable_progress_bars = False
 

@@ -126,6 +126,28 @@ def hash_token(tok: str) -> int:
     return h
 
 
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+class BpeishTokenizer:
+    """BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs
+    (the GPT-2-style pre-split, simplified to a pattern both Python re and
+    RE2 execute identically so the DuckDB oracle can mirror it)."""
+
+    def __init__(self):
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["text"].str.count(BPE_PATTERN).fillna(0).astype("int64")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+
+def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(BpeishTokenizer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def token_counts(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4)).to_pandas()

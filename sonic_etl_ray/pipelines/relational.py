@@ -184,6 +184,34 @@ def windowed_user_daily(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user: a >gap_minutes silence starts a new session
+    (streaming session-window semantics over the ordered per-key log; the
+    groupby is the partition, the sort inside the group is the ordering
+    assumption — Ray Data has no event-time watermarks, see ray_guide)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        session = gap.cumsum() + 1  # first session = 1 (matches SUM of new-flag)
+        out = (
+            g.assign(session_id=session.astype("int64"))
+            .groupby("session_id", as_index=False)
+            .agg(
+                n_events=("event_id", "count"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+            )
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def asof_join_last_signup(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase event matched to the same user's most recent
     prior-or-equal signup event. Composition: bucket by key → per-group

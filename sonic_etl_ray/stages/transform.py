@@ -36,13 +36,30 @@ class MalformedEventError(ValueError):
 
 
 def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Per-row sha256 hex of a string column; nulls (deletes) stay null."""
+    """Per-row sha256 hex of a string column; nulls (deletes) stay null.
+
+    Zero-copy: hashes memoryview slices of the Arrow data buffer directly
+    (Arrow strings are already utf-8) — no per-row Python str materialization
+    or re-encode. The C hashing itself is the irreducible cost of the
+    per-row verification invariant (~1 GB/s/core).
+    """
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    out: list[str | None] = []
+    import numpy as np
+
+    n = len(content)
+    if n == 0:
+        return pa.array([], pa.string())
+    arr = content
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    databuf = memoryview(bufs[2])
+    valid = np.full(n, True) if arr.null_count == 0 else np.asarray(arr.is_valid())
     sha256 = hashlib.sha256
-    for buf in content.to_pylist():
-        out.append(None if buf is None else sha256(buf.encode("utf-8")).hexdigest())
+    out: list[str | None] = [None] * n
+    for i in range(n):
+        if valid[i]:
+            out[i] = sha256(databuf[offsets[i] : offsets[i + 1]]).hexdigest()
     return pa.array(out, pa.string())
 
 
