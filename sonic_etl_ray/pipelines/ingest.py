@@ -282,12 +282,18 @@ def apply_epoch(
             return applier(group)
 
         commits = grouped.map_groups(merge_partition, batch_format="pyarrow")
+    import time
+
+    t0 = time.perf_counter()
     records = commits.take_all()  # one small row per touched partition
     summary = {
         "epoch": epoch,
         "parts": sorted(int(r["part"]) for r in records),
         "applied_lsn_max": max((int(r["applied_lsn"]) for r in records), default=-1),
         "n_events": sum(int(r["n_events"]) for r in records),
+        "n_errors": sum(int(r.get("n_errors", 0)) for r in records),
+        "n_rows": sum(max(int(r["n_rows"]), 0) for r in records),
+        "elapsed_sec": round(time.perf_counter() - t0, 3),
         "input": input_desc or {},
         "num_partitions": num_partitions,
     }
@@ -350,12 +356,23 @@ def lake_state_files(lake_dir: str) -> list[str]:
     return out
 
 
-def read_lake(lake_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """The lake's current state as a Dataset (one block per partition file)."""
+def read_lake(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    filter: Any | None = None,
+) -> ray.data.Dataset:
+    """The lake's current state as a Dataset (one block per partition file).
+
+    ``columns`` and ``filter`` (a pyarrow dataset expression, e.g.
+    ``pc.field("repo") == "org0/repo0"``) push down to the Parquet read so
+    only the needed columns/row groups leave storage."""
     files = lake_state_files(lake_dir)
     if not files:
         return ray.data.from_arrow(STATE_SCHEMA.empty_table())
-    return ray.data.read_parquet(files, columns=columns)
+    kwargs: dict[str, Any] = {"columns": columns}
+    if filter is not None:
+        kwargs["filter"] = filter
+    return ray.data.read_parquet(files, **kwargs)
 
 
 def lake_final_table(lake_dir: str, columns: list[str] | None = None) -> pa.Table:
