@@ -45,7 +45,12 @@ from ..schemas import (
     unify_schemas,
 )
 from ..stages.keys import PART_COLUMN, add_partition_column, key_strings
-from ..stages.transform import ERROR_COLUMN, reduce_last_per_key, validate_and_derive
+from ..stages.transform import (
+    ERROR_COLUMN,
+    W_COLUMN,
+    reduce_last_per_key,
+    validate_and_derive,
+)
 from ..state import commitlog as cl
 
 COMMIT_RECORD_SCHEMA = pa.schema(
@@ -76,7 +81,7 @@ def _project_upserts(group: pa.Table) -> pa.Table:
         for c in ups.column_names
         if c not in STATE_SCHEMA.names
         and c not in ENVELOPE_COLUMNS
-        and c != PART_COLUMN
+        and c not in (PART_COLUMN, W_COLUMN)
     ]
     for c in extra:
         cols[c] = ups.column(c)
@@ -135,12 +140,20 @@ class MergeApplier:
                 )
                 os.makedirs(os.path.dirname(epath), exist_ok=True)
                 etmp = f"{epath}.tmp.{uuid.uuid4().hex[:8]}"
-                pq.write_table(errors.drop_columns([PART_COLUMN]), etmp)
+                drop = [c for c in (PART_COLUMN, W_COLUMN) if c in errors.column_names]
+                pq.write_table(errors.drop_columns(drop), etmp)
                 os.rename(etmp, epath)
             group = group.filter(pc.invert(err_mask)).drop_columns([ERROR_COLUMN])
 
         watermark = cl.partition_watermark(lake, part, epoch)
-        n_events = group.num_rows + n_errors
+        if W_COLUMN in group.column_names:
+            # exact raw-delivery count: combiner-collapsed rows carry weights
+            n_valid_events = pc.sum(
+                pc.fill_null(group.column(W_COLUMN), 1)
+            ).as_py() or 0
+        else:
+            n_valid_events = group.num_rows
+        n_events = int(n_valid_events) + n_errors
         max_lsn = pc.max(group.column("lsn")).as_py()
         fresh = group.filter(pc.greater(group.column("lsn"), watermark))
         fresh = reduce_last_per_key(fresh)  # re-reduce across batch partials
@@ -340,20 +353,57 @@ def run_ingest(
     return {"epochs_applied": applied, "epochs_skipped": skipped, "epochs_total": len(epochs)}
 
 
-def lake_state_files(lake_dir: str) -> list[str]:
-    """Latest committed state file per partition."""
+def lake_state_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
+    """Latest committed state file per partition.
+
+    ``as_of_epoch`` reads the lake as of the END of that epoch (time travel
+    over the copy-on-write history; only works for epochs not yet vacuumed).
+    """
     out = []
     if not os.path.isdir(lake_dir):
         return out
-    last_epoch = 1 << 60
+    before = (1 << 60) if as_of_epoch is None else as_of_epoch + 1
     for name in sorted(os.listdir(lake_dir)):
         if not name.startswith("part="):
             continue
         part = int(name.split("=")[1])
-        ref = cl.latest_state(lake_dir, part, last_epoch)
+        ref = cl.latest_state(lake_dir, part, before)
         if ref is not None:
             out.append(ref[0])
     return out
+
+
+def lineage(lake_dir: str) -> pa.Table:
+    """All commit records as one table — the per-partition lineage log the
+    north rule requires (input offsets, counts, applied LSN, epoch)."""
+    import glob as _glob
+    import json as _json
+
+    rows = []
+    for p in sorted(_glob.glob(os.path.join(lake_dir, "_commits", "epoch=*", "part=*.json"))):
+        with open(p) as f:
+            r = _json.loads(f.read())
+        rows.append(
+            {
+                "epoch": int(r["epoch"]),
+                "part": int(r["part"]),
+                "applied_lsn": int(r["applied_lsn"]),
+                "n_events": int(r.get("n_events", 0)),
+                "n_errors": int(r.get("n_errors", 0)),
+                "n_rows": int(r.get("n_rows", -1)),
+                "noop": bool(r.get("noop", False)),
+                "segments": ",".join(r.get("input", {}).get("segments", [])),
+            }
+        )
+    if not rows:
+        return pa.table(
+            {k: pa.array([], t) for k, t in [
+                ("epoch", pa.int64()), ("part", pa.int64()), ("applied_lsn", pa.int64()),
+                ("n_events", pa.int64()), ("n_errors", pa.int64()), ("n_rows", pa.int64()),
+                ("noop", pa.bool_()), ("segments", pa.string()),
+            ]}
+        )
+    return pa.Table.from_pylist(rows)
 
 
 def read_lake(
@@ -375,9 +425,13 @@ def read_lake(
     return ray.data.read_parquet(files, **kwargs)
 
 
-def lake_final_table(lake_dir: str, columns: list[str] | None = None) -> pa.Table:
+def lake_final_table(
+    lake_dir: str,
+    columns: list[str] | None = None,
+    as_of_epoch: int | None = None,
+) -> pa.Table:
     """Full lake state as one canonically sorted Arrow table (tests/oracle)."""
-    files = lake_state_files(lake_dir)
+    files = lake_state_files(lake_dir, as_of_epoch=as_of_epoch)
     if not files:
         return STATE_SCHEMA.empty_table()
     schemas = [pq.read_schema(f) for f in files]

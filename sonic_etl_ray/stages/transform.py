@@ -134,7 +134,7 @@ def reduce_last_per_key(batch: pa.Table) -> pa.Table:
     partition. Fully vectorized: stable sort by lsn, then group-max of the
     positional index.
     """
-    if batch.num_rows <= 1:
+    if batch.num_rows == 0:
         return batch
     if ERROR_COLUMN in batch.column_names:
         # error rows are diverted, not applied — they must never win (or
@@ -145,20 +145,38 @@ def reduce_last_per_key(batch: pa.Table) -> pa.Table:
             valid = batch.filter(pc.invert(err_mask))
             if valid.num_rows == 0:
                 return errors
-            return pa.concat_tables([_reduce_valid(batch=valid), errors])
+            return pa.concat_tables(
+                [_reduce_valid(batch=valid), errors], promote_options="default"
+            )  # errors gain a null __w → counted as 1 delivery each downstream
         # all-null error column → plain reduction below
     return _reduce_valid(batch)
 
 
+W_COLUMN = "__w"  # raw-delivery weight: how many input events a row stands for
+
+
 def _reduce_valid(batch: pa.Table) -> pa.Table:
+    if W_COLUMN not in batch.column_names:
+        batch = batch.append_column(
+            W_COLUMN, pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
     if batch.num_rows <= 1:
         return batch
     order = pc.sort_indices(batch, sort_keys=[("lsn", "ascending")])
     sorted_tbl = batch.take(order)
     keys = key_strings(sorted_tbl)
     idx = pa.table(
-        {"k": keys, "i": pa.array(np.arange(sorted_tbl.num_rows, dtype=np.int64))}
+        {
+            "k": keys,
+            "i": pa.array(np.arange(sorted_tbl.num_rows, dtype=np.int64)),
+            "w": sorted_tbl.column(W_COLUMN),
+        }
     )
-    winners = idx.group_by("k").aggregate([("i", "max")]).column("i_max")
-    winners = winners.take(pc.sort_indices(winners))  # keep ascending-lsn order
-    return sorted_tbl.take(winners)
+    agg = idx.group_by("k").aggregate([("i", "max"), ("w", "sum")])
+    order2 = pc.sort_indices(agg.column("i_max"))  # keep ascending-lsn order
+    winners = agg.column("i_max").take(order2)
+    weights = pc.cast(agg.column("w_sum").take(order2), pa.int64())
+    out = sorted_tbl.take(winners)
+    # winner carries the collapsed group's total raw-delivery count (exact
+    # lineage event accounting survives the combiner)
+    return out.set_column(out.column_names.index(W_COLUMN), W_COLUMN, weights)
