@@ -66,6 +66,13 @@ def _q_join(sf_dir: str):
     return _r(out, ["total_price"])
 
 
+def _q_native_join(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import native_join_revenue_by_segment
+
+    out = native_join_revenue_by_segment(sf_dir)
+    return _r(out, ["total_price"])
+
+
 def _q_top_orders(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import top_orders_by_revenue
 
@@ -150,6 +157,12 @@ def _q_minhash(sf_dir: str):
     return _r(minhash_lsh_dedup(sf_dir, threshold=0.5), ["jaccard"])
 
 
+def _q_neardup_clusters(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import near_dup_clusters
+
+    return near_dup_clusters(sf_dir, threshold=0.5)
+
+
 def _q_simhash(sf_dir: str):
     from sonic_etl_ray.functions.dedup import simhash_fingerprints
 
@@ -222,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": _q_q1,
         "q6_filter_revenue": _q_q6,
         "join_orders_customers": _q_join,
+        "native_join_revenue_by_segment": _q_native_join,
         "top_orders_by_revenue": _q_top_orders,
         "distinct_mktsegments": _q_distinct,
         "supplier_balance_stats": _q_supplier_stats,
@@ -236,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_dedup": _q_minhash,
+        "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_pairs,
         "embedding_topk_cosine": _q_embed_topk,
@@ -285,6 +300,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY c_mktsegment, n_name
         ORDER BY c_mktsegment, n_name"""
+
+    sql["native_join_revenue_by_segment"] = f"""
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), {_ROUND}) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
     sql["top_orders_by_revenue"] = f"""
         SELECT l_orderkey,

@@ -193,6 +193,35 @@ def minhash_lsh_dedup(
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def near_dup_clusters(sf_dir: str, threshold: float = 0.8, **lsh_kwargs) -> pd.DataFrame:
+    """Near-duplicate clusters: LSH candidate pairs → connected components.
+
+    The verified pair set is tiny relative to the corpus (it IS the dup
+    population), so union-find runs on the driver — the guide's sanctioned
+    small-candidate-set path; at larger dup rates switch to iterated
+    min-label propagation via groupby. Returns one row per document that
+    belongs to a cluster: (doc_id, cluster_id=min doc in component,
+    is_representative).
+    """
+    pairs = minhash_lsh_dedup(sf_dir, threshold=threshold, **lsh_kwargs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((int(d), find(int(d))) for d in parent)
+    out = pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+    out["is_representative"] = out["doc_id"] == out["cluster_id"]
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------------------------------- SimHash
 
 

@@ -113,6 +113,23 @@ def join_orders_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["c_mktsegment", "n_name"]).reset_index(drop=True)
 
 
+def native_join_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Hash-partitioned distributed join via the native ``Dataset.join``
+    (both-sides-large path — the alternative to the broadcast join in
+    :func:`join_orders_customers`; at scale, num_partitions is the explicit
+    shuffle fan-out on the join key)."""
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = o.join(c, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    out = (
+        j.groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="total_price"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def top_orders_by_revenue(sf_dir: str) -> pd.DataFrame:
     """Join + groupby + top-k (sort/limit): top 10 orders by lineitem revenue."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])

@@ -89,6 +89,20 @@ def test_minhash_lsh_vs_bruteforce():
     assert want_high <= got_pairs
 
 
+def test_near_dup_clusters_transitive():
+    from sonic_etl_ray.functions.dedup import minhash_lsh_dedup, near_dup_clusters
+
+    pairs = minhash_lsh_dedup(SF, threshold=0.5)
+    clusters = near_dup_clusters(SF, threshold=0.5)
+    # every paired doc is clustered, representatives are component minima,
+    # and both endpoints of every pair share a cluster (transitivity)
+    lut = dict(zip(clusters.doc_id, clusters.cluster_id))
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert lut[a] == lut[b]
+    for doc, cid in lut.items():
+        assert cid <= doc and lut[cid] == cid
+
+
 def test_simhash_identical_and_near_docs():
     from sonic_etl_ray.functions.dedup import SimHasher
 
