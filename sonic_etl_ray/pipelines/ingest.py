@@ -67,24 +67,42 @@ COMMIT_RECORD_SCHEMA = pa.schema(
 )
 
 
-def _project_upserts(group: pa.Table) -> pa.Table:
-    """Winning upsert rows → state-schema rows (plus evolved extras)."""
-    ups = group.filter(pc.invert(pc.equal(group.column("op"), "delete")))
+def _project_state(winners: pa.Table) -> pa.Table:
+    """Per-key winning events → state rows. Deletes become TOMBSTONES
+    (``deleted=True``, payload nulls): they must stay in partition state so a
+    replayed/backfilled update with a lower LSN can never resurrect the key."""
     cols: dict[str, pa.ChunkedArray | pa.Array] = {}
     for f in STATE_SCHEMA:
         if f.name == "applied_lsn":
-            cols[f.name] = ups.column("lsn")
+            cols[f.name] = winners.column("lsn")
+        elif f.name == "deleted":
+            cols[f.name] = pc.equal(winners.column("op"), "delete")
         else:
-            cols[f.name] = ups.column(f.name)
+            cols[f.name] = winners.column(f.name)
     extra = [
         c
-        for c in ups.column_names
+        for c in winners.column_names
         if c not in STATE_SCHEMA.names
         and c not in ENVELOPE_COLUMNS
         and c not in (PART_COLUMN, W_COLUMN)
     ]
     for c in extra:
-        cols[c] = ups.column(c)
+        cols[c] = winners.column(c)
+    return pa.table(cols)
+
+
+def _state_as_events(prior: pa.Table) -> pa.Table:
+    """Prior state rows → pseudo-events so the merge is ONE last-writer-wins
+    reduction over (prior ∪ incoming): op from the tombstone flag, lsn from
+    applied_lsn. This gives per-KEY LSN comparison, which (unlike a partition
+    watermark gate) stays correct under out-of-order backfill epochs."""
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {
+        "lsn": prior.column("applied_lsn"),
+        "op": pc.if_else(prior.column("deleted"), "delete", "insert"),
+    }
+    for c in prior.column_names:
+        if c not in ("applied_lsn", "deleted"):
+            cols[c] = prior.column(c)
     return pa.table(cols)
 
 
@@ -145,7 +163,7 @@ class MergeApplier:
                 os.rename(etmp, epath)
             group = group.filter(pc.invert(err_mask)).drop_columns([ERROR_COLUMN])
 
-        watermark = cl.partition_watermark(lake, part, epoch)
+        watermark = cl.partition_watermark(lake, part)
         if W_COLUMN in group.column_names:
             # exact raw-delivery count: combiner-collapsed rows carry weights
             n_valid_events = pc.sum(
@@ -155,10 +173,15 @@ class MergeApplier:
             n_valid_events = group.num_rows
         n_events = int(n_valid_events) + n_errors
         max_lsn = pc.max(group.column("lsn")).as_py()
-        fresh = group.filter(pc.greater(group.column("lsn"), watermark))
-        fresh = reduce_last_per_key(fresh)  # re-reduce across batch partials
+        fresh = reduce_last_per_key(group)  # re-reduce across batch partials
+        if PART_COLUMN in fresh.column_names:
+            fresh = fresh.drop_columns([PART_COLUMN])
+        if W_COLUMN in fresh.column_names:
+            fresh = fresh.drop_columns([W_COLUMN])
 
-        prior_ref = cl.latest_state(lake, part, epoch)
+        # rebase onto the NEWEST committed state whatever its epoch number —
+        # required for out-of-order backfill epochs (LWW is order-independent)
+        prior_ref = cl.latest_state(lake, part)
         record: dict[str, Any] = {
             "epoch": epoch,
             "part": part,
@@ -184,21 +207,24 @@ class MergeApplier:
         else:
             prior = STATE_SCHEMA.empty_table()
 
-        ups = _project_upserts(fresh)
-        target = unify_schemas(prior.schema, ups.schema)
-        prior = conform_table(prior, target)
-        ups = conform_table(ups, target)
-
-        # remove every touched key from prior (upserts replace, deletes drop)
-        touched = key_strings(fresh)
-        if prior.num_rows:
-            keep = pc.invert(pc.is_in(key_strings(prior), value_set=touched))
-            prior = prior.filter(keep)
-        state = pa.concat_tables([prior, ups], promote_options="default")
+        # ONE per-key LWW reduction over (prior-as-events ∪ incoming): correct
+        # under duplicate delivery AND out-of-order backfill epochs, because
+        # comparison is per key by LSN (tombstones carry deletes' LSNs)
+        prior_ev = _state_as_events(prior)
+        target = unify_schemas(prior_ev.schema, fresh.schema)
+        all_ev = pa.concat_tables(
+            [conform_table(prior_ev, target), conform_table(fresh, target)],
+            promote_options="default",
+        )
+        winners = reduce_last_per_key(all_ev)
+        if W_COLUMN in winners.column_names:
+            winners = winners.drop_columns([W_COLUMN])
+        state = _project_state(winners)
         # canonical order: scheduling nondeterminism must not leak into files
         state = state.take(pc.sort_indices(state, sort_keys=STATE_SORT))
 
-        out = cl.state_path(lake, part, epoch)
+        seq = (prior_ref[2] + 1) if prior_ref is not None else 0
+        out = cl.state_path(lake, part, epoch, seq)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
         pq.write_table(state, tmp, compression="snappy")
@@ -330,12 +356,41 @@ def run_ingest(
     range-chunk analog) are grouped into epochs; epochs with a manifest are
     skipped entirely — this is the resume fast-forward
     (``main.rs:188-241`` ``pick_up_from_previous_range``).
+
+    Epoch identity is STABLE across runs with different file subsets: for
+    ``segment_NNNNNN`` names the epoch is ``NNNNNN // segments_per_epoch``
+    (a backfill run that replays only missing segments maps them to the same
+    epochs a full run would). Unparseable names fall back to positional
+    grouping; any resulting overlap is harmless — the merge's watermark and
+    commit gates make over-replay a no-op.
     """
+    import re
+
     files = sorted(segment_files)
-    epochs = [files[i : i + segments_per_epoch] for i in range(0, len(files), segments_per_epoch)]
+    groups: dict[int, list[str]] = {}
+    for idx, f in enumerate(files):
+        m = re.match(r"segment_(\d+)", os.path.basename(f))
+        e = (int(m.group(1)) if m else idx) // segments_per_epoch
+        groups.setdefault(e, []).append(f)
+    epochs = sorted(groups.items())
     applied, skipped = 0, 0
-    for epoch, efiles in enumerate(epochs):
+    import logging
+
+    for epoch, efiles in epochs:
         if cl.epoch_manifest_exists(lake_dir, epoch):
+            manifest = cl.read_manifest(lake_dir, epoch) or {}
+            seen = set(manifest.get("input", {}).get("segments", []))
+            planned = {os.path.basename(f) for f in efiles}
+            if seen and not planned <= seen:
+                # a previously-partial epoch gained segments after commit —
+                # those rows would be silently lost; surface it loudly
+                logging.getLogger(__name__).warning(
+                    "epoch %d already committed with segments %s but plan has %s; "
+                    "new segments will NOT be applied — replay them under a fresh "
+                    "epoch (plan_backfill) or choose epoch boundaries that only "
+                    "close when full",
+                    epoch, sorted(seen), sorted(planned),
+                )
             skipped += 1
             continue
         ds = ray.data.read_parquet(efiles, **(read_kwargs or {}))
@@ -362,12 +417,11 @@ def lake_state_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]
     out = []
     if not os.path.isdir(lake_dir):
         return out
-    before = (1 << 60) if as_of_epoch is None else as_of_epoch + 1
     for name in sorted(os.listdir(lake_dir)):
         if not name.startswith("part="):
             continue
         part = int(name.split("=")[1])
-        ref = cl.latest_state(lake_dir, part, before)
+        ref = cl.latest_state(lake_dir, part, max_epoch=as_of_epoch)
         if ref is not None:
             out.append(ref[0])
     return out
@@ -418,11 +472,18 @@ def read_lake(
     only the needed columns/row groups leave storage."""
     files = lake_state_files(lake_dir)
     if not files:
-        return ray.data.from_arrow(STATE_SCHEMA.empty_table())
-    kwargs: dict[str, Any] = {"columns": columns}
+        return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
+    # tombstones (deleted keys) are physical rows but not part of the logical
+    # table: push the filter into the parquet scan
+    tombstone_filter = pc.field("deleted") == False  # noqa: E712 (pyarrow expr)
     if filter is not None:
-        kwargs["filter"] = filter
-    return ray.data.read_parquet(files, **kwargs)
+        tombstone_filter = tombstone_filter & filter
+    kwargs: dict[str, Any] = {"filter": tombstone_filter}
+    if columns is not None:
+        kwargs["columns"] = columns
+        return ray.data.read_parquet(files, **kwargs)
+    ds = ray.data.read_parquet(files, **kwargs)
+    return ds.drop_columns(["deleted"])
 
 
 def lake_final_table(
@@ -430,10 +491,11 @@ def lake_final_table(
     columns: list[str] | None = None,
     as_of_epoch: int | None = None,
 ) -> pa.Table:
-    """Full lake state as one canonically sorted Arrow table (tests/oracle)."""
+    """Full lake state as one canonically sorted Arrow table (tests/oracle).
+    Tombstones are physical rows; the logical table excludes them."""
     files = lake_state_files(lake_dir, as_of_epoch=as_of_epoch)
     if not files:
-        return STATE_SCHEMA.empty_table()
+        return _drop_tombstones(STATE_SCHEMA.empty_table())
     schemas = [pq.read_schema(f) for f in files]
     target = schemas[0]
     for s in schemas[1:]:
@@ -442,7 +504,17 @@ def lake_final_table(
         [conform_table(pq.read_table(f), target) for f in files],
         promote_options="default",
     )
+    tbl = _drop_tombstones(tbl)
+    if columns is not None:
+        tbl = tbl.select(columns)
     return tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
+
+
+def _drop_tombstones(tbl: pa.Table) -> pa.Table:
+    if "deleted" in tbl.column_names:
+        tbl = tbl.filter(pc.invert(pc.fill_null(tbl.column("deleted"), False)))
+        tbl = tbl.drop_columns(["deleted"])
+    return tbl
 
 
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
@@ -463,16 +535,12 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
     for name in sorted(os.listdir(lake_dir)):
         if not name.startswith("part="):
             continue
-        pdir = os.path.join(lake_dir, name)
-        epochs = sorted(
-            int(f[len("state-epoch=") : -len(".parquet")])
-            for f in os.listdir(pdir)
-            if f.startswith("state-epoch=") and f.endswith(".parquet")
-        )
-        for e in epochs[:-keep_epochs]:
-            os.remove(os.path.join(pdir, f"state-epoch={e:08d}.parquet"))
+        part = int(name.split("=")[1])
+        states = cl.list_states(lake_dir, part)  # seq-ascending, committed only
+        for _, _, path in states[:-keep_epochs]:
+            os.remove(path)
             removed += 1
-        kept += min(len(epochs), keep_epochs)
+        kept += min(len(states), keep_epochs)
     return {"removed": removed, "kept": kept}
 
 

@@ -60,6 +60,48 @@ def gaps_to_ranges(missing: list[int]) -> list[tuple[int, int]]:
     return out
 
 
+def plan_backfill(
+    lake_dir: str, segment_files: list[str], lsn_column: str = "lsn"
+) -> dict[str, Any]:
+    """The full backfill-DAG loop (``daily_backfill_mainnet.py:47-159``):
+    detect LSNs present in the source segments but absent from the lake's
+    applied state, compress them into contiguous ranges, and return the
+    minimal set of segments to replay (replay is safe: the merge is
+    idempotent and watermark-gated, so re-ingesting a whole segment only
+    applies what was missed).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state import commitlog as cl
+
+    applied_segments: set[str] = set()
+    for e in cl.committed_epochs(lake_dir):
+        m = cl.read_manifest(lake_dir, e) or {}
+        applied_segments.update(m.get("input", {}).get("segments", []))
+
+    replay: list[str] = []
+    missing: list[int] = []
+    for f in segment_files:
+        if os.path.basename(f) in applied_segments:
+            continue
+        replay.append(f)
+        # LSN span from footer metadata only (no data read) for the report
+        md = pq.read_metadata(f)
+        try:
+            lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            missing.extend(range(lo, hi + 1))
+        except AttributeError:  # no stats written
+            pass
+    return {
+        "missing_lsns": len(missing),
+        "ranges": gaps_to_ranges(sorted(set(missing))),
+        "replay_segments": replay,
+    }
+
+
 def row_count_invariants(state: ray.data.Dataset) -> dict[str, Any]:
     """Per-repo file counts + byte totals from the lake state (J3 analog)."""
     from ray.data.aggregate import Count, Sum
@@ -85,7 +127,7 @@ def freshness(lake_dir: str) -> dict[str, Any]:
         if not name.startswith("part="):
             continue
         part = int(name.split("=")[1])
-        ref = cl.latest_state(lake_dir, part, 1 << 60)
+        ref = cl.latest_state(lake_dir, part)
         if ref:
             rec = cl.read_commit(lake_dir, ref[1], part) or {}
             out[part] = {
@@ -104,7 +146,7 @@ def verify_lake_counts(lake_dir: str) -> bool:
     from ..state import commitlog as cl
 
     for part, info in freshness(lake_dir).items():
-        ref = cl.latest_state(lake_dir, part, 1 << 60)
+        ref = cl.latest_state(lake_dir, part)
         actual = pq.read_metadata(ref[0]).num_rows
         if actual != info["n_rows"]:
             return False

@@ -45,6 +45,10 @@ STATE_SCHEMA = pa.schema(
         pa.field("content_sha256", pa.string()),
         pa.field("size_bytes", pa.int64()),
         pa.field("applied_lsn", pa.int64(), nullable=False),
+        # tombstone marker: deletes stay in partition state (filtered out of
+        # reads) so a replayed or backfilled update with a lower LSN can
+        # never resurrect a deleted key — per-key LWW needs the delete's LSN
+        pa.field("deleted", pa.bool_(), nullable=False),
     ]
 )
 

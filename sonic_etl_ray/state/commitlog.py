@@ -59,10 +59,32 @@ def manifest_path(lake_dir: str, epoch: int) -> str:
     return os.path.join(lake_dir, "_commits", EPOCH_FMT.format(epoch) + ".MANIFEST.json")
 
 
-def state_path(lake_dir: str, part: int, epoch: int) -> str:
+def state_path(lake_dir: str, part: int, epoch: int, seq: int) -> str:
+    """State files are keyed by a per-partition monotone commit SEQUENCE, not
+    by epoch: the tombstone-LWW merge is order-independent, so out-of-order
+    backfill epochs rebase onto the newest state and must supersede it — the
+    newest WRITE wins reads, whatever its epoch number."""
     return os.path.join(
-        lake_dir, PART_FMT.format(part), f"state-{EPOCH_FMT.format(epoch)}.parquet"
+        lake_dir,
+        PART_FMT.format(part),
+        f"state-seq={seq:08d}-{EPOCH_FMT.format(epoch)}.parquet",
     )
+
+
+def list_states(lake_dir: str, part: int) -> list[tuple[int, int, str]]:
+    """Committed (seq, epoch, path) state files for a partition, seq-ascending."""
+    pdir = os.path.join(lake_dir, PART_FMT.format(part))
+    if not os.path.isdir(pdir):
+        return []
+    out = []
+    for name in os.listdir(pdir):
+        if name.startswith("state-seq=") and name.endswith(".parquet"):
+            body = name[len("state-") : -len(".parquet")]
+            seq_part, epoch_part = body.split("-")
+            seq, epoch = int(seq_part.split("=")[1]), int(epoch_part.split("=")[1])
+            if is_committed(lake_dir, epoch, part):
+                out.append((seq, epoch, os.path.join(pdir, name)))
+    return sorted(out)
 
 
 def is_committed(lake_dir: str, epoch: int, part: int) -> bool:
@@ -118,32 +140,31 @@ def committed_epochs(lake_dir: str) -> list[int]:
     return sorted(out)
 
 
-def latest_state(lake_dir: str, part: int, before_epoch: int) -> tuple[str, int] | None:
-    """Newest committed state file for ``part`` with epoch < ``before_epoch``.
+def latest_state(
+    lake_dir: str, part: int, max_epoch: int | None = None
+) -> tuple[str, int, int] | None:
+    """Newest committed (path, epoch, seq) state for ``part`` by SEQ order,
+    optionally restricted to commits with epoch ≤ ``max_epoch`` (time
+    travel; exact for in-order histories — after an out-of-order backfill,
+    a state written later may contain later-epoch data, see state_path).
 
-    Only files referenced by a commit record count — a crashed applier may
-    leave a renamed state file without a commit record? No: the state file is
-    renamed *before* the commit record, so an orphaned state file with no
-    commit is possible and must be ignored (it will be rewritten
-    deterministically on retry).
+    Only files referenced by a commit record count: the state file is
+    renamed *before* the commit record, so a crashed applier can leave an
+    orphaned state file with no commit — it is ignored and rewritten
+    deterministically on retry.
     """
-    pdir = os.path.join(lake_dir, PART_FMT.format(part))
-    if not os.path.isdir(pdir):
+    states = list_states(lake_dir, part)
+    if max_epoch is not None:
+        states = [s for s in states if s[1] <= max_epoch]
+    if not states:
         return None
-    best = -1
-    for name in os.listdir(pdir):
-        if name.startswith("state-epoch=") and name.endswith(".parquet"):
-            e = int(name[len("state-epoch=") : -len(".parquet")])
-            if e < before_epoch and e > best and is_committed(lake_dir, e, part):
-                best = e
-    if best < 0:
-        return None
-    return state_path(lake_dir, part, best), best
+    seq, epoch, path = states[-1]
+    return path, epoch, seq
 
 
-def partition_watermark(lake_dir: str, part: int, before_epoch: int) -> int:
+def partition_watermark(lake_dir: str, part: int) -> int:
     """Applied-LSN high watermark for a partition (−1 if empty)."""
-    latest = latest_state(lake_dir, part, before_epoch)
+    latest = latest_state(lake_dir, part)
     if latest is None:
         return -1
     rec = read_commit(lake_dir, latest[1], part)

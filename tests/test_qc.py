@@ -30,6 +30,33 @@ def test_gaps_to_ranges():
     assert gaps_to_ranges([]) == []
 
 
+def test_backfill_plan_and_repair(tmp_path):
+    """Ingest with two segments withheld; the backfill planner selects
+    exactly those, and replaying them repairs the lake to the full oracle
+    state (idempotent merge makes over-replay safe too)."""
+    from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
+    from sonic_etl_ray.pipelines.ingest import lake_final_table
+    from sonic_etl_ray.pipelines.qc import plan_backfill
+
+    spec = StreamSpec(n_events=3000, n_repos=6, seed=29, segment_size=500)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+    lake = scratch_lake_dir("backfill")
+    # lose the middle two segments (one whole epoch of 2)
+    delivered = files[:2] + files[4:]
+    run_ingest(files[:2], lake, num_partitions=2, segments_per_epoch=2)
+    run_ingest(files[:2] + files[4:6], lake, num_partitions=2, segments_per_epoch=2)
+
+    plan = plan_backfill(lake, files)
+    assert sorted(plan["replay_segments"]) == sorted(files[2:4] + files[6:])
+    assert plan["ranges"][0] == (1000, 1999)
+
+    # repair: replay everything missing THEN the rest, in LSN order per key
+    # is preserved because the merge is watermark-gated per partition
+    run_ingest(files, lake, num_partitions=2, segments_per_epoch=2)
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+    assert plan_backfill(lake, files)["replay_segments"] == []
+
+
 def test_lake_qc_roundtrip(tmp_path):
     spec = StreamSpec(n_events=3000, n_repos=8, seed=17, segment_size=500)
     files = generate_stream(str(tmp_path / "seg"), spec)
