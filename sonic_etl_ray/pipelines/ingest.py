@@ -207,10 +207,18 @@ class MergeApplier:
         else:
             prior = STATE_SCHEMA.empty_table()
 
-        # ONE per-key LWW reduction over (prior-as-events ∪ incoming): correct
-        # under duplicate delivery AND out-of-order backfill epochs, because
-        # comparison is per key by LSN (tombstones carry deletes' LSNs)
-        prior_ev = _state_as_events(prior)
+        # per-key LWW reduction over (prior ∪ incoming): correct under
+        # duplicate delivery AND out-of-order backfill epochs, because
+        # comparison is per key by LSN (tombstones carry deletes' LSNs).
+        # Only TOUCHED prior keys enter the reduction — untouched state rows
+        # bypass the group-by machinery entirely
+        if prior.num_rows:
+            touched = pc.is_in(key_strings(prior), value_set=key_strings(fresh))
+            prior_touched = prior.filter(touched)
+            prior_rest = prior.filter(pc.invert(touched))
+        else:
+            prior_touched, prior_rest = prior, prior
+        prior_ev = _state_as_events(prior_touched)
         target = unify_schemas(prior_ev.schema, fresh.schema)
         all_ev = pa.concat_tables(
             [conform_table(prior_ev, target), conform_table(fresh, target)],
@@ -219,7 +227,12 @@ class MergeApplier:
         winners = reduce_last_per_key(all_ev)
         if W_COLUMN in winners.column_names:
             winners = winners.drop_columns([W_COLUMN])
-        state = _project_state(winners)
+        merged = _project_state(winners)
+        state_schema = unify_schemas(prior_rest.schema, merged.schema)
+        state = pa.concat_tables(
+            [conform_table(prior_rest, state_schema), conform_table(merged, state_schema)],
+            promote_options="default",
+        )
         # canonical order: scheduling nondeterminism must not leak into files
         state = state.take(pc.sort_indices(state, sort_keys=STATE_SORT))
 
