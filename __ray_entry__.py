@@ -193,6 +193,18 @@ def _q_embed_lsh(sf_dir: str):
     return _r(lsh_topk(sf_dir, k=10), ["cosine"])
 
 
+def _q_embed_ivf(sf_dir: str):
+    from sonic_etl_ray.functions.similarity import ivf_topk
+
+    return _r(ivf_topk(sf_dir, k=10), ["cosine"])
+
+
+def _q_prep_corpus(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import prep_corpus
+
+    return prep_corpus(sf_dir)
+
+
 def _q_cdc_upserts(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_upserts
 
@@ -256,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_cosine": _q_embed_topk,
         "embedding_neardup_pairs": _q_embed_neardup,
         "embedding_lsh_topk": _q_embed_lsh,
+        "embedding_ivf_topk": _q_embed_ivf,
+        # composed end-to-end training-data prep (filter → dedup → tokenize)
+        "prep_corpus": _q_prep_corpus,
     }
 
 
@@ -412,6 +427,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35
         ORDER BY vec_a, vec_b"""
+
+    sql["prep_corpus"] = r"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS stop_ratio
+          FROM documents
+        ),
+        kept AS (
+          SELECT doc_id, text, n_tokens,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                   AS n_bpe_tokens
+          FROM scored
+          WHERE stop_ratio <= 0.2 AND n_tokens BETWEEN 10 AND 5000
+        )
+        SELECT doc_id, sha256(text) AS text_sha256, n_tokens, n_bpe_tokens
+        FROM kept
+        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+        ORDER BY doc_id"""
 
     # lang_id, doc_fingerprints, minhash_lsh_dedup, simhash_fingerprints,
     # ngram_jaccard_pairs, embedding_lsh_topk: algorithmic / approximate ops

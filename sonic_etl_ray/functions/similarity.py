@@ -109,6 +109,68 @@ def lsh_topk(
     return top.to_pandas().reset_index(drop=True)
 
 
+class IVFIndexer:
+    """IVF-style coarse quantizer: seeded k-means centroids fitted on a
+    sample (per-actor state), per-batch nearest-centroid assignment.
+
+    The scale path for ANN beyond LSH: centroids are the partition key —
+    at 100 TB the lake is laid out by cluster id and a query scans only
+    ``n_probe`` clusters' partitions (partition-pruned read), here modeled
+    by the distributed filter.
+    """
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
+        out = b.copy()
+        out["cluster"] = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
+        return out
+
+
+def fit_centroids(sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd iterations on a driver-side sample (the train step —
+    small by design; assignment is the distributed part)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    m = _normalize(np.stack(t.column("embedding").to_pylist()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ _normalize(cents).T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return _normalize(cents)
+
+
+def ivf_topk(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, n_clusters: int = 8, n_probe: int = 2
+) -> pd.DataFrame:
+    """IVF ANN: assign vectors to coarse clusters (actor pool), scan only the
+    ``n_probe`` clusters nearest the query, exact-rerank inside them."""
+    q = _query_vector(sf_dir, query_vec_id)
+    cents = fit_centroids(sf_dir, k=n_clusters)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+    qref = ray.put(q)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        IVFIndexer, fn_constructor_args=(cents,), batch_format="pandas", concurrency=(1, 4)
+    )
+    candidates = assigned.map_batches(
+        lambda b: b[b["cluster"].isin(probe)].drop(columns=["cluster"]),
+        batch_format="pandas",
+    )
+    scored = candidates.map_batches(
+        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
+    )
+    top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return top.to_pandas().reset_index(drop=True)
+
+
 def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) within same-label
     blocks: groupby(label) → per-group normalized gram matrix. Blocking

@@ -1,0 +1,66 @@
+"""Composed training-data prep pipeline: quality filter → dedup → tokenize.
+
+The end-to-end shape a 100 TB corpus-prep run takes: one streaming Dataset
+pipeline chaining the engine's text operators — actor-pool quality scoring
+(ST1 pattern), vectorized filtering, exact dedup (hash groupby), token
+accounting — with every stage's semantics mirrored in the DuckDB oracle so
+the whole composition is value-checked, not just its pieces.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from ..functions.dedup import exact_dedup
+from ..functions.text import BPE_PATTERN, STOPWORDS_EN, TOKEN_RE
+
+
+class _PrepScorer:
+    """Per-actor compiled state; per-batch vectorized features + filter."""
+
+    def __init__(self, max_stop_ratio: float, min_tokens: int, max_tokens: int):
+        self.max_stop_ratio = max_stop_ratio
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.stop = set(STOPWORDS_EN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(TOKEN_RE)
+        n_tokens = toks.map(len).astype("int64")
+        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
+        stop_ratio = n_stop / n_tokens.clip(lower=1)
+        keep = (
+            (stop_ratio <= self.max_stop_ratio)
+            & (n_tokens >= self.min_tokens)
+            & (n_tokens <= self.max_tokens)
+        )
+        out = batch.loc[keep, ["doc_id", "text"]].copy()
+        out["n_tokens"] = n_tokens[keep]
+        out["n_bpe_tokens"] = (
+            out["text"].str.count(BPE_PATTERN).fillna(0).astype("int64")
+        )
+        return out
+
+
+def prep_corpus(
+    sf_dir: str,
+    max_stop_ratio: float = 0.2,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+) -> pd.DataFrame:
+    """Quality-filter, exact-dedup and token-account the documents table.
+
+    Returns surviving (doc_id, text_sha256, n_tokens, n_bpe_tokens) sorted
+    by doc_id — the manifest a downstream tokenizer run would consume.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    filtered = ds.map_batches(
+        _PrepScorer,
+        fn_constructor_args=(max_stop_ratio, min_tokens, max_tokens),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    deduped = exact_dedup(filtered)  # hash groupby, deterministic min-id winner
+    out = deduped.to_pandas()[["doc_id", "text_sha256", "n_tokens", "n_bpe_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -157,6 +157,27 @@ def test_lsh_topk_subset_of_exact_scores():
         assert abs(lut[vec_id] - cos) < 1e-9  # scores agree with exact scorer
 
 
+def test_ivf_topk_scores_and_recall():
+    from sonic_etl_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    approx = ivf_topk(SF, k=10, n_clusters=8, n_probe=4)
+    exact = brute_force_topk(SF, k=500)
+    lut = dict(zip(exact.vec_id, exact.cosine))
+    for vec_id, cos in zip(approx.vec_id, approx.cosine):
+        assert abs(lut[vec_id] - cos) < 1e-9  # scores agree with exact scorer
+    # with half the clusters probed, the true top-1 should be recovered
+    assert exact.vec_id.iloc[0] in set(approx.vec_id)
+
+
+def test_prep_corpus_composition():
+    from sonic_etl_ray.pipelines.corpus import prep_corpus
+
+    out = prep_corpus(SF)
+    assert (out["n_tokens"] >= 10).all() and (out["n_tokens"] <= 5000).all()
+    assert out["text_sha256"].is_unique  # deduped
+    assert out["doc_id"].is_monotonic_increasing
+
+
 def test_multimodal_plumbing():
     import ray.data
 
