@@ -135,13 +135,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(res))
         elif args.cmd == "qc":
-            from .pipelines.qc import freshness, verify_lake_counts
+            from .pipelines.qc import freshness, skew_report, verify_lake_counts
 
             print(
                 json.dumps(
                     {
                         "freshness": freshness(args.lake),
                         "counts_ok": verify_lake_counts(args.lake),
+                        "skew": skew_report(args.lake),
                     }
                 )
             )

@@ -15,8 +15,10 @@ Dataflow per epoch (one Dataset execution, streaming with backpressure)::
       → map_batches(reduce_last_per_key)   # combiner: shrink the shuffle
       → map_batches(add_partition_column)  # stable hash(repo,path) % P
       → groupby(__part)                    # THE one all-to-all shuffle
-      → map_groups(MergeApplier, concurrency=N)   # stateful actor pool
-      → small table of per-partition commit records (lineage)
+      → map_groups(MergeApplier)           # merge appliers (tasks by default:
+      → commit records (lineage)           #  their state IS the durable commit
+                                           #  log; use_actor_pool=True for a
+                                           #  dedicated actor pool)
 
 Scale notes (100 TB / 256 nodes): the combiner bounds shuffle volume to at
 most one row per live key per epoch; partition count P is chosen so one

@@ -138,6 +138,31 @@ def freshness(lake_dir: str) -> dict[str, Any]:
     return out
 
 
+def skew_report(lake_dir: str) -> dict[str, Any]:
+    """Partition-balance report from the commit log: row counts per
+    partition, max/mean imbalance ratio, and the largest partitions.
+
+    The explicit-skew-handling evidence the north rule asks for: with
+    (repo, path) keying a 40%-hot repo should still yield imbalance ≈ 1;
+    a report far above 1 means a pathological key needs salting.
+    """
+    f = freshness(lake_dir)
+    if not f:
+        return {"partitions": 0, "imbalance": None}
+    rows = {p: int(v["n_rows"]) for p, v in f.items() if v.get("n_rows") is not None}
+    vals = list(rows.values())
+    mean = sum(vals) / len(vals)
+    top = sorted(rows.items(), key=lambda kv: -kv[1])[:5]
+    return {
+        "partitions": len(vals),
+        "total_rows": sum(vals),
+        "mean_rows": round(mean, 1),
+        "max_rows": max(vals),
+        "imbalance": round(max(vals) / mean, 3) if mean else None,
+        "top_partitions": top,
+    }
+
+
 def verify_lake_counts(lake_dir: str) -> bool:
     """Commit-log n_rows must equal actual state-file row counts (the
     count-column cross-check, A1–A4/J3 analog)."""

@@ -71,6 +71,12 @@ def test_hot_repo_skew(tmp_path):
     state_files = glob.glob(os.path.join(lake, "part=*", "state-*.parquet"))
     parts_used = {f.split("part=")[1].split("/")[0] for f in state_files}
     assert len(parts_used) == 8, "hot repo must not collapse into few partitions"
+
+    from sonic_etl_ray.pipelines.qc import skew_report
+
+    rep = skew_report(lake)
+    assert rep["partitions"] == 8
+    assert rep["imbalance"] < 1.5, f"hot repo skew leaked into partitions: {rep}"
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
 
 
