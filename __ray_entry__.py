@@ -107,6 +107,12 @@ def _q_asof(sf_dir: str):
     return _r(asof_join_last_signup(sf_dir), ["value"])
 
 
+def _q_multitable(sf_dir: str):
+    from sonic_etl_ray.pipelines.multitable import user_stats_from_fanout
+
+    return _r(user_stats_from_fanout(sf_dir), ["sum_value"])
+
+
 def _q_sessionize(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import sessionize_events
 
@@ -211,6 +217,12 @@ def _q_cdc_upserts(sf_dir: str):
     return cdc_apply_upserts(sf_dir)
 
 
+def _q_cdc_blocklist(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_blocklisted
+
+    return cdc_apply_blocklisted(sf_dir)
+
+
 def _q_cdc_dup(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_dup_replay
 
@@ -240,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the core): real pipeline vs SQL-window oracle
         "cdc_apply_upserts": _q_cdc_upserts,
         "cdc_apply_dup_replay": _q_cdc_dup,
+        "cdc_apply_blocklisted": _q_cdc_blocklist,
         "cdc_row_counts": _q_cdc_counts,
         "cdc_watermark_by_repo": _q_cdc_watermark,
         "cdc_gap_detect": _q_cdc_gaps,
@@ -254,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_user_daily": _q_window,
         "asof_join_last_signup": _q_asof,
         "sessionize_events": _q_sessionize,
+        "multitable_fanout_stats": _q_multitable,
         # training-data ops
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
@@ -362,6 +376,10 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases p
         ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
         ORDER BY p.event_id"""
+
+    sql["multitable_fanout_stats"] = f"""
+        SELECT user_id, ROUND(SUM(value), {_ROUND}) AS sum_value, COUNT(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id"""
 
     sql["token_counts"] = f"""
         SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens

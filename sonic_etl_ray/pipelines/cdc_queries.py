@@ -118,6 +118,42 @@ def cdc_watermark_by_repo(sf_dir: str) -> pd.DataFrame:
     )
 
 
+class BlocklistFilter:
+    """Broadcast anti-join: the blocklist is ``ray.put`` once and fetched per
+    actor in ``__init__`` (the guide's semi/anti-join pattern — never a
+    shuffle, never re-shipped per batch)."""
+
+    def __init__(self, blocklist_ref):
+        import ray
+
+        self.blocked = ray.get(blocklist_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(t["repo"], value_set=pa.array(sorted(self.blocked)))
+        )
+        return t.filter(mask)
+
+
+BLOCKED_REPOS = frozenset({"r0", "r3"})
+
+
+def cdc_apply_blocklisted(sf_dir: str) -> pa.Table:
+    """Engine replay with a broadcast repo blocklist filtered mid-stream."""
+    import ray
+
+    ref = ray.put(BLOCKED_REPOS)
+    ds = _events_as_cdc(sf_dir).map_batches(
+        BlocklistFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    lake = scratch_lake_dir("cdcbl")
+    apply_epoch(ds, lake, epoch=0, num_partitions=8)
+    return lake_final_table(lake).select(FINAL_COLUMNS)
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -161,6 +197,8 @@ final AS (
 
 ORACLES: dict[str, str] = {
     "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_apply_blocklisted": ORACLE_SRC
+    + "SELECT * FROM final WHERE repo NOT IN ('r0', 'r3') ORDER BY repo, path",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_row_counts": ORACLE_SRC
     + """
