@@ -58,7 +58,7 @@ def _bench_stream(tag: str) -> list[str]:
 
 
 def _run_headline() -> dict:
-    from sonic_etl_ray.pipelines.ingest import lake_final_table, run_ingest
+    from sonic_etl_ray.pipelines.ingest import run_ingest
 
     tag = _sf_tag()
     files = _bench_stream(tag)

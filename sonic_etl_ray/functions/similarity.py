@@ -9,7 +9,6 @@ pattern: at 100 TB only the matching buckets are scanned.
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd

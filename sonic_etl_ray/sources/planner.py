@@ -16,7 +16,7 @@ from __future__ import annotations
 import csv
 import glob
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
