@@ -229,6 +229,12 @@ def _q_cdc_dup(sf_dir: str):
     return cdc_apply_dup_replay(sf_dir)
 
 
+def _q_cdc_mv(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_incremental_repo_stats
+
+    return cdc_incremental_repo_stats(sf_dir)
+
+
 def _q_cdc_counts(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_row_counts
 
@@ -254,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_dup_replay": _q_cdc_dup,
         "cdc_apply_blocklisted": _q_cdc_blocklist,
         "cdc_row_counts": _q_cdc_counts,
+        "cdc_incremental_repo_stats": _q_cdc_mv,
         "cdc_watermark_by_repo": _q_cdc_watermark,
         "cdc_gap_detect": _q_cdc_gaps,
         # relational operator surface

@@ -95,6 +95,17 @@ def cdc_apply_dup_replay(sf_dir: str) -> pa.Table:
     return _run_engine(sf_dir, duplicate=True).select(FINAL_COLUMNS)
 
 
+def cdc_incremental_repo_stats(sf_dir: str) -> pd.DataFrame:
+    """The incrementally-maintained per-repo aggregate view: read from the
+    merge-time sidecars only (no lake rescan) — must equal the recomputed
+    aggregate, which is exactly what the SQL oracle computes."""
+    from ..pipelines.ingest import repo_stats_view
+
+    lake = scratch_lake_dir("cdcmv")
+    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    return repo_stats_view(lake).to_pandas()
+
+
 def cdc_row_counts(sf_dir: str) -> pd.DataFrame:
     """QC row-count invariant per repo (``row_counts.py:85-102`` analog)."""
     t = _run_engine(sf_dir)
@@ -201,6 +212,10 @@ ORACLES: dict[str, str] = {
     + "SELECT * FROM final WHERE repo NOT IN ('r0', 'r3') ORDER BY repo, path",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_row_counts": ORACLE_SRC
+    + """
+    SELECT repo, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes
+    FROM final GROUP BY repo ORDER BY repo""",
+    "cdc_incremental_repo_stats": ORACLE_SRC
     + """
     SELECT repo, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes
     FROM final GROUP BY repo ORDER BY repo""",

@@ -245,9 +245,26 @@ class MergeApplier:
         pq.write_table(state, tmp, compression="snappy")
         os.rename(tmp, out)  # atomic publish of the data file
 
+        # incremental materialized view: per-repo aggregate sidecar for this
+        # partition, maintained at merge time — consumers read ONLY the tiny
+        # sidecars, never rescan the lake (the inline version of the
+        # reference's row-counts QC query, row_counts.py:85-102)
+        live = _drop_tombstones(state)
+        stats = (
+            pa.table({"repo": live.column("repo"), "size_bytes": live.column("size_bytes")})
+            .group_by("repo")
+            .aggregate([("size_bytes", "sum"), ("size_bytes", "count")])
+            .rename_columns(["repo", "total_bytes", "n_files"])
+        )
+        stats_file = out.replace("state-", "stats-")
+        stmp = f"{stats_file}.tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(stats, stmp)
+        os.rename(stmp, stats_file)
+
         record.update(
             n_rows=state.num_rows,
             data_file=out,
+            stats_file=stats_file,
             noop=False,
             schema={f.name: str(f.type) for f in state.schema},
         )
@@ -554,9 +571,50 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
         states = cl.list_states(lake_dir, part)  # seq-ascending, committed only
         for _, _, path in states[:-keep_epochs]:
             os.remove(path)
+            sidecar = path.replace("state-", "stats-")
+            if os.path.exists(sidecar):
+                os.remove(sidecar)
             removed += 1
         kept += min(len(states), keep_epochs)
     return {"removed": removed, "kept": kept}
+
+
+def repo_stats_view(lake_dir: str) -> pa.Table:
+    """The incrementally-maintained per-repo aggregate: merges each
+    partition's latest stats SIDECAR (written at merge time) — reads KBs of
+    sidecars instead of rescanning the lake. Returns (repo, n_files,
+    total_bytes) sorted by repo."""
+    tables = []
+    if os.path.isdir(lake_dir):
+        for name in sorted(os.listdir(lake_dir)):
+            if not name.startswith("part="):
+                continue
+            part = int(name.split("=")[1])
+            ref = cl.latest_state(lake_dir, part)
+            if ref is None:
+                continue
+            sidecar = ref[0].replace("state-", "stats-")
+            if os.path.exists(sidecar):
+                tables.append(pq.read_table(sidecar))
+    if not tables:
+        return pa.table(
+            {"repo": pa.array([], pa.string()), "n_files": pa.array([], pa.int64()),
+             "total_bytes": pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(tables, promote_options="default")
+    out = (
+        allp.group_by("repo")
+        .aggregate([("n_files", "sum"), ("total_bytes", "sum")])
+        .rename_columns(["repo", "n_files", "total_bytes"])
+    )
+    out = pa.table(
+        {
+            "repo": out.column("repo"),
+            "n_files": pc.cast(out.column("n_files"), pa.int64()),
+            "total_bytes": pc.cast(out.column("total_bytes"), pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("repo", "ascending")]))
 
 
 def read_errors(lake_dir: str) -> pa.Table:

@@ -46,6 +46,42 @@ def test_lineage_log(tmp_path):
     assert len(segs) == 8  # all input segments recorded
 
 
+def test_incremental_stats_view_across_epochs_and_vacuum(tmp_path):
+    """The merge-maintained per-repo stats sidecars must equal a recompute
+    from the full lake after multi-epoch ingest, and survive vacuum."""
+    import pyarrow.compute as pc
+
+    from sonic_etl_ray.pipelines.ingest import repo_stats_view, vacuum
+
+    files, lake = _mk(tmp_path)
+    view = repo_stats_view(lake)
+    full = lake_final_table(lake)
+    recomputed = (
+        full.select(["repo", "size_bytes"])
+        .group_by("repo")
+        .aggregate([("size_bytes", "count"), ("size_bytes", "sum")])
+    )
+    want = {
+        r: (int(n), int(s))
+        for r, n, s in zip(
+            recomputed.column("repo").to_pylist(),
+            recomputed.column("size_bytes_count").to_pylist(),
+            recomputed.column("size_bytes_sum").to_pylist(),
+        )
+    }
+    got = {
+        r: (int(n), int(s))
+        for r, n, s in zip(
+            view.column("repo").to_pylist(),
+            view.column("n_files").to_pylist(),
+            view.column("total_bytes").to_pylist(),
+        )
+    }
+    assert got == want
+    vacuum(lake, keep_epochs=1)
+    assert repo_stats_view(lake).equals(view)  # live sidecars survive GC
+
+
 def test_concurrent_reapply_is_idempotent(tmp_path):
     """Two appliers racing on the same (epoch, part) — e.g. a Ray task retry
     whose first attempt actually committed — must not corrupt state."""
