@@ -217,6 +217,12 @@ def _q_cdc_upserts(sf_dir: str):
     return cdc_apply_upserts(sf_dir)
 
 
+def _q_cdc_evolve(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_schema_evolution
+
+    return cdc_schema_evolution(sf_dir)
+
+
 def _q_cdc_blocklist(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_blocklisted
 
@@ -259,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_upserts": _q_cdc_upserts,
         "cdc_apply_dup_replay": _q_cdc_dup,
         "cdc_apply_blocklisted": _q_cdc_blocklist,
+        "cdc_schema_evolution": _q_cdc_evolve,
         "cdc_row_counts": _q_cdc_counts,
         "cdc_incremental_repo_stats": _q_cdc_mv,
         "cdc_watermark_by_repo": _q_cdc_watermark,

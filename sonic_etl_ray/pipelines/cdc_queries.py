@@ -129,6 +129,48 @@ def cdc_watermark_by_repo(sf_dir: str) -> pd.DataFrame:
     )
 
 
+EVOLVE_AT = 500  # events with lsn >= this carry the added column
+
+
+def cdc_schema_evolution(sf_dir: str) -> pa.Table:
+    """Column-add evolution through the REAL sink: early segments lack the
+    ``size_hint`` column entirely (not just nulls), later segments carry it;
+    the merge unifies schemas and the final table exposes it nullable.
+    Oracle: CASE WHEN lsn >= T THEN strlen(content) END."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.ingest import run_ingest
+
+    # materialize the derived stream as two real segment files with
+    # DIFFERENT schemas (the reference's reserved-field add-column pattern)
+    events = _events_as_cdc(sf_dir).take_all()
+    tbl = pa.Table.from_pylist(events)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("lsn", "ascending")]))
+    hint = pc.if_else(
+        pc.is_valid(tbl["content"]),
+        pc.cast(pc.binary_length(tbl["content"]), pa.int64()),
+        pa.scalar(None, pa.int64()),
+    )
+    tbl = tbl.append_column("size_hint", hint)
+    early = tbl.filter(pc.less(tbl["lsn"], EVOLVE_AT)).drop_columns(["size_hint"])
+    late = tbl.filter(pc.greater_equal(tbl["lsn"], EVOLVE_AT))
+
+    seg_dir = tempfile.mkdtemp(prefix="sonic_etl_ray_evq_")
+    pq.write_table(early, os.path.join(seg_dir, "segment_000000.parquet"))
+    pq.write_table(late, os.path.join(seg_dir, "segment_000001.parquet"))
+    lake = scratch_lake_dir("cdcev")
+    run_ingest(
+        [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir))],
+        lake,
+        num_partitions=8,
+        segments_per_epoch=1,
+    )
+    return lake_final_table(lake).select(FINAL_COLUMNS + ["size_hint"])
+
+
 class BlocklistFilter:
     """Broadcast anti-join: the blocklist is ``ray.put`` once and fetched per
     actor in ``__init__`` (the guide's semi/anti-join pattern — never a
@@ -210,6 +252,13 @@ ORACLES: dict[str, str] = {
     "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_apply_blocklisted": ORACLE_SRC
     + "SELECT * FROM final WHERE repo NOT IN ('r0', 'r3') ORDER BY repo, path",
+    "cdc_schema_evolution": ORACLE_SRC
+    + f"""
+    SELECT repo, path, "commit", lang, content, content_sha256, size_bytes,
+           applied_lsn,
+           CASE WHEN applied_lsn >= {EVOLVE_AT}
+                THEN CAST(strlen(content) AS BIGINT) END AS size_hint
+    FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_row_counts": ORACLE_SRC
     + """

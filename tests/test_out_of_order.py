@@ -32,6 +32,24 @@ def _apply_order(files, order, lake, dup_epochs=()):
         apply_epoch(ds, lake, epoch=100 + e, num_partitions=4)
 
 
+def test_random_stream_shapes_vs_oracle(tmp_path):
+    """Fuzz across generator parameter space: op mixes, skew, segment sizes,
+    partition counts — engine must match the oracle for every shape."""
+    from sonic_etl_ray.pipelines.ingest import run_ingest
+
+    shapes = [
+        StreamSpec(n_events=800, n_repos=3, seed=201, segment_size=77, p_insert=0.4, p_update=0.4),
+        StreamSpec(n_events=1200, n_repos=30, seed=202, segment_size=301, p_insert=0.9, p_update=0.05),
+        StreamSpec(n_events=600, n_repos=2, seed=203, segment_size=600, hot_repo_frac=0.9),
+        StreamSpec(n_events=1500, n_repos=10, seed=204, segment_size=100, p_insert=0.5, p_update=0.1),
+    ]
+    for i, spec in enumerate(shapes):
+        files = write_segments(generate_events(spec), str(tmp_path / f"s{i}"), spec)
+        lake = scratch_lake_dir(f"fuzz{i}")
+        run_ingest(files, lake, num_partitions=3 + i, segments_per_epoch=2 + i)
+        assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
 def test_random_epoch_orders_and_duplicates(tmp_path):
     spec = StreamSpec(n_events=3000, n_repos=8, seed=101, segment_size=500)
     table = generate_events(spec)
