@@ -79,6 +79,12 @@ def _q_top_orders(sf_dir: str):
     return _r(top_orders_by_revenue(sf_dir), ["revenue"])
 
 
+def _q_q5(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import q5_revenue_by_nation
+
+    return _r(q5_revenue_by_nation(sf_dir), ["revenue"])
+
+
 def _q_distinct(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import distinct_mktsegments
 
@@ -276,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": _q_join,
         "native_join_revenue_by_segment": _q_native_join,
         "top_orders_by_revenue": _q_top_orders,
+        "q5_revenue_by_nation": _q_q5,
         "distinct_mktsegments": _q_distinct,
         "supplier_balance_stats": _q_supplier_stats,
         "windowed_user_daily": _q_window,
@@ -358,6 +365,16 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey
         ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
         LIMIT 10"""
+
+    sql["q5_revenue_by_nation"] = f"""
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), {_ROUND}) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1)
+        GROUP BY n_name ORDER BY n_name"""
 
     sql["distinct_mktsegments"] = (
         "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"

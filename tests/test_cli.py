@@ -1,0 +1,47 @@
+"""CLI end-to-end via subprocess (the IndexRange/SaveRange surface)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "sonic_etl_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_generate_ingest_qc_vacuum(tmp_path):
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    r = _run("generate", "--out", segs, "--events", "2000", "--segment-size", "500")
+    assert r["segments"] == 4
+
+    r = _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+             "--partitions", "2", "--segments-per-epoch", "2")
+    assert r["epochs_applied"] == 2
+
+    r = _run("--num-cpus", "2", "qc", "--lake", lake)
+    assert r["counts_ok"] is True
+    assert r["skew"]["partitions"] == 2
+
+    # re-ingest: everything skipped (resume surface)
+    r = _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+             "--partitions", "2", "--segments-per-epoch", "2")
+    assert r["epochs_skipped"] == 2 and r["epochs_applied"] == 0
+
+    r = _run("vacuum", "--lake", lake, "--keep-epochs", "1")
+    assert r["removed"] >= 0
