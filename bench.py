@@ -89,6 +89,7 @@ def _run_headline() -> dict:
         num_partitions=32,
         segments_per_epoch=32,
         read_kwargs={"override_num_blocks": 128},
+        fused=bool(os.environ.get("BENCH_FUSED")),
     )
     sec = time.perf_counter() - t0
     n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))

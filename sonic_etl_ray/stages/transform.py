@@ -153,6 +153,7 @@ def reduce_last_per_key(batch: pa.Table) -> pa.Table:
 
 
 W_COLUMN = "__w"  # raw-delivery weight: how many input events a row stands for
+EPOCH_COLUMN = "__epoch"  # fused-mode epoch tag: combiner must not collapse across epochs
 
 
 def _reduce_valid(batch: pa.Table) -> pa.Table:
@@ -164,7 +165,13 @@ def _reduce_valid(batch: pa.Table) -> pa.Table:
         return batch
     order = pc.sort_indices(batch, sort_keys=[("lsn", "ascending")])
     sorted_tbl = batch.take(order)
-    keys = key_strings(sorted_tbl)
+    if EPOCH_COLUMN in sorted_tbl.column_names:
+        # fused multi-epoch mode: each epoch's winner must survive so every
+        # (epoch, partition) commit sees its own events — reduce per
+        # (key, epoch), not per key
+        keys = key_strings(sorted_tbl, key=("repo", "path", EPOCH_COLUMN))
+    else:
+        keys = key_strings(sorted_tbl)
     idx = pa.table(
         {
             "k": keys,

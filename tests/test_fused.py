@@ -1,0 +1,54 @@
+"""Fused (single-execution) ingest must be bit-equivalent to the epoch loop."""
+
+from __future__ import annotations
+
+from sonic_etl_ray.generator import StreamSpec, generate_stream
+from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
+from sonic_etl_ray.pipelines.ingest import (
+    lake_final_table,
+    repo_stats_view,
+    run_ingest,
+    scratch_lake_dir,
+)
+from sonic_etl_ray.state import commitlog as cl
+
+
+def test_fused_equals_sequential_and_oracle(tmp_path):
+    spec = StreamSpec(n_events=6000, n_repos=10, seed=303, segment_size=500)
+    files = generate_stream(str(tmp_path / "segs"), spec)
+
+    lake_seq = scratch_lake_dir("seq")
+    run_ingest(files, lake_seq, num_partitions=4, segments_per_epoch=3)
+
+    lake_fused = scratch_lake_dir("fused")
+    stats = run_ingest(files, lake_fused, num_partitions=4, segments_per_epoch=3, fused=True)
+    assert stats.get("fused") and stats["epochs_applied"] == 4
+
+    a, b = lake_final_table(lake_fused), lake_final_table(lake_seq)
+    assert_state_equal(a, b)
+    assert_state_equal(a, oracle_final_state(files))
+    # per-epoch manifests + commits exist exactly as in sequential mode
+    assert cl.committed_epochs(lake_fused) == cl.committed_epochs(lake_seq)
+    # the incremental stats view is maintained identically
+    assert repo_stats_view(lake_fused).equals(repo_stats_view(lake_seq))
+
+
+def test_fused_resume_skips_committed(tmp_path):
+    spec = StreamSpec(n_events=4000, n_repos=6, seed=304, segment_size=500)
+    files = generate_stream(str(tmp_path / "segs"), spec)
+    lake = scratch_lake_dir("fusedresume")
+    # first: sequential partial run (2 of 4 epochs)
+    run_ingest(files[:4], lake, num_partitions=4, segments_per_epoch=2)
+    # then: fused run over everything — committed epochs are excluded from
+    # the fused execution entirely
+    stats = run_ingest(files, lake, num_partitions=4, segments_per_epoch=2, fused=True)
+    assert stats["epochs_skipped"] == 2 and stats["epochs_applied"] == 2
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
+def test_fused_duplicate_delivery(tmp_path):
+    spec = StreamSpec(n_events=3000, n_repos=6, seed=305, segment_size=500)
+    files = generate_stream(str(tmp_path / "segs"), spec)
+    lake = scratch_lake_dir("fuseddup")
+    run_ingest(files + files[:3], lake, num_partitions=4, segments_per_epoch=2, fused=True)
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
