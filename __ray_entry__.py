@@ -44,12 +44,11 @@ def entry() -> Any:
 
 
 def _q_q1(sf_dir: str):
+    # no rounding: sums are exact scaled-int64 on both sides (see
+    # q1_pricing_summary docstring), so the floats are bit-identical as-is
     from sonic_etl_ray.pipelines.relational import q1_pricing_summary
 
-    return _r(
-        q1_pricing_summary(sf_dir),
-        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"],
-    )
+    return q1_pricing_summary(sf_dir)
 
 
 def _q_q6(sf_dir: str):
@@ -108,9 +107,14 @@ def _q_window(sf_dir: str):
 
 
 def _q_asof(sf_dir: str):
+    # value passes through from parquet bit-identically on both sides (no
+    # arithmetic) — no rounding; nullable match id pinned to float64+NaN to
+    # match DuckDB's nullable-BIGINT → float64 dataframe representation
     from sonic_etl_ray.pipelines.relational import asof_join_last_signup
 
-    return _r(asof_join_last_signup(sf_dir), ["value"])
+    out = asof_join_last_signup(sf_dir)
+    out["signup_event_id"] = out["signup_event_id"].astype("float64")
+    return out
 
 
 def _q_multitable(sf_dir: str):
@@ -320,15 +324,19 @@ def oracle_sql() -> dict[str, str]:
 
     sql: dict[str, str] = dict(CDC_ORACLES)
 
-    sql["q1_pricing_summary"] = f"""
+    # exact scaled-int64 sums (inputs have exactly 2 decimal digits), final
+    # float divisions in the same order as the Ray side → bit-identical
+    sql["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), {_ROUND}) AS sum_qty,
-               ROUND(SUM(l_extendedprice), {_ROUND}) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), {_ROUND}) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {_ROUND}) AS sum_charge,
-               ROUND(AVG(l_quantity), {_ROUND}) AS avg_qty,
-               ROUND(AVG(l_extendedprice), {_ROUND}) AS avg_price,
-               ROUND(AVG(l_discount), {_ROUND}) AS avg_disc,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / 10000.0 AS sum_disc_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))
+                 / 1000000.0 AS sum_charge,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
+               SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -394,16 +402,21 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events
         FROM events GROUP BY user_id, day ORDER BY user_id, day"""
 
-    sql["asof_join_last_signup"] = f"""
+    # value passes through unrounded (bit-identical on both sides); the
+    # equal-timestamp tie-break is pinned on BOTH sides: one signup per
+    # (user_id, ts), the max event_id wins
+    sql["asof_join_last_signup"] = """
         WITH purchases AS (
-          SELECT event_id, user_id, ts, ROUND(value, {_ROUND}) AS value
+          SELECT event_id, user_id, ts, value
           FROM events WHERE event_type = 'purchase'
         ),
         signups AS (
           SELECT event_id AS signup_event_id, user_id, ts FROM events
           WHERE event_type = 'signup'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
         )
-        SELECT p.event_id, p.user_id, p.value, s.signup_event_id
+        SELECT p.event_id, p.user_id, p.value,
+               CAST(s.signup_event_id AS DOUBLE) AS signup_event_id
         FROM purchases p
         ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
         ORDER BY p.event_id"""

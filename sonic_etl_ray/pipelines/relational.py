@@ -24,7 +24,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-shaped grouped aggregate with derived columns."""
+    """TPC-H Q1-shaped grouped aggregate with derived columns.
+
+    Bit-exact across engines and shuffle orders: the money/quantity inputs
+    carry exactly 2 decimal digits, so every SUM is computed as an exact
+    scaled-int64 sum (order-independent — distributed accumulation order
+    cannot move the result) and converted to float once at the end with a
+    fixed division sequence mirrored verbatim by the DuckDB oracle."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -33,26 +39,54 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def derive(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+
+        def cents(expr: pa.ChunkedArray | pa.Array, scale: float) -> pa.Array:
+            return pc.cast(pc.round(pc.multiply(expr, pa.scalar(scale))), pa.int64())
+
+        one_minus_d = pc.subtract(pa.scalar(1.0), t["l_discount"])
+        disc = pc.multiply(t["l_extendedprice"], one_minus_d)
         charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
-        t = t.append_column("disc_price", disc)
-        return t.append_column("charge", charge)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": cents(t["l_quantity"], 1e2),
+                "price_c": cents(t["l_extendedprice"], 1e2),
+                "disc_c": cents(t["l_discount"], 1e2),
+                "disc_price_c": cents(disc, 1e4),  # 2+2 decimal digits
+                "charge_c": cents(charge, 1e6),  # 2+2+2 decimal digits
+            }
+        )
 
     out = (
         ds.map_batches(derive, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_c", alias_name="disc_price_c"),
+            Sum("charge_c", alias_name="charge_c"),
+            Sum("disc_c", alias_name="disc_c"),
             Count(alias_name="count_order"),
         )
+        .to_pandas()
     )
-    return out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    n = out["count_order"].astype("int64")
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["qty_c"] / 100.0,
+            "sum_base_price": out["price_c"] / 100.0,
+            "sum_disc_price": out["disc_price_c"] / 10000.0,
+            "sum_charge": out["charge_c"] / 1000000.0,
+            "avg_qty": out["qty_c"] / 100.0 / n,
+            "avg_price": out["price_c"] / 100.0 / n,
+            "avg_disc": out["disc_c"] / 100.0 / n,
+            "count_order": n,
+        }
+    )
+    return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 def filter_project_revenue(sf_dir: str) -> pd.DataFrame:
@@ -275,10 +309,14 @@ def asof_join_last_signup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
+        g = g.sort_values(["ts", "event_id"], kind="stable")
         purchases = g[g.event_type == "purchase"][["event_id", "user_id", "ts", "value"]]
-        signups = g[g.event_type == "signup"][["ts", "event_id"]].rename(
-            columns={"ts": "signup_ts", "event_id": "signup_event_id"}
+        # pinned tie-break (mirrored in the oracle): among signups sharing a
+        # timestamp, the max event_id is the match candidate
+        signups = (
+            g[g.event_type == "signup"][["ts", "event_id"]]
+            .drop_duplicates(subset=["ts"], keep="last")
+            .rename(columns={"ts": "signup_ts", "event_id": "signup_event_id"})
         )
         if purchases.empty:
             return purchases.assign(signup_event_id=pd.Series(dtype="int64"))[
