@@ -51,8 +51,19 @@ def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
     if n == 0:
         return pa.array([], pa.string())
     arr = content
+    # offset width depends on the string type: string/binary carry int32
+    # offsets, large_string/large_binary int64 (>2 GiB data buffers — wide
+    # content rows at real scale, or parquet files that restore large_string
+    # from ARROW:schema metadata). Anything else is a hard error: silently
+    # hashing a mis-decoded buffer would corrupt the per-row invariant.
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"sha256_column requires a (large_)string/binary column, got {arr.type}")
     bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
     databuf = memoryview(bufs[2])
     valid = np.full(n, True) if arr.null_count == 0 else np.asarray(arr.is_valid())
     sha256 = hashlib.sha256

@@ -80,3 +80,23 @@ def test_conform_table_fills_and_casts():
     out = conform_table(t, s)
     assert out.schema == s
     assert out.column("b").null_count == 2
+
+
+def test_sha256_column_large_string_and_type_errors():
+    """sha256 must read int64 offsets for large_string (a >2 GiB block or a
+    parquet file restoring large_string via ARROW:schema metadata) and must
+    refuse non-string input instead of hashing garbage buffers."""
+    import hashlib
+
+    from sonic_etl_ray.stages.transform import sha256_column
+
+    vals = ["abc", None, "", "xyzw"]
+    want = [hashlib.sha256(v.encode()).hexdigest() if v is not None else None for v in vals]
+    for typ in (pa.string(), pa.large_string()):
+        got = sha256_column(pa.array(vals, typ)).to_pylist()
+        assert got == want, typ
+    # sliced large_string arrays exercise the offset-window arithmetic
+    sliced = pa.array(vals, pa.large_string())[1:]
+    assert sha256_column(sliced).to_pylist() == want[1:]
+    with pytest.raises(TypeError):
+        sha256_column(pa.array([1, 2, 3]))
