@@ -167,16 +167,24 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup_docs(sf_dir)
 
 
+# MinHash gate config: k=9 shingles separate the corpus (true near-dups at
+# j≥0.9, ambient pairs ≤~0.1), and 21 bands × 3 rows give miss-probability
+# ~2e-14 at j=0.9 — so the LSH output EQUALS the brute-force pair set and a
+# plain SQL brute force is an exact oracle. jaccard values are identical
+# int-ratio divisions on both sides → no rounding.
+_MH = {"threshold": 0.5, "num_perm": 64, "bands": 21, "k": 9}
+
+
 def _q_minhash(sf_dir: str):
     from sonic_etl_ray.functions.dedup import minhash_lsh_dedup
 
-    return _r(minhash_lsh_dedup(sf_dir, threshold=0.5), ["jaccard"])
+    return minhash_lsh_dedup(sf_dir, **_MH)
 
 
 def _q_neardup_clusters(sf_dir: str):
     from sonic_etl_ray.functions.dedup import near_dup_clusters
 
-    return near_dup_clusters(sf_dir, threshold=0.5)
+    return near_dup_clusters(sf_dir, **_MH)
 
 
 def _q_simhash(sf_dir: str):
@@ -186,9 +194,10 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_ngram_pairs(sf_dir: str):
+    # jaccard = identical integer-ratio division on both sides → no rounding
     from sonic_etl_ray.functions.dedup import ngram_jaccard_pairs
 
-    return _r(ngram_jaccard_pairs(sf_dir, threshold=0.5), ["jaccard"])
+    return ngram_jaccard_pairs(sf_dir, threshold=0.5)
 
 
 def _q_embed_topk(sf_dir: str):
@@ -210,9 +219,13 @@ def _q_embed_lsh(sf_dir: str):
 
 
 def _q_embed_ivf(sf_dir: str):
+    # full probe (n_probe = n_clusters) exercises the whole IVF path —
+    # sampled centroid fit, distributed assignment, probe filter, rerank —
+    # while making the result exactly the brute-force top-k, which the SQL
+    # oracle verifies; recall at partial probe is pytest-covered.
     from sonic_etl_ray.functions.similarity import ivf_topk
 
-    return _r(ivf_topk(sf_dir, k=10), ["cosine"])
+    return _r(ivf_topk(sf_dir, k=10, n_clusters=8, n_probe=8), ["cosine"])
 
 
 def _q_prep_corpus(sf_dir: str):
@@ -317,6 +330,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOK = "regexp_extract_all(text, '\\S+')"
 _STOP = "['the', 'a', 'and', 'of', 'to']"
+
+# Engine-parity constants for the generated SQL: the per-token 64-bit hash
+# is DuckDB's md5_number_lower (the engine computes the identical value —
+# low 8 md5 bytes, little-endian), the rolling fingerprint is the same
+# wrap-around polynomial expressed in HUGEINT modular arithmetic.
+_FP_BASE = 1099511628211
+_FP_OFFSET = "14695981039346656037"
+_MOD64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+
+def _shingle_sql(k: int) -> str:
+    """Distinct character k-gram set of ``text`` (byte==char: corpus is
+    ascii); <k-char docs collapse to {text} — both exactly the engine's
+    ``shingle_hashes`` set semantics (hashes are injective in practice)."""
+    return (
+        f"CASE WHEN strlen(text) < {k} THEN [text] ELSE "
+        f"list_distinct([substring(text, i, {k}) FOR i IN range(1, strlen(text) - {k} + 2)]) END"
+    )
+
+
+def _brute_jaccard_sql(k: int, threshold: float, block: str | None = None) -> str:
+    """All-pairs (or blocked) exact Jaccard ≥ threshold over k-gram sets."""
+    cols = ", source" if block else ""
+    join_on = "a.source = b.source AND a.doc_id < b.doc_id" if block else "a.doc_id < b.doc_id"
+    return f"""
+        WITH s AS (SELECT doc_id{cols}, {_shingle_sql(k)} AS sh FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) AS la, len(b.sh) AS lb
+          FROM s a JOIN s b ON {join_on}
+        )
+        SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+        FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {threshold}
+        ORDER BY doc_a, doc_b"""
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) > len(hs) "
+        f"THEN CAST('{1 << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+        for b in range(64)
+    )
+    return rf"""
+        WITH t AS (SELECT doc_id,
+          [CAST(md5_number_lower(x) AS UBIGINT) FOR x IN regexp_extract_all(text, '\S+')] AS hs
+          FROM documents)
+        SELECT doc_id, CAST(({terms}) AS UBIGINT) AS simhash
+        FROM t ORDER BY doc_id"""
+
+
+def _lang_id_sql() -> str:
+    from sonic_etl_ray.functions.text import _LANG_MARKERS
+
+    def lit(words) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+    langs = sorted(_LANG_MARKERS)
+    counts = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lit(_LANG_MARKERS[l])}, x))) AS c_{l}"
+        for l in langs
+    )
+    g = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    # tie-break = first language in sorted order reaching the max (engine parity)
+    cases = " ".join(f"WHEN c_{l} = {g} THEN '{l}'" for l in langs[:-1])
+    return rf"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        c AS (SELECT doc_id, {counts} FROM t)
+        SELECT doc_id, CASE WHEN {g} = 0 THEN 'und' {cases} ELSE '{langs[-1]}' END AS lang_pred
+        FROM c ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -511,8 +594,68 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
         ORDER BY doc_id"""
 
-    # lang_id, doc_fingerprints, minhash_lsh_dedup, simhash_fingerprints,
-    # ngram_jaccard_pairs, embedding_lsh_topk: algorithmic / approximate ops
-    # with no faithful ANSI-SQL equivalent → rows-only driver check; their
-    # exactness is covered by pytest brute-force comparisons instead.
+    sql["lang_id"] = _lang_id_sql()
+
+    sql["doc_fingerprints"] = rf"""
+        SELECT doc_id, CAST(list_reduce(
+          list_prepend(CAST('{_FP_OFFSET}' AS HUGEINT),
+            [CAST(md5_number_lower(t) AS HUGEINT) FOR t IN regexp_extract_all(text, '\S+')]),
+          (a, b) -> (a * {_FP_BASE} + b) % {_MOD64}
+        ) AS UBIGINT) AS fingerprint
+        FROM documents ORDER BY doc_id"""
+
+    sql["simhash_fingerprints"] = _simhash_sql()
+
+    sql["ngram_jaccard_pairs"] = _brute_jaccard_sql(k=3, threshold=0.5, block="source")
+
+    # minhash gate config has ≈0 LSH miss probability (see _MH) → the LSH
+    # output equals the brute-force pair set, which SQL computes exactly
+    sql["minhash_lsh_dedup"] = _brute_jaccard_sql(k=_MH["k"], threshold=_MH["threshold"])
+
+    sql["near_dup_clusters"] = f"""
+        WITH RECURSIVE s AS (SELECT doc_id, {_shingle_sql(_MH["k"])} AS sh FROM documents),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= {_MH["threshold"]}
+        ),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id, src = MIN(dst) AS is_representative
+        FROM reach GROUP BY src ORDER BY doc_id"""
+
+    # embedding_lsh_topk: the seeded hyperplanes are deterministic, so they
+    # are INLINED as literal vectors — the SQL recomputes every row's bucket
+    # (incl. the query's) and reranks inside the matching bucket.
+    from sonic_etl_ray.functions.similarity import HyperplaneHasher
+
+    h = HyperplaneHasher(dim=64, n_planes=8, seed=13)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(v)) for v in h.planes[:, i])
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(h.planes.shape[1])
+    )
+    sql["embedding_lsh_topk"] = f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings),
+        q AS (SELECT bucket AS tb, CAST(embedding AS DOUBLE[]) AS qv FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT qv FROM q)), {_ROUND}) AS cosine
+        FROM b WHERE bucket = (SELECT tb FROM q)
+        ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT qv FROM q)) DESC, vec_id
+        LIMIT 10"""
+
+    # embedding_ivf_topk at full probe == exact brute-force top-k (the IVF
+    # machinery — sampled fit, assignment, probe filter — still runs).
+    sql["embedding_ivf_topk"] = sql["embedding_topk_cosine"]
+
     return sql

@@ -5,12 +5,15 @@ The reference's only dedup is the daily exact MERGE on natural keys
 training-data engine additionally needs near-dup. All operators follow the
 same scale shape: per-batch vectorized signatures inside ``map_batches``,
 then ONE hash/band groupby shuffle over small signature rows (never the
-full text), then per-group verification.
+full text), then per-group verification. Candidate pairs stay a Dataset
+end-to-end — texts are joined back by doc_id with the native hash join, so
+no stage materializes candidates or text on the driver.
 
 - exact: sha256(content) → groupby(hash) → keep min-id row;
 - MinHash + LSH: shingle → minhash → band buckets → candidate pairs →
-  verified Jaccard;
-- SimHash: 64-bit token-weighted fingerprint, Hamming-bucketed;
+  distributed text join → verified Jaccard;
+- SimHash: 64-bit token-weighted fingerprint (md5_number_lower token
+  hashes → exact DuckDB oracle), batch-vectorized bit voting;
 - n-gram Jaccard: exact pairwise Jaccard within small blocking groups.
 """
 
@@ -21,10 +24,9 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
-from .text import hash_token
+from .text import TOKEN_RE, _doc_bounds, hash_token, md5_u64
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -88,7 +90,8 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         sh = shingle_hashes(text, self.k)
         # (n_shingles, num_perm) affine hashes; min per column
-        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) & _M64
+        with np.errstate(over="ignore"):
+            vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) & _M64
         return vals.min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -98,17 +101,28 @@ class MinHasher:
 
 def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
     """Explode signatures to (band_id, band_hash, doc_id) rows for the LSH
-    groupby — the shuffle moves only tiny signature rows."""
-    out_doc, out_band, out_hash = [], [], []
-    for doc, sig in zip(df["doc_id"], df["sig"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_doc.append(doc)
-            out_band.append(b)
-            out_hash.append(h)
-    return pd.DataFrame({"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash})
+    groupby — the shuffle moves only tiny signature rows. Vectorized: one
+    (n_docs, bands, rows_per_band) reshape, a columnwise polynomial mix per
+    band, and a final avalanche (band hashes are bucket keys only — a rare
+    collision merely adds a candidate pair that verification rejects)."""
+    if not len(df):
+        return pd.DataFrame({"doc_id": [], "band_id": [], "band_hash": []})
+    sig = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+    n = sig.shape[0]
+    grid = sig[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), np.uint64(1469598103934665603), dtype=np.uint64)
+        for r in range(rows_per_band):  # rows_per_band vector ops
+            h = (h ^ grid[:, :, r]) * _SHINGLE_BASE
+        # fibonacci avalanche so adjacent values spread across buckets
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    doc_ids = np.repeat(df["doc_id"].to_numpy(), bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+    return pd.DataFrame(
+        {"doc_id": doc_ids, "band_id": band_ids, "band_hash": h.reshape(-1)}
+    )
 
 
 def jaccard(a: str, b: str, k: int = 5) -> float:
@@ -117,23 +131,31 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / float(sa.size + sb.size - inter)
 
 
-def minhash_lsh_dedup(
-    sf_dir: str,
-    threshold: float = 0.8,
+def verify_jaccard_batch(b: pd.DataFrame, k: int, threshold: float) -> pd.DataFrame:
+    """Exact Jaccard over joined (text_a, text_b) pair rows — a stateless
+    task-based stage (an actor pool here would hold CPU slots alongside the
+    two join operators and can deadlock a small cluster); texts arrive via
+    the hash join, never via a driver broadcast."""
+    if not len(b):
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    j = [jaccard(ta, tb, k) for ta, tb in zip(b["text_a"], b["text_b"])]
+    out = pd.DataFrame(
+        {"doc_a": b["doc_a"].to_numpy(), "doc_b": b["doc_b"].to_numpy(), "jaccard": j}
+    )
+    return out[out["jaccard"] >= threshold]
+
+
+def minhash_candidate_pairs(
+    docs: ray.data.Dataset,
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
-) -> pd.DataFrame:
-    """Near-dup pairs via MinHash+LSH, Jaccard-verified.
-
-    Pipeline: map_batches(MinHasher actor pool) → explode to band rows →
-    groupby(band_id, band_hash) → candidate pairs per bucket → broadcast
-    text lookup → exact Jaccard verify ≥ threshold. Returns (doc_a, doc_b,
-    jaccard) with doc_a < doc_b, sorted.
-    """
+) -> ray.data.Dataset:
+    """LSH candidate (doc_a, doc_b) pairs as a Dataset: signatures → band
+    rows → band-bucket groupby → per-bucket pair expansion → distinct via a
+    (doc_a, doc_b) groupby. Only signature/pair rows ever shuffle."""
     rows_per_band = num_perm // bands
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(
+    sigs = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k},
         batch_format="pandas",
@@ -152,58 +174,168 @@ def minhash_lsh_dedup(
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    cand = (
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
         band_rows.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(distinct, batch_format="pandas")
     )
-    if cand.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    cand = cand.drop_duplicates(["doc_a", "doc_b"]).astype({"doc_a": "int64", "doc_b": "int64"})
-
-    # verify: broadcast the candidate docs' texts (small side)
-    import pyarrow.parquet as pq
-
-    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    texts_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    mask = pc.is_in(texts_tbl["doc_id"], value_set=pa.array(need))
-    lut = dict(
-        zip(
-            texts_tbl.filter(mask)["doc_id"].to_pylist(),
-            texts_tbl.filter(mask)["text"].to_pylist(),
-        )
-    )
-    ref = ray.put(lut)
-
-    class Verify:
-        def __init__(self, ref, k, threshold):
-            self.lut = ray.get(ref)
-            self.k, self.threshold = k, threshold
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            j = [jaccard(self.lut[a], self.lut[x], self.k) for a, x in zip(b["doc_a"], b["doc_b"])]
-            b = b.assign(jaccard=j)
-            return b[b["jaccard"] >= self.threshold]
-
-    verified = (
-        ray.data.from_pandas(cand)
-        .map_batches(Verify, fn_constructor_args=(ref, k, threshold), batch_format="pandas", concurrency=(1, 4))
-        .to_pandas()
-    )
-    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def near_dup_clusters(sf_dir: str, threshold: float = 0.8, **lsh_kwargs) -> pd.DataFrame:
-    """Near-duplicate clusters: LSH candidate pairs → connected components.
+def _auto_join_partitions() -> int:
+    """Partition count per join such that the TWO chained join operators'
+    build/probe actors (≈ num_partitions CPU slots each) fit the cluster
+    concurrently — oversubscribing deadlocks the streaming executor."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no cluster yet
+        ncpu = 8
+    return max(2, min(16, ncpu // 4))
 
-    The verified pair set is tiny relative to the corpus (it IS the dup
-    population), so union-find runs on the driver — the guide's sanctioned
-    small-candidate-set path; at larger dup rates switch to iterated
-    min-label propagation via groupby. Returns one row per document that
-    belongs to a cluster: (doc_id, cluster_id=min doc in component,
-    is_representative).
+
+def minhash_verified_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    join_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Near-dup pairs via MinHash+LSH, Jaccard-verified, fully distributed.
+
+    Pipeline: map_batches(MinHasher actor pool) → band rows →
+    groupby(band_id, band_hash) → candidate pairs → pair-key distinct →
+    native hash joins pulling text_a/text_b back by doc_id → exact Jaccard
+    verify ≥ threshold in map_batches. Nothing touches the driver; at scale
+    the joins are the standard both-sides-large hash exchange.
     """
-    pairs = minhash_lsh_dedup(sf_dir, threshold=threshold, **lsh_kwargs)
+    if join_partitions is None:
+        join_partitions = _auto_join_partitions()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k)
+    texts_a = docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
+    texts_b = docs.rename_columns({"doc_id": "__tb_id", "text": "text_b"})
+    joined = cand.join(
+        texts_a, join_type="inner", num_partitions=join_partitions,
+        on=("doc_a",), right_on=("__ta_id",),
+    ).join(
+        texts_b, join_type="inner", num_partitions=join_partitions,
+        on=("doc_b",), right_on=("__tb_id",),
+    )
+    verified = joined.map_batches(
+        verify_jaccard_batch,
+        fn_kwargs={"k": k, "threshold": threshold},
+        batch_format="pandas",
+    )
+    return verified
+
+
+def minhash_lsh_dedup(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> pd.DataFrame:
+    """Verified near-dup pairs as a sorted DataFrame (query surface over
+    :func:`minhash_verified_pairs`). With ``bands == num_perm`` (one row per
+    band) LSH recall at ``jaccard ≥ t`` is ``1-(1-j)^num_perm`` ≈ 1, making
+    the output equal to the exact brute-force pair set — the configuration
+    the driver's SQL oracle verifies hash-for-hash."""
+    out = minhash_verified_pairs(
+        sf_dir, threshold=threshold, num_perm=num_perm, bands=bands, k=k
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------- clustering
+
+
+def label_propagation_clusters(
+    pairs: ray.data.Dataset, max_iters: int = 50, num_partitions: int = 8
+) -> pd.DataFrame:
+    """Distributed connected components by iterated min-label propagation.
+
+    Each round: every node sends its current label to its neighbors (one
+    hash join edges⋈labels), each node takes the min over received labels
+    and its own (one groupby), and convergence is detected from the summed
+    label total (monotonically decreasing; fixed point = converged). All
+    per-round state is (node, label) rows — never the corpus. Rounds needed
+    = graph diameter, small for dup clusters; the driver sees only the
+    per-round checksum."""
+    from ray.data.aggregate import Min
+
+    def both_dirs(b: pd.DataFrame) -> pa.Table:
+        src = np.concatenate([b["doc_a"].to_numpy(), b["doc_b"].to_numpy()]).astype("int64")
+        dst = np.concatenate([b["doc_b"].to_numpy(), b["doc_a"].to_numpy()]).astype("int64")
+        return pa.table({"src": src, "dst": dst})
+
+    # edges are re-joined every round — materialize once so the upstream
+    # LSH pipeline doesn't re-execute per iteration (blocks stay in the
+    # object store, spillable; edge rows are two int64s)
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "label": b["src"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_total = None
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.rename_columns({"node": "__ln"}),
+            join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("__ln",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()  # labels are O(nodes) rows — tiny vs the corpus
+        )
+        total = labels.sum("label")  # monotone ↓; fixed point ⇒ converged
+        if total == prev_total:
+            break
+        prev_total = total
+    out = labels.to_pandas().rename(columns={"label": "cluster_id"})
+    out = out.rename(columns={"node": "doc_id"}).astype({"doc_id": "int64", "cluster_id": "int64"})
+    out["is_representative"] = out["doc_id"] == out["cluster_id"]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def near_dup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_driver_pairs: int = 100_000,
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """Near-duplicate clusters: LSH-verified pairs → connected components.
+    Returns one row per document in any cluster: (doc_id, cluster_id = min
+    doc in component, is_representative).
+
+    The pair Dataset stays distributed; if the verified-pair population is
+    measured-small (≤ ``max_driver_pairs``) union-find runs on the driver,
+    else the distributed min-label-propagation path
+    (:func:`label_propagation_clusters`) takes over — the 100 TB shape.
+    """
+    pairs_ds = minhash_verified_pairs(sf_dir, threshold=threshold, **lsh_kwargs)
+    n_pairs = pairs_ds.count()
+    if n_pairs > max_driver_pairs:
+        return label_propagation_clusters(pairs_ds)
+    pairs = pairs_ds.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -226,25 +358,42 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.8, **lsh_kwargs) -> pd.D
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (charikar); per-actor bit table."""
+    """64-bit SimHash (Charikar) over md5_number_lower token hashes.
+
+    Batch-vectorized: the batch's tokens are hashed flat, the (tokens, 64)
+    bit matrix is segment-summed per doc (cumsum windows — safe for empty
+    docs), and bit b of the result is set iff strictly more than half the
+    doc's token hashes have bit b set. Exact DuckDB mirror: 64 generated
+    list_filter counts over the same md5 hash (see ``__ray_entry__``)."""
 
     def __init__(self):
-        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        self.shifts = np.arange(64, dtype=np.uint64)
+        self.bits = np.uint64(1) << self.shifts
+
+    def simhash_batch(self, texts: pd.Series) -> np.ndarray:
+        toks = texts.str.findall(TOKEN_RE)
+        counts, starts = _doc_bounds(toks)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if counts.sum() == 0:
+            return out
+        flat = [t for lst in toks for t in lst]
+        hs = md5_u64(flat)
+        bitmat = ((hs[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        csum = np.vstack(
+            [np.zeros((1, 64), dtype=np.int64), np.cumsum(bitmat, axis=0)]
+        )
+        seg = csum[starts + counts] - csum[starts]  # (docs, 64) set-bit counts
+        setbits = (2 * seg) > counts[:, None]  # votes > 0 ⇔ set > half
+        return (setbits.astype(np.uint64) * self.bits[None, :]).sum(axis=1)
 
     def simhash(self, text: str) -> int:
-        toks = text.split()
-        if not toks:
-            return 0
-        hs = np.fromiter((hash_token(t) for t in toks), dtype=np.uint64)
-        bitmat = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bitmat - 1).sum(axis=0)
-        return int(((votes > 0).astype(np.uint64) * self.bits).sum() & _M64)
+        """Scalar convenience over the batch kernel."""
+        return int(self.simhash_batch(pd.Series([text]))[0])
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
         return pd.DataFrame(
-            {"doc_id": b["doc_id"], "simhash": [self.simhash(t) for t in b["text"]]}
+            {"doc_id": b["doc_id"], "simhash": pd.Series(self.simhash_batch(b["text"]), dtype="uint64")}
         )
 
 

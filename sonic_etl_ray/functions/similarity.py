@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -37,6 +39,8 @@ class CosineScorer:
         self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # empty shuffle blocks must not hit np.stack
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
         m = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         sims = m @ self.q.T  # (batch, n_queries)
         return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "cosine": sims[:, 0]})
@@ -74,8 +78,11 @@ class HyperplaneHasher:
         return ((m @ self.planes) > 0).astype(np.int64) @ self.weights
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         out = b.copy()
+        if not len(b):
+            out["bucket"] = pd.Series(dtype="int64")
+            return out
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         out["bucket"] = self.bucket(m)
         return out
 
@@ -98,8 +105,11 @@ def lsh_topk(
         batch_format="pandas",
         concurrency=(1, 4),
     )
+    # arrow-native filter: typed empty blocks (a pandas slice loses dtype
+    # information on empty object columns and trips Ray's size estimator)
     candidates = bucketed.map_batches(
-        lambda b: b[b["bucket"] == target].drop(columns=["bucket"]), batch_format="pandas"
+        lambda t: t.filter(pc.equal(t["bucket"], target)).drop_columns(["bucket"]),
+        batch_format="pyarrow",
     )
     scored = candidates.map_batches(
         CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
@@ -122,17 +132,31 @@ class IVFIndexer:
         self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
         out = b.copy()
+        if not len(b):
+            out["cluster"] = pd.Series(dtype="int64")
+            return out
+        m = _normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
         out["cluster"] = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
         return out
 
 
-def fit_centroids(sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11) -> np.ndarray:
-    """Seeded Lloyd iterations on a driver-side sample (the train step —
-    small by design; assignment is the distributed part)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    m = _normalize(np.stack(t.column("embedding").to_pylist()).astype(np.float64))
+def fit_centroids(
+    sf_dir: str, k: int = 8, iters: int = 5, seed: int = 11, sample_rows: int = 65_536
+) -> np.ndarray:
+    """Seeded Lloyd iterations on a BOUNDED driver-side sample: the read is
+    capped at ``sample_rows`` (deterministic file-order prefix — seeded, so
+    the train step is reproducible) regardless of table size; assignment is
+    the distributed part. At 100 TB the driver never sees more than the
+    sample."""
+    import ray.data
+
+    sample = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(sample_rows)
+        .to_pandas()
+    )
+    m = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
     for _ in range(iters):
@@ -160,8 +184,10 @@ def ivf_topk(
         IVFIndexer, fn_constructor_args=(cents,), batch_format="pandas", concurrency=(1, 4)
     )
     candidates = assigned.map_batches(
-        lambda b: b[b["cluster"].isin(probe)].drop(columns=["cluster"]),
-        batch_format="pandas",
+        lambda t: t.filter(
+            pc.is_in(t["cluster"], value_set=pa.array(sorted(probe), pa.int64()))
+        ).drop_columns(["cluster"]),
+        batch_format="pyarrow",
     )
     scored = candidates.map_batches(
         CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)

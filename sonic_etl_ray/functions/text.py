@@ -8,10 +8,17 @@ in ``__init__``, vectorized work in ``__call__``.
 Ops: token counting (regex \\S+, SQL-parity semantics), quality scoring
 (char/token stats + stopword ratio), language-ID (stopword + n-gram
 heuristic), rolling-hash document fingerprinting.
+
+Every op here has exact SQL-parity semantics so the driver's DuckDB oracle
+can verify it hash-for-hash: the per-token 64-bit hash is the LOW 8 bytes
+of md5 (little-endian), i.e. DuckDB's ``md5_number_lower``; the rolling
+fingerprint and SimHash are wrap-around uint64 arithmetic DuckDB can mirror
+with HUGEINT modular expressions.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -29,8 +36,29 @@ _LANG_MARKERS = {
     "es": {"el", "la", "los", "y", "es", "de"},
 }
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFFSET = np.uint64(14695981039346656037)
+FP_BASE = 1099511628211
+FP_OFFSET = 14695981039346656037
+_M64_INT = 0xFFFFFFFFFFFFFFFF
+
+
+def md5_u64(tokens: list[str]) -> np.ndarray:
+    """Per-token 64-bit hash = low 8 bytes of md5, little-endian — exactly
+    DuckDB's ``md5_number_lower`` (verified byte-for-byte), so every op built
+    on it has an exact SQL oracle. The md5 core is C; the comprehension is
+    the only per-token Python and is bounded by token count, not bytes."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(t.encode("utf-8")).digest()[8:16], "little") for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def _doc_bounds(token_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(counts, starts) for a Series of per-doc token lists."""
+    counts = token_lists.map(len).to_numpy(dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return counts, starts
 
 
 class TokenCounter:
@@ -49,17 +77,26 @@ class QualityScorer:
 
     Columns (SQL-parity semantics; see ``__ray_entry__.oracle_sql``):
       n_chars, n_tokens, stop_ratio = en-stopword tokens / tokens.
+    Stopword counting is vectorized: explode → isin → index-grouped sum.
     """
 
     def __init__(self):
-        self.stop = set(STOPWORDS_EN)
+        self.stop = frozenset(STOPWORDS_EN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
         text = batch["text"]
         n_chars = text.str.len().astype("int64")
         toks = text.str.findall(TOKEN_RE)
         n_tokens = toks.map(len).astype("int64")
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
+        flat = toks.explode()
+        n_stop = (
+            flat.isin(self.stop)
+            .groupby(level=0)
+            .sum()
+            .reindex(batch.index, fill_value=0)
+            .astype("int64")
+        )
         stop_ratio = (n_stop / n_tokens.clip(lower=1)).astype("float64")
         return pd.DataFrame(
             {
@@ -73,57 +110,87 @@ class QualityScorer:
 
 class LangId:
     """Heuristic language ID: argmax over per-language marker-token hits,
-    'und' when nothing matches. Deterministic tie-break by language code."""
+    'und' when nothing matches. Deterministic tie-break by language code
+    (first language in sorted order achieving the max). Vectorized: one
+    explode, one isin per language, index-grouped sums."""
 
     def __init__(self):
         self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
         self.order = sorted(self.markers)
 
-    def _score(self, tokens: list[str]) -> str:
-        best, best_n = "und", 0
-        for lang in self.order:
-            n = sum(1 for t in tokens if t in self.markers[lang])
-            if n > best_n:
-                best, best_n = lang, n
-        return best
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "lang_pred": toks.map(self._score)}
+        batch = batch.reset_index(drop=True)
+        flat = batch["text"].str.lower().str.findall(TOKEN_RE).explode()
+        scores = pd.DataFrame(
+            {
+                lang: flat.isin(self.markers[lang])
+                .groupby(level=0)
+                .sum()
+                .reindex(batch.index, fill_value=0)
+                for lang in self.order
+            }
         )
+        best = scores.idxmax(axis=1)  # ties → first (sorted) column
+        best[scores.max(axis=1) == 0] = "und"
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": best})
 
 
 class Fingerprinter:
-    """64-bit rolling (FNV-style polynomial) fingerprint of the token stream.
+    """64-bit rolling polynomial fingerprint of the token stream.
 
+    h = OFFSET; for each token: h = (h * BASE + md5_u64(token)) mod 2^64.
     Deterministic and order-sensitive — the document-identity analog of the
-    reference's per-row content invariants. Vectorized per token via numpy
-    (wrap-around uint64 arithmetic).
+    reference's per-row content invariants. Vectorized: the whole batch's
+    tokens are hashed flat, positional BASE powers come from one wrap-around
+    cumulative product, and per-doc reduction is a segmented sum. Exact SQL
+    mirror: list_reduce over md5_number_lower with HUGEINT modular steps.
     """
 
     def __init__(self):
         self.pat = re.compile(TOKEN_RE)
+        self.base = np.uint64(FP_BASE)
+        self.offset = np.uint64(FP_OFFSET)
 
-    @staticmethod
-    def fingerprint(text: str) -> int:
-        h = int(_FP_OFFSET)
-        base = int(_FP_BASE)
-        for tok in re.findall(TOKEN_RE, text):
-            h = (h * base + hash_token(tok)) & 0xFFFFFFFFFFFFFFFF  # wraparound intended
-        return h
+    def fingerprint_batch(self, texts: pd.Series) -> np.ndarray:
+        toks = texts.str.findall(TOKEN_RE)
+        counts, starts = _doc_bounds(toks)
+        total = int(counts.sum())
+        if total == 0:
+            return np.full(len(texts), FP_OFFSET, dtype=np.uint64)
+        flat: list[str] = [t for lst in toks for t in lst]
+        hs = md5_u64(flat)
+        nmax = int(counts.max())
+        with np.errstate(over="ignore"):
+            # pow_table[i] = BASE^i mod 2^64 (uint64 wrap-around is the mod)
+            pow_table = np.ones(nmax + 1, dtype=np.uint64)
+            np.multiply.accumulate(
+                np.full(nmax, self.base, dtype=np.uint64), out=pow_table[1:]
+            )
+            # token at position p of an n-token doc contributes hash*BASE^(n-1-p)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+            exp = np.repeat(counts, counts) - 1 - pos
+            terms = hs * pow_table[exp]
+            csum = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+            seg = csum[starts + counts] - csum[starts]
+            return self.offset * pow_table[counts] + seg
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = batch["text"].map(self.fingerprint).astype("uint64")
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+        batch = batch.reset_index(drop=True)
+        fps = self.fingerprint_batch(batch["text"])
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fingerprint": pd.Series(fps, dtype="uint64")}
+        )
+
+    @classmethod
+    def fingerprint(cls, text: str) -> int:
+        """Scalar convenience over the batch kernel."""
+        return int(cls().fingerprint_batch(pd.Series([text]))[0])
 
 
 def hash_token(tok: str) -> int:
-    """Stable per-token 64-bit hash (FNV-1a over utf-8 bytes)."""
-    h = 14695981039346656037
-    for b in tok.encode("utf-8"):
-        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Stable per-token 64-bit hash (md5 low 8 bytes, little-endian —
+    DuckDB ``md5_number_lower`` parity)."""
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:16], "little")
 
 
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"

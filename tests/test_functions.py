@@ -202,3 +202,47 @@ def test_multimodal_plumbing():
     # the real decode path is explicitly stubbed
     with pytest.raises(NotImplementedError):
         DecodeStub(fake=False)(tbl.slice(0, 2))
+
+
+def test_label_propagation_matches_union_find():
+    """The distributed min-label-propagation clustering (the 100 TB path)
+    must produce exactly the driver union-find's components."""
+    from sonic_etl_ray.functions.dedup import near_dup_clusters
+
+    driver = near_dup_clusters(SF, threshold=0.5)
+    distributed = near_dup_clusters(SF, threshold=0.5, max_driver_pairs=0)
+    pd.testing.assert_frame_equal(driver, distributed)
+
+
+def test_simhash_batch_matches_scalar_definition():
+    """Batch-vectorized SimHash == per-doc definition (bit b set iff more
+    than half the token hashes have bit b set), including empty docs."""
+    from sonic_etl_ray.functions.dedup import SimHasher
+    from sonic_etl_ray.functions.text import md5_u64
+
+    texts = ["a b a c", "", "one", "x y z w v u t s"]
+    h = SimHasher()
+    got = h.simhash_batch(pd.Series(texts))
+    for t, g in zip(texts, got):
+        toks = re.findall(r"\S+", t)
+        if not toks:
+            assert g == 0
+            continue
+        hs = md5_u64(toks)
+        want = 0
+        for b in range(64):
+            if 2 * int(((hs >> np.uint64(b)) & np.uint64(1)).sum()) > len(toks):
+                want |= 1 << b
+        assert int(g) == want
+
+
+def test_fingerprint_batch_matches_rolling_definition():
+    from sonic_etl_ray.functions.text import FP_BASE, FP_OFFSET, Fingerprinter, hash_token
+
+    texts = ["a b c", "", "single", "longer doc with several tokens here"]
+    got = Fingerprinter().fingerprint_batch(pd.Series(texts))
+    for t, g in zip(texts, got):
+        h = FP_OFFSET
+        for tok in re.findall(r"\S+", t):
+            h = (h * FP_BASE + hash_token(tok)) & 0xFFFFFFFFFFFFFFFF
+        assert int(g) == h
