@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--partitions", type=int, default=32)
     i.add_argument("--segments-per-epoch", type=int, default=8)
     i.add_argument("--on-error", choices=["abort", "route"], default="abort")
+    i.add_argument(
+        "--no-finalize",
+        action="store_true",
+        help="defer a trailing partial epoch instead of closing it (tail-style)",
+    )
 
     t = sub.add_parser("tail", help="micro-batch tail a growing segment dir")
     t.add_argument("--segments", required=True)
@@ -113,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 segments_per_epoch=args.segments_per_epoch,
                 on_error=args.on_error,
+                finalize=not args.no_finalize,
             )
             print(json.dumps(stats))
         elif args.cmd == "tail":

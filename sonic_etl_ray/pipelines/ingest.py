@@ -117,11 +117,13 @@ class MergeApplier:
 
     1. idempotence gate: if the (epoch, part) commit exists, no-op (Ray task
        retries / resumed runs / duplicate segment delivery all hit this);
-    2. watermark gate: drop events with ``lsn <= applied watermark`` (late or
-       replayed deliveries from earlier epochs — the W2/W3 analog);
-    3. LSN dedupe + last-writer-wins per (repo, path);
-    4. schema unification with the prior state (column add / type widen);
-    5. copy-on-write state file + atomic commit record with lineage.
+    2. per-key last-writer-wins over (prior state ∪ incoming), by LSN, with
+       delete tombstones — late or replayed deliveries lose the per-key LSN
+       race instead of being watermark-dropped, which stays correct under
+       out-of-order backfill epochs (the W2/W3 analog); the applied-LSN
+       watermark is recorded in the commit record as lineage/metrics only;
+    3. schema unification with the prior state (column add / type widen);
+    4. copy-on-write state file + atomic commit record with lineage.
 
     The reference repairs the same at-least-once duplicates with a daily
     BigQuery MERGE keyed on natural keys
@@ -435,6 +437,22 @@ def apply_epoch(
     return records
 
 
+REPAIR_EPOCH_BASE = 90_000_000  # repair epochs live far above stream epochs
+
+
+def repair_epoch_id(segment_basenames: list[str]) -> int:
+    """Deterministic fresh epoch id for a late-segment repair unit: a given
+    delta set always maps to the same id, so a killed repair run resumes
+    idempotently; distinct deltas get distinct ids (the LWW merge is
+    epoch-order-independent, so ANY unused id is correct)."""
+    import hashlib as _hashlib
+
+    digest = _hashlib.blake2b(
+        ",".join(sorted(segment_basenames)).encode(), digest_size=4
+    ).digest()
+    return REPAIR_EPOCH_BASE + int.from_bytes(digest, "big") % 9_999_999
+
+
 def run_ingest(
     segment_files: Iterable[str],
     lake_dir: str,
@@ -445,6 +463,7 @@ def run_ingest(
     use_actor_pool: bool = False,
     on_error: str = "abort",
     fused: bool = False,
+    finalize: bool = True,
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
 
@@ -457,8 +476,16 @@ def run_ingest(
     ``segment_NNNNNN`` names the epoch is ``NNNNNN // segments_per_epoch``
     (a backfill run that replays only missing segments maps them to the same
     epochs a full run would). Unparseable names fall back to positional
-    grouping; any resulting overlap is harmless — the merge's watermark and
-    commit gates make over-replay a no-op.
+    grouping; any resulting overlap is harmless — the merge's per-key LWW
+    and commit gates make over-replay a no-op.
+
+    Late segments for an ALREADY-manifested epoch are never lost: the delta
+    is applied under a fresh deterministic repair epoch
+    (:func:`repair_epoch_id`) — correct because the merge is
+    epoch-order-independent. ``finalize=False`` additionally defers a
+    trailing partial epoch (fewer than ``segments_per_epoch`` files)
+    entirely, mirroring the Tailer's full-epochs-only rule, so a tailing
+    caller never closes an epoch that may still gain segments.
     """
     import re
 
@@ -470,46 +497,24 @@ def run_ingest(
         groups.setdefault(e, []).append(f)
     epochs = sorted(groups.items())
 
-    if fused:
-        pending = [
-            (e, efiles)
-            for e, efiles in epochs
-            if not cl.epoch_manifest_exists(lake_dir, e)
-        ]
-        # fused mode needs uniform segment schemas across pending epochs
-        # (union of mixed schemas); fall back to the epoch loop otherwise
-        schemas = {str(pq.read_schema(ef[0])) for _, ef in pending} if pending else set()
-        if pending and len(schemas) == 1:
-            return _run_ingest_fused(
-                pending,
-                lake_dir,
-                num_partitions=num_partitions,
-                read_kwargs=read_kwargs,
-                on_error=on_error,
-                epochs_total=len(epochs),
-            )
+    deferred = 0
+    if not finalize and epochs and len(epochs[-1][1]) < segments_per_epoch:
+        deferred = len(epochs[-1][1])
+        epochs = epochs[:-1]
 
-    applied, skipped = 0, 0
-    import logging
+    # union of every manifest's segments (incl. previous repairs) — the
+    # ground truth for "already applied" when planning repair deltas
+    covered: set[str] = set()
+    for e in cl.committed_epochs(lake_dir):
+        m = cl.read_manifest(lake_dir, e) or {}
+        covered.update(m.get("input", {}).get("segments", []))
 
-    for epoch, efiles in epochs:
-        if cl.epoch_manifest_exists(lake_dir, epoch):
-            manifest = cl.read_manifest(lake_dir, epoch) or {}
-            seen = set(manifest.get("input", {}).get("segments", []))
-            planned = {os.path.basename(f) for f in efiles}
-            if seen and not planned <= seen:
-                # a previously-partial epoch gained segments after commit —
-                # those rows would be silently lost; surface it loudly
-                logging.getLogger(__name__).warning(
-                    "epoch %d already committed with segments %s but plan has %s; "
-                    "new segments will NOT be applied — replay them under a fresh "
-                    "epoch (plan_backfill) or choose epoch boundaries that only "
-                    "close when full",
-                    epoch, sorted(seen), sorted(planned),
-                )
-            skipped += 1
-            continue
+    applied = skipped = repaired = 0
+
+    def _apply(epoch: int, efiles: list[str], extra_desc: dict[str, Any] | None = None) -> None:
         ds = ray.data.read_parquet(efiles, **(read_kwargs or {}))
+        desc = {"segments": [os.path.basename(f) for f in efiles]}
+        desc.update(extra_desc or {})
         apply_epoch(
             ds,
             lake_dir,
@@ -518,10 +523,57 @@ def run_ingest(
             merge_concurrency=merge_concurrency,
             use_actor_pool=use_actor_pool,
             on_error=on_error,
-            input_desc={"segments": [os.path.basename(f) for f in efiles]},
+            input_desc=desc,
         )
+
+    # late-segment repair pass: a manifested epoch whose plan now has NEW
+    # segments gets the delta replayed under a fresh repair epoch
+    normal: list[tuple[int, list[str]]] = []
+    for epoch, efiles in epochs:
+        if not cl.epoch_manifest_exists(lake_dir, epoch):
+            normal.append((epoch, efiles))
+            continue
+        delta = [f for f in efiles if os.path.basename(f) not in covered]
+        if not delta:
+            skipped += 1
+            continue
+        rep = repair_epoch_id([os.path.basename(f) for f in delta])
+        if cl.epoch_manifest_exists(lake_dir, rep):
+            skipped += 1
+            continue
+        _apply(rep, delta, {"repair_for_epoch": epoch})
+        covered.update(os.path.basename(f) for f in delta)
+        repaired += 1
+
+    if fused and normal:
+        # fused mode needs uniform segment schemas across ALL pending
+        # segments (a mid-epoch column add would silently enter the union
+        # path untested); fall back to the epoch loop otherwise
+        schemas = {str(pq.read_schema(f)) for _, ef in normal for f in ef}
+        if len(schemas) == 1:
+            out = _run_ingest_fused(
+                normal,
+                lake_dir,
+                num_partitions=num_partitions,
+                read_kwargs=read_kwargs,
+                on_error=on_error,
+                epochs_total=len(epochs),
+            )
+            out["epochs_skipped"] = skipped
+            out["epochs_repaired"] = repaired
+            out["segments_deferred"] = deferred
+            return out
+
+    for epoch, efiles in normal:
+        _apply(epoch, efiles)
         applied += 1
-    return {"epochs_applied": applied, "epochs_skipped": skipped, "epochs_total": len(epochs)}
+    return {
+        "epochs_applied": applied,
+        "epochs_skipped": skipped,
+        "epochs_repaired": repaired,
+        "segments_deferred": deferred,
+        "epochs_total": len(epochs),
+    }
 
 
 def _tag_epoch(t: pa.Table, epoch_id: int) -> pa.Table:
@@ -582,14 +634,18 @@ def _run_ingest_fused(
     by_epoch: dict[int, list[dict]] = {}
     for r in records:
         by_epoch.setdefault(int(r["epoch"]), []).append(r)
-    for e, recs in sorted(by_epoch.items()):
+    # EVERY pending epoch gets a manifest — including all-empty ones that
+    # produced no commit records — so resume fast-forward never re-plans
+    # them (parity with the sequential path, which always manifests)
+    for e, _efiles in pending:
+        recs = by_epoch.get(e, [])
         cl.write_manifest(
             lake_dir,
             e,
             {
                 "epoch": e,
                 "parts": sorted(int(r["part"]) for r in recs),
-                "applied_lsn_max": max(int(r["applied_lsn"]) for r in recs),
+                "applied_lsn_max": max((int(r["applied_lsn"]) for r in recs), default=-1),
                 "n_events": sum(int(r["n_events"]) for r in recs),
                 "n_errors": sum(int(r.get("n_errors", 0)) for r in recs),
                 "input": epoch_inputs.get(e, {}),
@@ -599,7 +655,7 @@ def _run_ingest_fused(
             },
         )
     return {
-        "epochs_applied": len(by_epoch),
+        "epochs_applied": len(pending),
         "epochs_skipped": epochs_total - len(pending),
         "epochs_total": epochs_total,
         "fused": True,

@@ -196,40 +196,61 @@ def top_orders_by_revenue(sf_dir: str) -> pd.DataFrame:
 
 def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
-    region, revenue per nation for one region. All small sides (orders-key →
-    nation mapping built once on the driver) are broadcast via ``ray.put``;
-    the fact table streams through a single map_batches — no shuffle joins.
-    At 100 TB the orders→nation map itself would be a hash-partitioned join;
-    here it demonstrates the dimension-chain broadcast pattern."""
+    region, revenue per nation for one region.
+
+    Scale shape: ONLY the genuinely small dimension chain (customer ⋈
+    nation ⋈ region, pre-filtered to the target region) is built on the
+    driver and broadcast via ``ray.put``; both FACT tables stream — orders
+    is enriched to (o_orderkey, n_name) by a broadcast lookup inside
+    ``map_batches``, lineitem is pre-aggregated per order inside each batch,
+    and the single fact⋈fact edge runs as the native hash-partitioned
+    ``Dataset.join`` on the order key. No fact table ever touches the
+    driver."""
     import pyarrow.parquet as pq
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]).to_pandas()
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    target_region = region.sort_values("r_regionkey").r_name.iloc[0]
     dim = (
-        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
     )
-    target_region = region.sort_values("r_regionkey").r_name.iloc[0]
-    dim = dim[dim.r_name == target_region][["o_orderkey", "n_name"]]
-    ref = ray.put(dict(zip(dim.o_orderkey, dim.n_name)))
+    dim = dim[dim.r_name == target_region][["c_custkey", "n_name"]]
+    ref = ray.put(dict(zip(dim.c_custkey, dim.n_name)))
 
-    class Joiner:
+    class EnrichOrders:
         def __init__(self, ref):
-            self.lut = ray.get(ref)
+            self.lut = ray.get(ref)  # broadcast once per actor
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            n_name = b["l_orderkey"].map(self.lut)
+            n_name = b["o_custkey"].map(self.lut)
             keep = n_name.notna()
-            rev = (b["l_extendedprice"] * (1 - b["l_discount"]))[keep]
-            out = pd.DataFrame({"n_name": n_name[keep], "revenue": rev})
-            return out.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+            return pd.DataFrame(
+                {"o_orderkey": b["o_orderkey"][keep], "n_name": n_name[keep]}
+            )
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    partials = ds.map_batches(Joiner, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4))
-    out = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        EnrichOrders, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        part = (
+            pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+            .group_by("l_orderkey")
+            .aggregate([("revenue", "sum")])
+        )
+        return part.rename_columns(["l_orderkey", "revenue"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = joined.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
     return out.sort_values("n_name").reset_index(drop=True)
 
 

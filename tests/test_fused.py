@@ -52,3 +52,25 @@ def test_fused_duplicate_delivery(tmp_path):
     lake = scratch_lake_dir("fuseddup")
     run_ingest(files + files[:3], lake, num_partitions=4, segments_per_epoch=2, fused=True)
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
+def test_fused_empty_epoch_gets_manifest(tmp_path):
+    """An epoch whose segments hold zero rows must still be manifested in
+    fused mode, or every later run re-plans it forever."""
+    import pyarrow.parquet as pq
+
+    spec = StreamSpec(n_events=2000, n_repos=5, seed=306, segment_size=500)
+    files = generate_stream(str(tmp_path / "segs"), spec)  # segments 0..3
+    empty = str(tmp_path / "segs" / "segment_000004.parquet")
+    # same physical schema as real segments, zero rows — uniform schemas keep
+    # the fused path engaged
+    pq.write_table(pq.read_schema(files[0]).empty_table(), empty)
+    allfiles = files + [empty]
+
+    lake = scratch_lake_dir("fusedempty")
+    s1 = run_ingest(allfiles, lake, num_partitions=2, segments_per_epoch=2, fused=True)
+    assert s1.get("fused") and s1["epochs_applied"] == 3  # incl. the empty epoch
+    assert len(cl.committed_epochs(lake)) == 3
+    s2 = run_ingest(allfiles, lake, num_partitions=2, segments_per_epoch=2, fused=True)
+    assert s2["epochs_applied"] == 0 and s2["epochs_skipped"] == 3
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))

@@ -123,3 +123,42 @@ def test_generator_determinism(tmp_path):
 
     spec = StreamSpec(n_events=500, seed=11)
     assert generate_events(spec).equals(generate_events(spec))
+
+
+def test_late_segment_repair_for_committed_epoch(tmp_path):
+    """A segment arriving AFTER its epoch was manifested must still be
+    applied (under a fresh repair epoch) — never silently lost."""
+    spec = StreamSpec(n_events=4000, n_repos=6, seed=31, segment_size=500)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+    lake = scratch_lake_dir("repair")
+    # epoch 0 = segments 0..3; deliver it PARTIAL (missing segment 2), so the
+    # epoch closes without it, then the straggler shows up
+    first = [files[0], files[1], files[3]] + files[4:]
+    r1 = run_ingest(first, lake, num_partitions=2, segments_per_epoch=4)
+    assert r1["epochs_applied"] == 2 and r1["epochs_repaired"] == 0
+    r2 = run_ingest(files, lake, num_partitions=2, segments_per_epoch=4)
+    assert r2["epochs_repaired"] == 1 and r2["epochs_applied"] == 0
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+    # idempotent: a third run repairs nothing and changes nothing
+    r3 = run_ingest(files, lake, num_partitions=2, segments_per_epoch=4)
+    assert r3["epochs_repaired"] == 0 and r3["epochs_applied"] == 0
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
+def test_finalize_false_defers_trailing_partial_epoch(tmp_path):
+    """finalize=False must NOT close a trailing partial epoch; the segments
+    apply later once the epoch fills (or a finalize=True run flushes it)."""
+    spec = StreamSpec(n_events=3000, n_repos=6, seed=33, segment_size=500)
+    files = generate_stream(str(tmp_path / "seg"), spec)  # 6 segments
+    lake = scratch_lake_dir("finalize")
+    r1 = run_ingest(files[:5], lake, num_partitions=2, segments_per_epoch=4, finalize=False)
+    assert r1["epochs_applied"] == 1 and r1["segments_deferred"] == 1
+    # the deferred segment is NOT in the lake yet
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files[:4]))
+    # still-partial trailing epoch stays deferred on a finalize=False rerun
+    r2 = run_ingest(files, lake, num_partitions=2, segments_per_epoch=4, finalize=False)
+    assert r2["epochs_applied"] == 0 and r2["segments_deferred"] == 2
+    # an explicit finalize run flushes the tail; no repair epoch needed
+    r3 = run_ingest(files, lake, num_partitions=2, segments_per_epoch=4)
+    assert r3["epochs_applied"] == 1 and r3["epochs_repaired"] == 0
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))

@@ -50,8 +50,8 @@ def test_backfill_plan_and_repair(tmp_path):
     assert sorted(plan["replay_segments"]) == sorted(files[2:4] + files[6:])
     assert plan["ranges"][0] == (1000, 1999)
 
-    # repair: replay everything missing THEN the rest, in LSN order per key
-    # is preserved because the merge is watermark-gated per partition
+    # repair: replay everything — order doesn't matter because the merge is
+    # per-key last-writer-wins by LSN over (prior ∪ incoming)
     run_ingest(files, lake, num_partitions=2, segments_per_epoch=2)
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
     assert plan_backfill(lake, files)["replay_segments"] == []
