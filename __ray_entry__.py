@@ -282,6 +282,24 @@ def _q_cdc_gaps(sf_dir: str):
     return cdc_gap_detect(sf_dir)
 
 
+def _q_cdc_nested(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_nested_evolution
+
+    return cdc_nested_evolution(sf_dir)
+
+
+def _q_cdc_decoded(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_decoded_events
+
+    return cdc_decoded_events(sf_dir)
+
+
+def _q_cdc_multitable(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_multitable_counts
+
+    return cdc_multitable_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the core): real pipeline vs SQL-window oracle
@@ -293,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_repo_stats": _q_cdc_mv,
         "cdc_watermark_by_repo": _q_cdc_watermark,
         "cdc_gap_detect": _q_cdc_gaps,
+        "cdc_decoded_events": _q_cdc_decoded,
+        "cdc_multitable_counts": _q_cdc_multitable,
+        "cdc_nested_evolution": _q_cdc_nested,
         # relational operator surface
         "q1_pricing_summary": _q_q1,
         "q6_filter_revenue": _q_q6,

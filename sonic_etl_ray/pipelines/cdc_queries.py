@@ -207,6 +207,118 @@ def cdc_apply_blocklisted(sf_dir: str) -> pa.Table:
     return lake_final_table(lake).select(FINAL_COLUMNS)
 
 
+def cdc_nested_evolution(sf_dir: str) -> pd.DataFrame:
+    """Nested-type evolution through the REAL sink: early segments lack the
+    ``attrs`` column (a ``list<struct<k,n>>`` — the reference's REPEATED
+    RECORD shape, ``schemas/bq/traces.json``), later segments carry it with
+    one element {k: lang, n: size}; the merge unifies the nested schema and
+    the final state exposes it. The query projects SQL-checkable scalars
+    FROM the nested values (length + first struct fields), proving the
+    nested payload itself survived evolution + merge byte-correct."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.ingest import run_ingest
+
+    events = _events_as_cdc(sf_dir).take_all()
+    tbl = pa.Table.from_pylist(events)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("lsn", "ascending")]))
+    attrs_type = pa.list_(pa.struct([("k", pa.string()), ("n", pa.int64())]))
+    attrs = pa.array(
+        [
+            [{"k": lang, "n": len(content)}] if content is not None else None
+            for lang, content in zip(tbl["lang"].to_pylist(), tbl["content"].to_pylist())
+        ],
+        attrs_type,
+    )
+    tbl = tbl.append_column("attrs", attrs)
+    early = tbl.filter(pc.less(tbl["lsn"], EVOLVE_AT)).drop_columns(["attrs"])
+    late = tbl.filter(pc.greater_equal(tbl["lsn"], EVOLVE_AT))
+
+    seg_dir = tempfile.mkdtemp(prefix="sonic_etl_ray_nested_")
+    pq.write_table(early, os.path.join(seg_dir, "segment_000000.parquet"))
+    pq.write_table(late, os.path.join(seg_dir, "segment_000001.parquet"))
+    lake = scratch_lake_dir("cdcnested")
+    run_ingest(
+        [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir))],
+        lake,
+        num_partitions=8,
+        segments_per_epoch=1,
+    )
+    final = lake_final_table(lake)
+    assert final.schema.field("attrs").type.equals(attrs_type), final.schema
+    df = pd.DataFrame(
+        {
+            "repo": final["repo"].to_pylist(),
+            "path": final["path"].to_pylist(),
+            "n_attrs": pd.Series(
+                pc.list_value_length(final["attrs"]).to_pandas(), dtype="float64"
+            ),
+            "first_k": [
+                a[0]["k"] if a else None for a in final["attrs"].to_pylist()
+            ],
+            "first_n": pd.Series(
+                [float(a[0]["n"]) if a else None for a in final["attrs"].to_pylist()],
+                dtype="float64",
+            ),
+        }
+    )
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+# Decode catalog for the gate stream: selector = lang (event_type analog of
+# topic0); props always match '{"k": N}' so the abort path never fires at
+# the gate (it is pytest-covered). The two entries make 'view'/'signup'/
+# 'error' silent skips — the NotFound path.
+def _gate_catalog():
+    from ..stages.decode import DecodeCatalog, EventSpec
+
+    return DecodeCatalog(
+        {
+            "click": EventSpec("ClickArgs", r'^\{"k": (\d+)\}$'),
+            "purchase": EventSpec("PurchaseArgs", r'^\{"k": (\d+)\}$'),
+        }
+    )
+
+
+def cdc_decoded_events(sf_dir: str) -> pd.DataFrame:
+    """Decoded-events fan-out table from ONE engine pass (multi-table
+    output): catalog-matched change events emit (lsn, repo, path,
+    event_name, args) rows alongside the merged file state
+    (``PerBlockRecords`` publish fan-out, ``sonic_config/mod.rs:501-574``)."""
+    from ..pipelines.ingest import read_decoded
+
+    lake = scratch_lake_dir("cdcdec")
+    apply_epoch(
+        _events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8,
+        decode_catalog=_gate_catalog(),
+    )
+    return read_decoded(lake).to_pandas()
+
+
+def cdc_multitable_counts(sf_dir: str) -> pd.DataFrame:
+    """Both fan-out tables from the SAME single pass: per-repo file-state
+    row counts AND decoded-event counts (cross-table accounting, the
+    set_event_count analog, ``common.rs:498-503``)."""
+    from ..pipelines.ingest import read_decoded
+
+    lake = scratch_lake_dir("cdcmt")
+    apply_epoch(
+        _events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8,
+        decode_catalog=_gate_catalog(),
+    )
+    files = lake_final_table(lake).to_pandas()
+    dec = read_decoded(lake).to_pandas()
+    f = files.groupby("repo", as_index=False).agg(n_files=("path", "count"))
+    d = dec.groupby("repo", as_index=False).agg(n_decoded=("lsn", "count"))
+    out = f.merge(d, on="repo", how="outer").fillna(0)
+    out["n_files"] = out["n_files"].astype("int64")
+    out["n_decoded"] = out["n_decoded"].astype("int64")
+    return out.sort_values("repo").reset_index(drop=True)
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -271,6 +383,35 @@ ORACLES: dict[str, str] = {
     "cdc_watermark_by_repo": ORACLE_SRC
     + """
     SELECT repo, MAX(applied_lsn) AS watermark FROM final GROUP BY repo ORDER BY repo""",
+    "cdc_nested_evolution": ORACLE_SRC
+    + f"""
+    SELECT repo, path,
+           CASE WHEN applied_lsn >= {EVOLVE_AT} THEN CAST(1 AS DOUBLE) END AS n_attrs,
+           CASE WHEN applied_lsn >= {EVOLVE_AT} THEN lang END AS first_k,
+           CASE WHEN applied_lsn >= {EVOLVE_AT} THEN CAST(strlen(content) AS DOUBLE) END AS first_n
+    FROM final ORDER BY repo, path""",
+    "cdc_decoded_events": ORACLE_SRC
+    + """
+    SELECT lsn, repo, path,
+           CASE lang WHEN 'click' THEN 'ClickArgs' ELSE 'PurchaseArgs' END AS event_name,
+           '["' || regexp_extract(content, '^\\{"k": (\\d+)\\}$', 1) || '"]' AS args,
+           CAST(0 AS BIGINT) AS line_no
+    FROM src
+    WHERE lang IN ('click', 'purchase') AND content IS NOT NULL
+    ORDER BY lsn, event_name, line_no""",
+    "cdc_multitable_counts": ORACLE_SRC
+    + """
+    , fcounts AS (SELECT repo, COUNT(*) AS n_files FROM final GROUP BY repo),
+    dcounts AS (
+      SELECT repo, COUNT(*) AS n_decoded FROM src
+      WHERE lang IN ('click', 'purchase') AND content IS NOT NULL
+      GROUP BY repo
+    )
+    SELECT COALESCE(f.repo, d.repo) AS repo,
+           COALESCE(f.n_files, 0) AS n_files,
+           COALESCE(d.n_decoded, 0) AS n_decoded
+    FROM fcounts f FULL OUTER JOIN dcounts d ON f.repo = d.repo
+    ORDER BY repo""",
     "cdc_gap_detect": """
     WITH present AS (SELECT event_id AS lsn FROM events WHERE event_id % 97 <> 3),
     bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM present),

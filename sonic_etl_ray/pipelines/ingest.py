@@ -65,6 +65,7 @@ COMMIT_RECORD_SCHEMA = pa.schema(
         ("data_file", pa.string()),
         ("noop", pa.bool_()),
         ("n_errors", pa.int64()),
+        ("n_decoded", pa.int64()),
     ]
 )
 
@@ -166,6 +167,35 @@ class MergeApplier:
         if existing is not None:  # idempotent replay of a committed unit
             return existing, None, None
 
+        # multi-table fan-out (PerBlockRecords analog): decoded-event rows
+        # ride the same shuffle; they publish to their own append table
+        from ..stages.decode import TABLE_COLUMN, split_tables
+
+        decoded = None
+        if TABLE_COLUMN in group.column_names:
+            group, decoded = split_tables(group)
+        n_decoded, decoded_file = 0, None
+        if decoded is not None and decoded.num_rows:
+            # exact dedupe within the unit (at-least-once delivery inside an
+            # epoch) + canonical order, then atomic publish — the inline
+            # analog of the reference's daily MERGE on the events table
+            decoded = decoded.group_by(decoded.column_names).aggregate([])
+            decoded = decoded.take(
+                pc.sort_indices(
+                    decoded,
+                    sort_keys=[("lsn", "ascending"), ("event_name", "ascending"), ("line_no", "ascending")],
+                )
+            )
+            decoded_file = os.path.join(
+                lake, "_decoded", cl.EPOCH_FMT.format(epoch),
+                cl.PART_FMT.format(part) + ".parquet",
+            )
+            os.makedirs(os.path.dirname(decoded_file), exist_ok=True)
+            dtmp = f"{decoded_file}.tmp.{uuid.uuid4().hex[:8]}"
+            pq.write_table(decoded, dtmp)
+            os.rename(dtmp, decoded_file)  # atomic; commit record gates it
+            n_decoded = decoded.num_rows
+
         n_errors = 0
         if ERROR_COLUMN in group.column_names:
             err_mask = pc.is_valid(group.column(ERROR_COLUMN))
@@ -205,9 +235,12 @@ class MergeApplier:
             "part": part,
             "n_events": n_events,
             "n_errors": n_errors,
+            "n_decoded": n_decoded,
             "applied_lsn": max(watermark, max_lsn if max_lsn is not None else -1),
             "input": input_desc,
         }
+        if decoded_file is not None:
+            record["decoded_file"] = decoded_file
 
         if mem is not None:
             prior = mem[0] if mem[0] is not None else STATE_SCHEMA.empty_table()
@@ -307,6 +340,7 @@ class MergeApplier:
                 "data_file": [rec.get("data_file", "")],
                 "noop": [bool(rec.get("noop", False))],
                 "n_errors": [int(rec.get("n_errors", 0))],
+                "n_decoded": [int(rec.get("n_decoded", 0))],
             },
             schema=COMMIT_RECORD_SCHEMA,
         )
@@ -374,12 +408,20 @@ def apply_epoch(
     batch_size: int | None = 32_768,
     use_actor_pool: bool = False,
     on_error: str = "abort",
+    decode_catalog: Any | None = None,
+    on_undecodable: str = "abort",
 ) -> list[dict[str, Any]]:
     """Apply one epoch of change events; returns per-partition commit records.
 
     Idempotent: committed (epoch, partition) units are skipped inside the
     appliers, so re-running after a crash resumes without duplicate or lost
     applies.
+
+    With a ``decode_catalog`` (:class:`..stages.decode.DecodeCatalog`) the
+    SAME pass also emits the decoded-events table (multi-table fan-out,
+    ``sonic_config/mod.rs:305-314,501-574``): one read, one shuffle, two
+    typed outputs per (epoch, partition) unit, both gated by the unit's
+    commit record.
     """
     os.makedirs(lake_dir, exist_ok=True)
     ds = ds.map_batches(
@@ -388,6 +430,16 @@ def apply_epoch(
         batch_size=batch_size,
         fn_kwargs={"on_error": on_error},
     )
+    if decode_catalog is not None:
+        from ..stages.decode import ContentDecoder
+
+        ds = ds.map_batches(
+            ContentDecoder,
+            fn_constructor_args=(decode_catalog, on_undecodable),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, 4),
+        )
     ds = ds.map_batches(reduce_last_per_key, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
         add_partition_column,
@@ -464,6 +516,8 @@ def run_ingest(
     on_error: str = "abort",
     fused: bool = False,
     finalize: bool = True,
+    decode_catalog: Any | None = None,
+    on_undecodable: str = "abort",
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
 
@@ -524,6 +578,8 @@ def run_ingest(
             use_actor_pool=use_actor_pool,
             on_error=on_error,
             input_desc=desc,
+            decode_catalog=decode_catalog,
+            on_undecodable=on_undecodable,
         )
 
     # late-segment repair pass: a manifested epoch whose plan now has NEW
@@ -558,6 +614,8 @@ def run_ingest(
                 read_kwargs=read_kwargs,
                 on_error=on_error,
                 epochs_total=len(epochs),
+                decode_catalog=decode_catalog,
+                on_undecodable=on_undecodable,
             )
             out["epochs_skipped"] = skipped
             out["epochs_repaired"] = repaired
@@ -593,6 +651,8 @@ def _run_ingest_fused(
     read_kwargs: dict[str, Any] | None,
     on_error: str,
     epochs_total: int,
+    decode_catalog: Any | None = None,
+    on_undecodable: str = "abort",
 ) -> dict[str, Any]:
     """All pending epochs in ONE Dataset execution (see FusedMergeApplier)."""
     import time
@@ -615,6 +675,16 @@ def _run_ingest_fused(
         validate_and_derive, batch_format="pyarrow", batch_size=32_768,
         fn_kwargs={"on_error": on_error},
     )
+    if decode_catalog is not None:
+        from ..stages.decode import ContentDecoder
+
+        ds = ds.map_batches(
+            ContentDecoder,
+            fn_constructor_args=(decode_catalog, on_undecodable),
+            batch_format="pyarrow",
+            batch_size=32_768,
+            concurrency=(1, 4),
+        )
     ds = ds.map_batches(reduce_last_per_key, batch_format="pyarrow", batch_size=32_768)
     ds = ds.map_batches(
         add_partition_column, batch_format="pyarrow", batch_size=32_768,
@@ -837,6 +907,37 @@ def repo_stats_view(lake_dir: str) -> pa.Table:
         }
     )
     return out.take(pc.sort_indices(out, sort_keys=[("repo", "ascending")]))
+
+
+def read_decoded(lake_dir: str) -> pa.Table:
+    """The decoded-events table (second fan-out output): all committed
+    (epoch, partition) decoded files, exact-deduped by full row — the
+    at-read analog of the reference's daily MERGE on the events table
+    (an lsn replayed across DIFFERENT epochs writes two identical rows in
+    two units; within a unit the applier already deduped). Sorted by
+    (lsn, event_name, line_no)."""
+    import glob as _glob
+
+    from ..stages.decode import DECODED_SCHEMA
+
+    files = []
+    for f in sorted(
+        _glob.glob(os.path.join(lake_dir, "_decoded", "epoch=*", "part=*.parquet"))
+    ):
+        epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
+        if cl.is_committed(lake_dir, epoch, part):  # orphans of crashed units
+            files.append(f)
+    if not files:
+        return DECODED_SCHEMA.empty_table()
+    tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    tbl = tbl.group_by(tbl.column_names).aggregate([])
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("lsn", "ascending"), ("event_name", "ascending"), ("line_no", "ascending")],
+        )
+    )
 
 
 def read_errors(lake_dir: str) -> pa.Table:

@@ -144,9 +144,25 @@ def reduce_last_per_key(batch: pa.Table) -> pa.Table:
     key composes across batches and the final merge re-applies it per
     partition. Fully vectorized: stable sort by lsn, then group-max of the
     positional index.
+
+    Rows of OTHER fan-out tables (``__table != 'files'``, e.g. decoded
+    events) are per-event records, not per-key state — they pass through
+    uncollapsed, exactly like error rows.
     """
     if batch.num_rows == 0:
         return batch
+    from .decode import TABLE_COLUMN, TABLE_FILES
+
+    if TABLE_COLUMN in batch.column_names:
+        is_files = pc.equal(
+            pc.fill_null(batch.column(TABLE_COLUMN), TABLE_FILES), TABLE_FILES
+        )
+        others = batch.filter(pc.invert(is_files))
+        if others.num_rows:
+            files = batch.filter(is_files)
+            parts = [t for t in (reduce_last_per_key(files), others) if t.num_rows]
+            return pa.concat_tables(parts, promote_options="default")
+        # tag column present but every row is 'files': plain reduction below
     if ERROR_COLUMN in batch.column_names:
         # error rows are diverted, not applied — they must never win (or
         # lose) a last-writer-wins race against valid rows

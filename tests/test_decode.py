@@ -1,0 +1,131 @@
+"""Decode-to-args catalog semantics + multi-table fan-out on the CDC path.
+
+Reference parity (``sonic_config/transformation/common.rs:409-496``,
+``events/generic.rs:76-135``): unknown selector → silent skip; null
+content → skip; known selector with non-matching content → abort (or
+route to the typed error channel); matched rows emit one decoded-events
+row with JSON args, published per (epoch, partition) alongside the merged
+file state — both gated by the unit's commit record.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from sonic_etl_ray.pipelines.ingest import (
+    apply_epoch,
+    lake_final_table,
+    read_decoded,
+    read_errors,
+    run_ingest,
+    scratch_lake_dir,
+)
+from sonic_etl_ray.stages.decode import DecodeCatalog, EventSpec
+from sonic_etl_ray.stages.transform import MalformedEventError
+
+CATALOG = DecodeCatalog(
+    {
+        "py": EventSpec("PyImport", r"^import (\w+) v(\d+)$"),
+        "rs": EventSpec("RsUse", r"^use (\w+)$"),
+    }
+)
+
+
+def _stream(rows) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "repo": pa.array([r[2] for r in rows], pa.string()),
+                "path": pa.array([r[3] for r in rows], pa.string()),
+                "commit": pa.array(["c"] * len(rows), pa.string()),
+                "lang": pa.array([r[4] for r in rows], pa.string()),
+                "content": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+GOOD = [
+    (0, "insert", "r1", "a.py", "py", "import os v1"),
+    (1, "insert", "r1", "b.rs", "rs", "use std"),
+    (2, "insert", "r1", "c.txt", "txt", "no catalog entry"),  # silent skip
+    (3, "delete", "r1", "a.py", "py", None),  # null content skip
+    (4, "update", "r1", "b.rs", "rs", "use core"),
+]
+
+
+def test_decode_fanout_skip_and_match():
+    lake = scratch_lake_dir("dec1")
+    apply_epoch(_stream(GOOD), lake, epoch=0, num_partitions=2, decode_catalog=CATALOG)
+    dec = read_decoded(lake).to_pylist()
+    # matched rows only: lsns 0, 1, 4; unknown selector + delete are skipped
+    assert [(d["lsn"], d["event_name"], d["args"]) for d in dec] == [
+        (0, "PyImport", '["os", "1"]'),
+        (1, "RsUse", '["std"]'),
+        (4, "RsUse", '["core"]'),
+    ]
+    # the files table from the SAME pass: a.py deleted, b.rs last-writer c.txt kept
+    files = lake_final_table(lake).to_pylist()
+    assert {(f["repo"], f["path"], f["content"]) for f in files} == {
+        ("r1", "b.rs", "use core"),
+        ("r1", "c.txt", "no catalog entry"),
+    }
+
+
+def test_decode_abort_on_undecodable():
+    bad = GOOD + [(5, "insert", "r1", "d.py", "py", "not an import line")]
+    lake = scratch_lake_dir("dec2")
+    with pytest.raises(Exception) as ei:
+        apply_epoch(_stream(bad), lake, epoch=0, num_partitions=2, decode_catalog=CATALOG)
+    assert "does not match" in str(ei.value)
+
+
+def test_decode_route_quarantines_source_row():
+    bad = GOOD + [(5, "insert", "r1", "d.py", "py", "not an import line")]
+    lake = scratch_lake_dir("dec3")
+    apply_epoch(
+        _stream(bad), lake, epoch=0, num_partitions=2,
+        decode_catalog=CATALOG, on_undecodable="route", on_error="route",
+    )
+    errs = read_errors(lake).to_pylist()
+    assert [(e["lsn"], e["__error"]) for e in errs] == [(5, "undecodable_content")]
+    # the quarantined row reached neither output table
+    assert all(f["path"] != "d.py" for f in lake_final_table(lake).to_pylist())
+    assert all(d["lsn"] != 5 for d in read_decoded(lake).to_pylist())
+
+
+def test_decode_dup_delivery_exactly_once():
+    lake = scratch_lake_dir("dec5")
+    doubled = _stream(GOOD).union(_stream(GOOD))
+    apply_epoch(doubled, lake, epoch=0, num_partitions=2, decode_catalog=CATALOG)
+    dec = read_decoded(lake).to_pylist()
+    assert [d["lsn"] for d in dec] == [0, 1, 4]  # no duplicates
+
+
+def test_decode_fused_multi_epoch(tmp_path):
+    import os
+
+    seg_dir = str(tmp_path / "segs")
+    os.makedirs(seg_dir)
+    tbl = _stream(GOOD).take_all()
+    t = pa.Table.from_pylist(tbl)
+    pq.write_table(t.slice(0, 3), os.path.join(seg_dir, "segment_000000.parquet"))
+    pq.write_table(t.slice(3), os.path.join(seg_dir, "segment_000001.parquet"))
+    lake_seq = scratch_lake_dir("dec6a")
+    lake_fused = scratch_lake_dir("dec6b")
+    files = sorted(glob.glob(seg_dir + "/*.parquet"))
+    for lake, fused in ((lake_seq, False), (lake_fused, True)):
+        run_ingest(
+            files, lake, num_partitions=2, segments_per_epoch=1,
+            fused=fused, decode_catalog=CATALOG,
+        )
+    assert read_decoded(lake_fused).equals(read_decoded(lake_seq))
+    assert lake_final_table(lake_fused).equals(lake_final_table(lake_seq))
+    assert read_decoded(lake_seq).num_rows == 3
