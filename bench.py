@@ -44,13 +44,15 @@ def _bench_stream(tag: str) -> list[str]:
     from sonic_etl_ray.generator import StreamSpec, generate_stream
 
     n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))
-    out_dir = f"/tmp/sonic_etl_ray_bench/stream_sf{tag}_n{n}"
+    max_keys = int(os.environ["BENCH_MAX_KEYS"]) if os.environ.get("BENCH_MAX_KEYS") else None
+    suffix = f"_k{max_keys}" if max_keys else ""
+    out_dir = f"/tmp/sonic_etl_ray_bench/stream_sf{tag}_n{n}{suffix}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         shutil.rmtree(out_dir, ignore_errors=True)
         spec = StreamSpec(
             n_events=n, n_repos=200, seed=42, segment_size=max(n // 64, 1000),
-            hot_repo_frac=0.2,
+            hot_repo_frac=0.2, max_live_keys=max_keys,
         )
         generate_stream(out_dir, spec)
         open(done, "w").close()
@@ -87,7 +89,7 @@ def _run_headline() -> dict:
         files,
         lake,
         num_partitions=32,
-        segments_per_epoch=32,
+        segments_per_epoch=int(os.environ.get("BENCH_SPE", "32")),
         read_kwargs={"override_num_blocks": 128},
         fused=bool(os.environ.get("BENCH_FUSED")),
     )
@@ -113,6 +115,16 @@ def _run_queries() -> dict[str, float]:
     return out
 
 
+def _quiet_data_estimators() -> None:
+    import logging
+
+    for name in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.pandas_block",
+    ):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
 def main() -> None:
     import logging
 
@@ -130,9 +142,26 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
-        runtime_env={"env_vars": {"ARROW_IO_THREADS": io_threads}},
+        runtime_env={
+            "env_vars": {"ARROW_IO_THREADS": io_threads},
+            # silence Ray's two chatty per-block estimators (schema-hash
+            # dedup + pandas size sampling) inside worker processes — they
+            # warn on benign inputs (parquet pandas metadata, empty blocks)
+            # and would otherwise flood every bench tail
+            "worker_process_setup_hook": _quiet_data_estimators,
+        },
     )
     DataContext.get_current().enable_progress_bars = False
+    if os.environ.get("BENCH_SHUFFLE") == "hash":
+        from ray.data.context import ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # aggregator actors must fit the cluster alongside map tasks
+        ctx.max_hash_shuffle_aggregators = int(os.environ.get("BENCH_AGG", max(2, NUM_CPUS // 2)))
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = float(
+            os.environ.get("BENCH_AGG_CPU", "0.1")
+        )
 
     headline = _run_headline()
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else _run_queries()
@@ -156,22 +185,34 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """The identical headline job at N and 4N CPUs in fresh processes — the
+    """The identical job at N and 4N CPUs in fresh processes — the
     in-sandbox evidence for the N→4N scaling-efficiency criterion.
 
-    Methodology notes (measured, see BASELINE.md): this sandbox's 32 vCPUs
-    deliver only ~8-12 physical cores of sustained throughput (per-process
-    speed collapses ~3x when 32 processes burn simultaneously) and ambient
-    host noise swings single runs by 2-3x. Therefore: (a) levels default to
-    N=2 and 4N=8, which both sit inside the box's reliable physical
-    capacity — scaling beyond it measures hypervisor contention, not the
-    engine; (b) each level runs SCALE_REPS times (default 3) and the
+    Scaling job (override via SCALE_EVENTS / SCALE_MAX_KEYS): 32M change
+    events over a 2M-key universe — the steady-state regime of a long CDC
+    stream (state ≪ events, update-heavy), large enough that per-epoch
+    coordination (barriers, ramp, planning) amortizes the way it would on a
+    10^10-event run. Methodology notes (measured, see BASELINE.md): this
+    sandbox's 32 vCPUs deliver only ~8-12 physical cores of sustained
+    throughput (per-process speed collapses ~3x when 32 processes burn
+    simultaneously) and ambient host noise swings single runs by 2-3x.
+    Therefore: (a) levels default to N=2 and 4N=8, which both sit inside
+    the box's reliable physical capacity — a zero-coordination control
+    (64 independent numpy-burn Ray tasks) measures 0.98 efficiency at
+    these levels, so they isolate ENGINE scaling, not hypervisor
+    contention; (b) each level runs SCALE_REPS times (default 2) and the
     fastest run is reported, standard practice on noisy hosts. Override
     with SCALE_LO / SCALE_HI / SCALE_REPS.
     """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SKIP_QUERIES="1",
+            BENCH_EVENTS=os.environ.get("SCALE_EVENTS", "32000000"),
+            BENCH_MAX_KEYS=os.environ.get("SCALE_MAX_KEYS", "2000000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -181,7 +222,7 @@ def scaling() -> None:
 
     lo = int(os.environ.get("SCALE_LO", "2"))
     hi = int(os.environ.get("SCALE_HI", "8"))
-    reps = int(os.environ.get("SCALE_REPS", "3"))
+    reps = int(os.environ.get("SCALE_REPS", "2"))
     runs_lo = [run(lo) for _ in range(reps)]
     runs_hi = [run(hi) for _ in range(reps)]
     t_lo = min(r["value"] for r in runs_lo)
@@ -195,6 +236,7 @@ def scaling() -> None:
                 f"events_per_sec_{lo}": max(r["events_per_sec"] for r in runs_lo),
                 f"events_per_sec_{hi}": max(r["events_per_sec"] for r in runs_hi),
                 "scaling_efficiency": round(eff, 3),
+                "events": int(runs_lo[0]["events"]),
                 "reps": reps,
                 f"all_sec_{lo}": [r["value"] for r in runs_lo],
                 f"all_sec_{hi}": [r["value"] for r in runs_hi],

@@ -162,3 +162,24 @@ def test_finalize_false_defers_trailing_partial_epoch(tmp_path):
     r3 = run_ingest(files, lake, num_partitions=2, segments_per_epoch=4)
     assert r3["epochs_applied"] == 1 and r3["epochs_repaired"] == 0
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
+def test_task_exchange_equals_groupby_exchange(tmp_path):
+    """The raw-task hash exchange (default merge transport) must produce a
+    bit-identical lake to the Dataset groupby transport."""
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+
+    spec = StreamSpec(n_events=4000, n_repos=6, seed=37, segment_size=1000)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+    lakes = {}
+    for mode in ("tasks", "groupby"):
+        lake = scratch_lake_dir(f"ex_{mode}")
+        apply_epoch(
+            ray.data.read_parquet(files), lake, epoch=0,
+            num_partitions=4, exchange=mode,
+        )
+        lakes[mode] = lake
+    assert_state_equal(lake_final_table(lakes["tasks"]), lake_final_table(lakes["groupby"]))
+    assert_state_equal(lake_final_table(lakes["tasks"]), oracle_final_state(files))
