@@ -115,16 +115,6 @@ def _run_queries() -> dict[str, float]:
     return out
 
 
-def _quiet_data_estimators() -> None:
-    import logging
-
-    for name in (
-        "ray.data._internal.arrow_ops.transform_pyarrow",
-        "ray.data._internal.pandas_block",
-    ):
-        logging.getLogger(name).setLevel(logging.ERROR)
-
-
 def main() -> None:
     import logging
 
@@ -136,6 +126,13 @@ def main() -> None:
     # borrow 8 hidden IO threads per worker or low-CPU baselines are inflated
     io_threads = str(max(1, NUM_CPUS // 4))
     os.environ["ARROW_IO_THREADS"] = io_threads
+    # route Ray Data's two chatty per-block estimators (schema-hash dedup +
+    # pandas size sampling) to the session log file only — they warn on
+    # benign inputs (parquet pandas metadata, empty blocks) and would
+    # otherwise flood every bench tail. A logging-config yaml is the only
+    # override that survives ray.data's own dictConfig in workers.
+    log_yaml = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "ray_data_logging.yaml")
+    os.environ["RAY_DATA_LOGGING_CONFIG"] = log_yaml
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -143,12 +140,10 @@ def main() -> None:
         ignore_reinit_error=True,
         logging_level="ERROR",
         runtime_env={
-            "env_vars": {"ARROW_IO_THREADS": io_threads},
-            # silence Ray's two chatty per-block estimators (schema-hash
-            # dedup + pandas size sampling) inside worker processes — they
-            # warn on benign inputs (parquet pandas metadata, empty blocks)
-            # and would otherwise flood every bench tail
-            "worker_process_setup_hook": _quiet_data_estimators,
+            "env_vars": {
+                "ARROW_IO_THREADS": io_threads,
+                "RAY_DATA_LOGGING_CONFIG": log_yaml,
+            },
         },
     )
     DataContext.get_current().enable_progress_bars = False

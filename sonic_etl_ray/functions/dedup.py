@@ -38,18 +38,19 @@ def _sha256_series(texts: pd.Series) -> pd.Series:
 def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     """Exact dedup: hash-partition on sha256(text), keep the min-id row per
     group (deterministic winner; the reference keeps an arbitrary
-    ``ARRAY_AGG(… LIMIT 1)`` row — we strengthen to deterministic)."""
+    ``ARRAY_AGG(… LIMIT 1)`` row — we strengthen to deterministic).
+    Hashing reuses the zero-copy Arrow buffer walk from the CDC transform
+    (no per-row str materialization / re-encode)."""
+    from ..stages.transform import sha256_column
 
-    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["text_sha256"] = _sha256_series(b[text_col])
-        return b
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("text_sha256", sha256_column(t.column(text_col)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col, kind="stable").head(1)
 
     return (
-        ds.map_batches(add_hash, batch_format="pandas")
+        ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_sha256")
         .map_groups(keep_first, batch_format="pandas")
     )
@@ -233,6 +234,12 @@ def minhash_verified_pairs(
     return verified
 
 
+# verified-pair memo: (sf_dir, params) → DataFrame. The pair population is
+# tiny (it IS the dup set); memoizing lets pair-consumers (clustering) reuse
+# one LSH execution instead of re-running the whole pipeline.
+_VERIFIED_PAIRS_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
 def minhash_lsh_dedup(
     sf_dir: str,
     threshold: float = 0.8,
@@ -241,17 +248,23 @@ def minhash_lsh_dedup(
     k: int = 5,
 ) -> pd.DataFrame:
     """Verified near-dup pairs as a sorted DataFrame (query surface over
-    :func:`minhash_verified_pairs`). With ``bands == num_perm`` (one row per
-    band) LSH recall at ``jaccard ≥ t`` is ``1-(1-j)^num_perm`` ≈ 1, making
-    the output equal to the exact brute-force pair set — the configuration
-    the driver's SQL oracle verifies hash-for-hash."""
+    :func:`minhash_verified_pairs`). With high-recall band settings (small
+    rows-per-band) the LSH output equals the exact brute-force pair set —
+    the configuration the driver's SQL oracle verifies hash-for-hash."""
+    key = (sf_dir, threshold, num_perm, bands, k)
+    cached = _VERIFIED_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached.copy()
     out = minhash_verified_pairs(
         sf_dir, threshold=threshold, num_perm=num_perm, bands=bands, k=k
     ).to_pandas()
     if out.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        out = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    else:
+        out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    _VERIFIED_PAIRS_CACHE[key] = out
+    return out.copy()
 
 
 # ------------------------------------------------------------- clustering
@@ -331,11 +344,9 @@ def near_dup_clusters(
     else the distributed min-label-propagation path
     (:func:`label_propagation_clusters`) takes over — the 100 TB shape.
     """
-    pairs_ds = minhash_verified_pairs(sf_dir, threshold=threshold, **lsh_kwargs)
-    n_pairs = pairs_ds.count()
-    if n_pairs > max_driver_pairs:
-        return label_propagation_clusters(pairs_ds)
-    pairs = pairs_ds.to_pandas()
+    pairs = minhash_lsh_dedup(sf_dir, threshold=threshold, **lsh_kwargs)
+    if len(pairs) > max_driver_pairs:
+        return label_propagation_clusters(ray.data.from_pandas(pairs))
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -429,6 +429,19 @@ def _split_block_for_exchange(block: pa.Table, num_partitions: int) -> tuple:
     )
 
 
+def _exchange(ds: ray.data.Dataset, num_partitions: int) -> list[list]:
+    """Map side of the raw-task exchange: stream transformed blocks out of
+    the Dataset as they finish and fan each into per-partition slice refs
+    (object store only — the driver holds refs, never rows)."""
+    split = ray.remote(num_returns=num_partitions, num_cpus=1)(_split_block_for_exchange)
+    per_block_refs: list[list] = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = split.remote(block_ref, num_partitions)
+            per_block_refs.append([refs] if num_partitions == 1 else refs)
+    return per_block_refs
+
+
 def _exchange_and_merge(
     ds: ray.data.Dataset,
     lake_dir: str,
@@ -454,13 +467,7 @@ def _exchange_and_merge(
     in [0, num_partitions); commit-gate idempotence is unchanged, so task
     retries and resumed runs stay exactly-once.
     """
-    split = ray.remote(num_returns=num_partitions, num_cpus=1)(_split_block_for_exchange)
-    per_block_refs: list[list] = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            refs = split.remote(block_ref, num_partitions)
-            per_block_refs.append([refs] if num_partitions == 1 else refs)
-
+    per_block_refs = _exchange(ds, num_partitions)
     applier = MergeApplier(lake_dir, epoch, input_desc)
 
     @ray.remote(num_cpus=1)
@@ -779,15 +786,21 @@ def _run_ingest_fused(
         fn_kwargs={"num_partitions": num_partitions},
     )
     applier = FusedMergeApplier(lake_dir, epoch_inputs)
+    per_block_refs = _exchange(ds, num_partitions)
 
-    def merge_partition_fused(group: pa.Table) -> pa.Table:
-        return applier(group)
+    @ray.remote(num_cpus=1)
+    def fused_merge_task(*slices: pa.Table) -> list[dict[str, Any]]:
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            return []
+        out = applier(pa.concat_tables(live, promote_options="default"))
+        return out.to_pylist()
 
-    records = (
-        ds.groupby(PART_COLUMN, num_partitions=_shuffle_partitions(num_partitions))
-        .map_groups(merge_partition_fused, batch_format="pyarrow")
-        .take_all()
-    )
+    out_refs = [
+        fused_merge_task.remote(*[refs[p] for refs in per_block_refs])
+        for p in range(num_partitions)
+    ]
+    records = [r for part_records in ray.get(out_refs) for r in part_records]
     elapsed = round(time.perf_counter() - t0, 3)
     by_epoch: dict[int, list[dict]] = {}
     for r in records:
