@@ -107,8 +107,13 @@ def _run_queries() -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
+    from sonic_etl_ray.functions import dedup as _dedup
+
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        # every timing is self-contained: drop the verified-pair memo so
+        # pair-consumers (near_dup_clusters) pay their own LSH execution
+        _dedup._VERIFIED_PAIRS_CACHE.clear()
         t0 = time.perf_counter()
         fn(SF_DIR)
         out[name] = round(time.perf_counter() - t0, 3)

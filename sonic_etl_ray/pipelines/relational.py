@@ -281,7 +281,10 @@ def windowed_user_daily(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(t["ts"], unit="day")
+        # shuffle on the window start as int64 epoch-µs, not timestamp:
+        # integer keys exchange cheaper, and Ray's sort-map samples
+        # midnight-aligned timestamps through a numpy datetime64[D] detour
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
         t2 = pa.table({"user_id": t["user_id"], "day": day, "value": t["value"]})
         part = t2.group_by(["user_id", "day"]).aggregate([("value", "sum"), ("value", "count")])
         return part.rename_columns(["user_id", "day", "sum_value", "n_events"])
@@ -292,6 +295,7 @@ def windowed_user_daily(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
         .to_pandas()
     )
+    out["day"] = pd.to_datetime(out["day"], unit="us")
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
