@@ -200,6 +200,12 @@ def _q_ngram_pairs(sf_dir: str):
     return ngram_jaccard_pairs(sf_dir, threshold=0.5)
 
 
+def _q_media_stats(sf_dir: str):
+    from sonic_etl_ray.functions.multimodal import media_payload_stats
+
+    return media_payload_stats(sf_dir)
+
+
 def _q_embed_topk(sf_dir: str):
     from sonic_etl_ray.functions.similarity import brute_force_topk
 
@@ -342,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": _q_embed_neardup,
         "embedding_lsh_topk": _q_embed_lsh,
         "embedding_ivf_topk": _q_embed_ivf,
+        # multimodal: binary payloads through the actor-pool decode stage
+        "media_payload_stats": _q_media_stats,
         # composed end-to-end training-data prep (filter → dedup → tokenize)
         "prep_corpus": _q_prep_corpus,
     }
@@ -628,6 +636,22 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash_fingerprints"] = _simhash_sql()
 
     sql["ngram_jaccard_pairs"] = _brute_jaccard_sql(k=3, threshold=0.5, block="source")
+
+    # multimodal decode accounting: payload = utf-8 text bytes, so DuckDB's
+    # VARCHAR sha256/octet_length(encode(...)) mirror the binary-side values
+    sql["media_payload_stats"] = """
+        WITH h AS (
+          SELECT source, sha256(text) AS payload_sha256,
+                 COUNT(*) AS n_dup,
+                 SUM(octet_length(encode(text))) AS bytes_all
+          FROM documents GROUP BY source, sha256(text)
+        )
+        SELECT source,
+               SUM(n_dup) AS n_media,
+               COUNT(*) AS n_unique_payloads,
+               SUM(bytes_all) AS total_bytes
+        FROM h GROUP BY source ORDER BY source
+    """
 
     # minhash gate config has ≈0 LSH miss probability (see _MH) → the LSH
     # output equals the brute-force pair set, which SQL computes exactly

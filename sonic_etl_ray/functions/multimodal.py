@@ -80,18 +80,26 @@ class DecodeStub:
                 "media decode requires codec libraries not present in this container; "
                 "construct DecodeStub(fake=True) for the deterministic test path"
             )
-        feats = [self._features(p) for p in batch.column("payload").to_pylist()]
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "kind": batch.column("kind"),
-                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-                "payload_sha256": pa.array(
-                    [hashlib.sha256(p).hexdigest() for p in batch.column("payload").to_pylist()],
-                    pa.string(),
-                ),
-            }
-        )
+        import pyarrow.compute as pc
+
+        payloads = batch.column("payload").to_pylist()
+        feats = [self._features(p) for p in payloads]
+        cols = {
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            "payload_sha256": pa.array(
+                [hashlib.sha256(p).hexdigest() for p in payloads], pa.string()
+            ),
+            # decoders report sizes; downstream accounting needs them
+            "payload_bytes": pc.cast(pc.binary_length(batch.column("payload")), pa.int64()),
+        }
+        # metadata columns ride along (a production pipeline must not drop
+        # the keys/labels it later aggregates or joins on)
+        for name in batch.schema.names:
+            if name not in cols and name != "payload":
+                cols[name] = batch.column(name)
+        return pa.table(cols)
 
 
 def extract_features(ds: ray.data.Dataset, fake: bool = True, batch_size: int = 16) -> ray.data.Dataset:
@@ -105,3 +113,49 @@ def extract_features(ds: ray.data.Dataset, fake: bool = True, batch_size: int = 
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+def media_payload_stats(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
+    """Per-source media accounting through the FULL multimodal path.
+
+    Drives the production plumbing end-to-end on deterministic payloads:
+    the ``documents`` table's utf-8 text bytes stand in for opaque media
+    blobs (zero-copy ``cast(string → binary)``), flow through the
+    actor-pool decode stage (:class:`DecodeStub`, fake deterministic
+    decode), and are aggregated per source label: item count, distinct
+    payload count (content-hash dedup, the A1–A4 count-invariant shape),
+    and total payload bytes. Two groupbys, both on (source, hash) →
+    (source): the per-hash pre-aggregate bounds the second shuffle to
+    unique payloads, the same combiner discipline as the ingest path."""
+    import pandas as pd
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "kind": pa.array(["doc"] * len(t), pa.string()),
+                "payload": pc2.cast(t["text"], pa.binary()),  # utf-8 bytes, zero-copy
+                "source": t["source"],
+            }
+        )
+
+    feats = extract_features(ds.map_batches(to_media, batch_format="pyarrow"), fake=True)
+    per_hash = feats.select_columns(["source", "payload_sha256", "payload_bytes"]).groupby(
+        ["source", "payload_sha256"]
+    ).aggregate(Count(alias_name="n_dup"), Sum("payload_bytes", alias_name="bytes_all"))
+    out = (
+        per_hash.groupby("source")
+        .aggregate(
+            Sum("n_dup", alias_name="n_media"),
+            Count(alias_name="n_unique_payloads"),
+            Sum("bytes_all", alias_name="total_bytes"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("source").reset_index(drop=True)

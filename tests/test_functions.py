@@ -246,3 +246,36 @@ def test_fingerprint_batch_matches_rolling_definition():
         for tok in re.findall(r"\S+", t):
             h = (h * FP_BASE + hash_token(tok)) & 0xFFFFFFFFFFFFFFFF
         assert int(g) == h
+
+
+def test_media_payload_stats_matches_pandas():
+    """The multimodal decode → per-source accounting must equal a local
+    pandas/hashlib replay (item count, unique-payload count, total bytes)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.functions.multimodal import media_payload_stats
+
+    out = media_payload_stats(SF)
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["text", "source"]).to_pandas()
+    df["payload"] = df["text"].str.encode("utf-8")
+    df["sha"] = df["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
+    df["nbytes"] = df["payload"].str.len()
+    ref = (
+        df.groupby("source")
+        .agg(
+            n_media=("sha", "size"),
+            n_unique_payloads=("sha", "nunique"),
+            total_bytes=("nbytes", "sum"),
+        )
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    lhs = out[["source", "n_media", "n_unique_payloads", "total_bytes"]].astype(
+        {"n_media": "int64", "n_unique_payloads": "int64", "total_bytes": "int64"}
+    )
+    pd.testing.assert_frame_equal(lhs, ref.astype(
+        {"n_media": "int64", "n_unique_payloads": "int64", "total_bytes": "int64"}
+    ))
