@@ -306,6 +306,12 @@ def _q_cdc_multitable(sf_dir: str):
     return cdc_multitable_counts(sf_dir)
 
 
+def _q_cdc_feed(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_change_feed
+
+    return cdc_change_feed(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the core): real pipeline vs SQL-window oracle
@@ -320,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_decoded_events": _q_cdc_decoded,
         "cdc_multitable_counts": _q_cdc_multitable,
         "cdc_nested_evolution": _q_cdc_nested,
+        "cdc_change_feed": _q_cdc_feed,
         # relational operator surface
         "q1_pricing_summary": _q_q1,
         "q6_filter_revenue": _q_q6,

@@ -319,6 +319,48 @@ def cdc_multitable_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("repo").reset_index(drop=True)
 
 
+FEED_COLUMNS = [
+    "change_type", "repo", "path", "commit", "lang", "content",
+    "content_sha256", "size_bytes", "lsn",
+]
+
+
+def cdc_change_feed(sf_dir: str) -> pd.DataFrame:
+    """Per-epoch applied-changes feed (the Delta-CDF analog of the
+    reference's per-table publish stream, ``sonic_config/mod.rs:501-574``):
+    the event log is replayed as TWO epochs split at the median LSN, then
+    the feed for epoch 1 is read back from the lake — one row per logical
+    change (insert/update/delete) with the post-image payload and winning
+    LSN. The oracle restates it as the set-diff of the two LWW snapshots."""
+    from ray.data.aggregate import Max, Min
+
+    from ..pipelines.ingest import read_change_feed
+
+    ids = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    agg = ids.aggregate(Min("event_id"), Max("event_id"))
+    split = (int(agg["min(event_id)"]) + int(agg["max(event_id)"])) // 2
+
+    def _lt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["lsn"], split))
+
+    def _ge(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["lsn"], split))
+
+    lake = scratch_lake_dir("cdcfeed")
+    apply_epoch(
+        _events_as_cdc(sf_dir).map_batches(_lt, batch_format="pyarrow"),
+        lake, epoch=0, num_partitions=8,
+    )
+    apply_epoch(
+        _events_as_cdc(sf_dir).map_batches(_ge, batch_format="pyarrow"),
+        lake, epoch=1, num_partitions=8,
+    )
+    out = read_change_feed(lake, epoch=1).to_pandas()[FEED_COLUMNS]
+    out["size_bytes"] = out["size_bytes"].astype("float64")
+    out["lsn"] = out["lsn"].astype("int64")
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -412,6 +454,29 @@ ORACLES: dict[str, str] = {
            COALESCE(d.n_decoded, 0) AS n_decoded
     FROM fcounts f FULL OUTER JOIN dcounts d ON f.repo = d.repo
     ORDER BY repo""",
+    # change feed for epoch 1 = set-diff of the LWW snapshot over the full
+    # stream vs the snapshot over lsn < median split (identical split
+    # arithmetic to the engine: integer-floored midpoint of min/max lsn)
+    "cdc_change_feed": ORACLE_SRC
+    + """
+    , split AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS s FROM src),
+    last0 AS (
+      SELECT * FROM src WHERE lsn < (SELECT s FROM split)
+      QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1
+    ),
+    final0 AS (SELECT repo, path, lsn AS applied_lsn FROM last0 WHERE op <> 'delete')
+    SELECT CASE WHEN f0.repo IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+           f1.repo, f1.path, f1."commit", f1.lang, f1.content, f1.content_sha256,
+           CAST(f1.size_bytes AS DOUBLE) AS size_bytes, f1.applied_lsn AS lsn
+    FROM final f1 LEFT JOIN final0 f0 ON f1.repo = f0.repo AND f1.path = f0.path
+    WHERE f0.repo IS NULL OR f1.applied_lsn <> f0.applied_lsn
+    UNION ALL
+    SELECT 'delete' AS change_type, f0.repo, f0.path,
+           NULL AS "commit", NULL AS lang, NULL AS content,
+           NULL AS content_sha256, CAST(NULL AS DOUBLE) AS size_bytes, l.lsn
+    FROM final0 f0 JOIN last l ON f0.repo = l.repo AND f0.path = l.path
+    WHERE l.op = 'delete'
+    ORDER BY repo, path""",
     "cdc_gap_detect": """
     WITH present AS (SELECT event_id AS lsn FROM events WHERE event_id % 97 <> 3),
     bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM present),

@@ -942,6 +942,128 @@ def _drop_tombstones(tbl: pa.Table) -> pa.Table:
     return tbl
 
 
+# ------------------------------------------------------------ change feed
+
+CHANGE_FEED_TYPES = ("insert", "update", "delete")
+
+
+def _empty_feed_table() -> pa.Table:
+    fields = [pa.field("change_type", pa.string(), nullable=False)]
+    for f in STATE_SCHEMA:
+        if f.name == "applied_lsn":
+            fields.append(pa.field("lsn", pa.int64()))
+        elif f.name != "deleted":
+            fields.append(pa.field(f.name, f.type))
+    return pa.schema(fields).empty_table()
+
+
+def _diff_partition_states(lake_dir: str, part: int, epoch: int) -> pa.Table:
+    """Logical change rows for one partition in one epoch: diff of the live
+    state as of ``epoch`` vs ``epoch - 1`` (two copy-on-write files, in-task
+    hash joins — co-partitioned by construction, so no shuffle exists in the
+    whole feed read)."""
+    empty = _empty_feed_table()
+    cur = cl.latest_state(lake_dir, part, max_epoch=epoch)
+    if cur is None:
+        return empty
+    prev = cl.latest_state(lake_dir, part, max_epoch=epoch - 1)
+    if prev is not None and prev[0] == cur[0]:
+        return empty  # partition untouched in this epoch
+    cur_t = pq.read_table(cur[0])
+    prev_t = pq.read_table(prev[0]) if prev is not None else None
+
+    deleted = pc.fill_null(cur_t.column("deleted"), False)
+    cur_live = cur_t.filter(pc.invert(deleted))
+    tomb = cur_t.filter(deleted).select(["repo", "path", "applied_lsn"])
+    if prev_t is not None:
+        prev_live = prev_t.filter(
+            pc.invert(pc.fill_null(prev_t.column("deleted"), False))
+        ).select(["repo", "path", "applied_lsn"])
+    else:
+        prev_live = pa.table(
+            {"repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+             "applied_lsn": pa.array([], pa.int64())}
+        )
+
+    # inserts + updates: live keys whose winning LSN moved this epoch
+    pri = prev_live.rename_columns(["repo", "path", "__prior_lsn"])
+    j = cur_live.join(pri, keys=["repo", "path"], join_type="left outer")
+    moved = j.filter(
+        pc.or_kleene(
+            pc.is_null(j.column("__prior_lsn")),
+            pc.not_equal(j.column("applied_lsn"), j.column("__prior_lsn")),
+        )
+    )
+    change_type = pc.if_else(pc.is_null(moved.column("__prior_lsn")), "insert", "update")
+
+    payload_names = [f.name for f in empty.schema if f.name not in ("change_type", "lsn")]
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {"change_type": change_type}
+    for name in payload_names:
+        cols[name] = (
+            moved.column(name)
+            if name in moved.column_names
+            else pa.nulls(len(moved), empty.schema.field(name).type)
+        )
+    cols["lsn"] = moved.column("applied_lsn")
+    upserts = pa.table(cols).cast(empty.schema)
+
+    # deletes: keys live before, tombstoned now (lsn = the tombstone's LSN;
+    # payload columns are null — the post-image of a delete is no row)
+    gone = prev_live.select(["repo", "path"]).join(
+        cur_live.select(["repo", "path"]), keys=["repo", "path"], join_type="left anti"
+    )
+    gone = gone.join(tomb, keys=["repo", "path"], join_type="left outer")
+    dcols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "change_type": pa.array(["delete"] * len(gone), pa.string())
+    }
+    for name in payload_names:
+        dcols[name] = (
+            gone.column(name)
+            if name in ("repo", "path")
+            else pa.nulls(len(gone), empty.schema.field(name).type)
+        )
+    dcols["lsn"] = gone.column("applied_lsn")
+    deletes = pa.table(dcols).cast(empty.schema)
+
+    out = pa.concat_tables([upserts, deletes])
+    if len(out) == 0:
+        return empty
+    return out.take(pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+
+
+def read_change_feed(lake_dir: str, epoch: int) -> ray.data.Dataset:
+    """The applied-changes feed for one epoch as a Dataset — the change-data-
+    feed surface of the lake (Delta CDF analog; the queryable form of the
+    reference's per-table publish stream, ``sonic_config/mod.rs:501-574``).
+
+    Row per logical change in ``epoch``: ``change_type`` ∈ insert/update/
+    delete, the post-image payload columns (null for deletes), and the
+    winning LSN. Execution is one task per touched partition diffing two
+    copy-on-write state files (time-travel reads) — partition-parallel,
+    zero shuffle, output canonically sorted within each partition."""
+    parts = []
+    if os.path.isdir(lake_dir):
+        for name in sorted(os.listdir(lake_dir)):
+            if name.startswith("part="):
+                parts.append(int(name.split("=")[1]))
+    if not parts:
+        return ray.data.from_arrow(_empty_feed_table())
+
+    def diff_batch(b: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
+        tables = [
+            _diff_partition_states(lake_dir, int(p), epoch) for p in b.column("part").to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else _empty_feed_table()
+
+    parts_ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
+    return parts_ds.map_batches(
+        diff_batch,
+        fn_kwargs={"lake_dir": lake_dir, "epoch": epoch},
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
     """Garbage-collect superseded copy-on-write state files.
 
