@@ -312,6 +312,18 @@ def _q_cdc_feed(sf_dir: str):
     return cdc_change_feed(sf_dir)
 
 
+def _q_cdc_feed_view(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_feed_incremental_view
+
+    return cdc_feed_incremental_view(sf_dir)
+
+
+def _q_cdc_timetravel(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_time_travel
+
+    return cdc_time_travel(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the core): real pipeline vs SQL-window oracle
@@ -327,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multitable_counts": _q_cdc_multitable,
         "cdc_nested_evolution": _q_cdc_nested,
         "cdc_change_feed": _q_cdc_feed,
+        "cdc_feed_incremental_view": _q_cdc_feed_view,
+        "cdc_time_travel": _q_cdc_timetravel,
         # relational operator surface
         "q1_pricing_summary": _q_q1,
         "q6_filter_revenue": _q_q6,

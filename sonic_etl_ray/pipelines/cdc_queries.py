@@ -361,6 +361,60 @@ def cdc_change_feed(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+N_FEED_EPOCHS = 4
+
+
+def _replay_quartile_epochs(sf_dir: str, tag: str) -> tuple[str, int, int]:
+    """Replay the event log as N_FEED_EPOCHS contiguous-LSN epochs (epoch of
+    an event = (lsn-lo)*N // (hi-lo+1), mirrored exactly in SQL)."""
+    from ray.data.aggregate import Max, Min
+
+    ids = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    agg = ids.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(agg["min(event_id)"]), int(agg["max(event_id)"])
+    span = hi - lo + 1
+    lake = scratch_lake_dir(tag)
+    for e in range(N_FEED_EPOCHS):
+
+        def in_epoch(t: pa.Table, e: int = e) -> pa.Table:
+            ep = pc.divide(
+                pc.multiply(pc.subtract(t["lsn"], lo), N_FEED_EPOCHS), span
+            )
+            return t.filter(pc.equal(ep, e))
+
+        apply_epoch(
+            _events_as_cdc(sf_dir).map_batches(in_epoch, batch_format="pyarrow"),
+            lake, epoch=e, num_partitions=8,
+        )
+    return lake, lo, span
+
+
+def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
+    """Downstream per-lang aggregate maintained ONLY from the change feed
+    (insert/update post-images add, update_preimage/delete pre-images
+    subtract) across a 4-epoch replay — never rescanning the lake. The
+    oracle recomputes the same view from the final LWW snapshot, so the
+    compare proves the incremental deltas telescope to the true state."""
+    from ..pipelines.ingest import feed_incremental_agg
+
+    lake, _, _ = _replay_quartile_epochs(sf_dir, "cdcview")
+    out = feed_incremental_agg(lake, range(N_FEED_EPOCHS), group_col="lang")
+    out["n_files"] = out["n_files"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return out
+
+
+def cdc_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-as-of read: replay 4 epochs, read the lake as of epoch 1
+    (time travel over the copy-on-write commit log) — the oracle is the LWW
+    snapshot over the first two epochs' LSN span only."""
+    from ..pipelines.ingest import lake_final_table
+
+    lake, lo, span = _replay_quartile_epochs(sf_dir, "cdctt")
+    out = lake_final_table(lake, as_of_epoch=1).select(FINAL_COLUMNS).to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -477,6 +531,25 @@ ORACLES: dict[str, str] = {
     FROM final0 f0 JOIN last l ON f0.repo = l.repo AND f0.path = l.path
     WHERE l.op = 'delete'
     ORDER BY repo, path""",
+    # incremental CDF-consumer view must telescope to the per-lang aggregate
+    # of the final LWW snapshot
+    "cdc_feed_incremental_view": ORACLE_SRC
+    + """
+    SELECT lang, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes
+    FROM final GROUP BY lang ORDER BY lang""",
+    # as-of epoch 1 of 4 = LWW snapshot over events whose epoch index
+    # ((lsn-lo)*4 // span, identical integer arithmetic to the engine) <= 1
+    "cdc_time_travel": ORACLE_SRC
+    + f"""
+    , bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) - MIN(lsn) + 1 AS span FROM src),
+    lastt AS (
+      SELECT s.* FROM src s, bounds b
+      WHERE ((s.lsn - b.lo) * {N_FEED_EPOCHS}) // b.span <= 1
+      QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1
+    )
+    SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha256,
+           CAST(strlen(content) AS BIGINT) AS size_bytes, lsn AS applied_lsn
+    FROM lastt WHERE op <> 'delete' ORDER BY repo, path""",
     "cdc_gap_detect": """
     WITH present AS (SELECT event_id AS lsn FROM events WHERE event_id % 97 <> 3),
     bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM present),

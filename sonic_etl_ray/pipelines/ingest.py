@@ -957,7 +957,29 @@ def _empty_feed_table() -> pa.Table:
     return pa.schema(fields).empty_table()
 
 
-def _diff_partition_states(lake_dir: str, part: int, epoch: int) -> pa.Table:
+def _feed_payload_rows(
+    src: pa.Table, change_type: pa.Array | str, lsn: pa.Array | pa.ChunkedArray
+) -> pa.Table:
+    """Project a state-shaped table onto the feed schema (missing evolved
+    columns → null) with the given change_type/lsn columns."""
+    empty = _empty_feed_table()
+    payload_names = [f.name for f in empty.schema if f.name not in ("change_type", "lsn")]
+    if isinstance(change_type, str):
+        change_type = pa.array([change_type] * len(src), pa.string())
+    cols: dict[str, Any] = {"change_type": change_type}
+    for name in payload_names:
+        cols[name] = (
+            src.column(name)
+            if name in src.column_names
+            else pa.nulls(len(src), empty.schema.field(name).type)
+        )
+    cols["lsn"] = lsn
+    return pa.table(cols).cast(empty.schema)
+
+
+def _diff_partition_states(
+    lake_dir: str, part: int, epoch: int, include_preimages: bool = False
+) -> pa.Table:
     """Logical change rows for one partition in one epoch: diff of the live
     state as of ``epoch`` vs ``epoch - 1`` (two copy-on-write files, in-task
     hash joins — co-partitioned by construction, so no shuffle exists in the
@@ -975,10 +997,12 @@ def _diff_partition_states(lake_dir: str, part: int, epoch: int) -> pa.Table:
     deleted = pc.fill_null(cur_t.column("deleted"), False)
     cur_live = cur_t.filter(pc.invert(deleted))
     tomb = cur_t.filter(deleted).select(["repo", "path", "applied_lsn"])
+    prev_full = None
     if prev_t is not None:
-        prev_live = prev_t.filter(
+        prev_full = prev_t.filter(
             pc.invert(pc.fill_null(prev_t.column("deleted"), False))
-        ).select(["repo", "path", "applied_lsn"])
+        )
+        prev_live = prev_full.select(["repo", "path", "applied_lsn"])
     else:
         prev_live = pa.table(
             {"repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
@@ -995,43 +1019,54 @@ def _diff_partition_states(lake_dir: str, part: int, epoch: int) -> pa.Table:
         )
     )
     change_type = pc.if_else(pc.is_null(moved.column("__prior_lsn")), "insert", "update")
-
-    payload_names = [f.name for f in empty.schema if f.name not in ("change_type", "lsn")]
-    cols: dict[str, pa.Array | pa.ChunkedArray] = {"change_type": change_type}
-    for name in payload_names:
-        cols[name] = (
-            moved.column(name)
-            if name in moved.column_names
-            else pa.nulls(len(moved), empty.schema.field(name).type)
-        )
-    cols["lsn"] = moved.column("applied_lsn")
-    upserts = pa.table(cols).cast(empty.schema)
+    upserts = _feed_payload_rows(moved, change_type, moved.column("applied_lsn"))
 
     # deletes: keys live before, tombstoned now (lsn = the tombstone's LSN;
-    # payload columns are null — the post-image of a delete is no row)
-    gone = prev_live.select(["repo", "path"]).join(
+    # payload columns are null — the post-image of a delete is no row —
+    # unless pre-images are requested, in which case they carry the deleted
+    # row's last live values, Delta-CDF delete semantics)
+    gone_keys = prev_live.select(["repo", "path"]).join(
         cur_live.select(["repo", "path"]), keys=["repo", "path"], join_type="left anti"
     )
-    gone = gone.join(tomb, keys=["repo", "path"], join_type="left outer")
-    dcols: dict[str, pa.Array | pa.ChunkedArray] = {
-        "change_type": pa.array(["delete"] * len(gone), pa.string())
-    }
-    for name in payload_names:
-        dcols[name] = (
-            gone.column(name)
-            if name in ("repo", "path")
-            else pa.nulls(len(gone), empty.schema.field(name).type)
+    if include_preimages and prev_full is not None:
+        gone = prev_full.drop_columns(["applied_lsn"]).join(
+            gone_keys.join(tomb, keys=["repo", "path"], join_type="left outer"),
+            keys=["repo", "path"],
+            join_type="inner",
         )
-    dcols["lsn"] = gone.column("applied_lsn")
-    deletes = pa.table(dcols).cast(empty.schema)
+    else:
+        gone = gone_keys.join(tomb, keys=["repo", "path"], join_type="left outer")
+    deletes = _feed_payload_rows(gone, "delete", gone.column("applied_lsn"))
 
-    out = pa.concat_tables([upserts, deletes])
+    parts = [upserts, deletes]
+    if include_preimages and prev_full is not None:
+        # update_preimage rows: the overwritten row's values, at its own LSN
+        upd_keys = moved.filter(pc.is_valid(moved.column("__prior_lsn"))).select(
+            ["repo", "path"]
+        )
+        pre = prev_full.join(upd_keys, keys=["repo", "path"], join_type="left semi")
+        parts.append(
+            _feed_payload_rows(pre, "update_preimage", pre.column("applied_lsn"))
+        )
+
+    out = pa.concat_tables(parts)
     if len(out) == 0:
         return empty
-    return out.take(pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("change_type", "ascending"),
+            ],
+        )
+    )
 
 
-def read_change_feed(lake_dir: str, epoch: int) -> ray.data.Dataset:
+def read_change_feed(
+    lake_dir: str, epoch: int, include_preimages: bool = False
+) -> ray.data.Dataset:
     """The applied-changes feed for one epoch as a Dataset — the change-data-
     feed surface of the lake (Delta CDF analog; the queryable form of the
     reference's per-table publish stream, ``sonic_config/mod.rs:501-574``).
@@ -1049,19 +1084,75 @@ def read_change_feed(lake_dir: str, epoch: int) -> ray.data.Dataset:
     if not parts:
         return ray.data.from_arrow(_empty_feed_table())
 
-    def diff_batch(b: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
+    def diff_batch(
+        b: pa.Table, lake_dir: str, epoch: int, include_preimages: bool
+    ) -> pa.Table:
         tables = [
-            _diff_partition_states(lake_dir, int(p), epoch) for p in b.column("part").to_pylist()
+            _diff_partition_states(lake_dir, int(p), epoch, include_preimages)
+            for p in b.column("part").to_pylist()
         ]
         return pa.concat_tables(tables) if tables else _empty_feed_table()
 
     parts_ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
     return parts_ds.map_batches(
         diff_batch,
-        fn_kwargs={"lake_dir": lake_dir, "epoch": epoch},
+        fn_kwargs={
+            "lake_dir": lake_dir,
+            "epoch": epoch,
+            "include_preimages": include_preimages,
+        },
         batch_format="pyarrow",
         batch_size=1,
     )
+
+
+def feed_incremental_agg(
+    lake_dir: str, epochs: Iterable[int], group_col: str = "lang"
+) -> pd.DataFrame:
+    """A downstream aggregate table (``n_files``, ``total_bytes`` per
+    ``group_col``) maintained INCREMENTALLY from the change feed — the
+    CDF-consumer pattern: per epoch, post-image rows add and pre-image/
+    delete rows subtract, so the view advances without ever rescanning the
+    lake. Per-epoch work is one feed read + an in-task combiner; only the
+    tiny per-group delta table reaches the driver (the view itself is
+    aggregate-sized by definition).
+
+    The reference maintains its derived per-table stats the rescan-heavy
+    way (scheduled full-table QC queries, ``qc/row_counts.py:85-102``);
+    this is the incremental equivalent its daily MERGE repair never had."""
+    import pandas as pd
+
+    totals: dict[str, tuple[int, int]] = {}
+    for epoch in epochs:
+        feed = read_change_feed(lake_dir, epoch, include_preimages=True)
+
+        def delta(t: pa.Table) -> pa.Table:
+            sign = pc.if_else(
+                pc.is_in(t["change_type"], value_set=pa.array(["insert", "update"])),
+                pa.scalar(1, pa.int64()),
+                pa.scalar(-1, pa.int64()),
+            )
+            d = pa.table(
+                {
+                    "group": t[group_col],
+                    "dn": sign,
+                    "dbytes": pc.multiply(
+                        sign, pc.coalesce(t["size_bytes"], pa.scalar(0, pa.int64()))
+                    ),
+                }
+            )
+            return d.group_by("group").aggregate([("dn", "sum"), ("dbytes", "sum")])
+
+        partials = feed.map_batches(delta, batch_format="pyarrow").to_pandas()
+        for _, row in partials.iterrows():
+            n, b = totals.get(row["group"], (0, 0))
+            totals[row["group"]] = (n + int(row["dn_sum"]), b + int(row["dbytes_sum"]))
+
+    out = pd.DataFrame(
+        [(g, n, b) for g, (n, b) in totals.items() if n != 0 or b != 0],
+        columns=[group_col, "n_files", "total_bytes"],
+    )
+    return out.sort_values(group_col).reset_index(drop=True)
 
 
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
