@@ -82,25 +82,34 @@ def _run_headline() -> dict:
         lambda b: b, batch_size=1
     ).materialize()  # touch every worker slot
     shutil.rmtree(warm_lake, ignore_errors=True)
-    t0 = time.perf_counter()
-    # job shape is FIXED (P=32, 128 read blocks) so runs at different
-    # num_cpus execute the identical job — required for scaling comparisons
-    run_ingest(
-        files,
-        lake,
-        num_partitions=32,
-        segments_per_epoch=int(os.environ.get("BENCH_SPE", "32")),
-        read_kwargs={"override_num_blocks": 128},
-        fused=bool(os.environ.get("BENCH_FUSED")),
-    )
-    sec = time.perf_counter() - t0
+    # min-of-reps (BENCH_REPS, default 2): ambient host noise swings
+    # identical runs 2-3x on this sandbox (measured, BASELINE.md §2.5) —
+    # same practice the scaling harness already uses; all raws reported
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    secs: list[float] = []
+    rows = 0
+    for _ in range(max(reps, 1)):
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        # job shape is FIXED (P=32, 128 read blocks) so runs at different
+        # num_cpus execute the identical job — required for scaling comparisons
+        run_ingest(
+            files,
+            lake,
+            num_partitions=32,
+            segments_per_epoch=int(os.environ.get("BENCH_SPE", "32")),
+            read_kwargs={"override_num_blocks": 128},
+            fused=bool(os.environ.get("BENCH_FUSED")),
+        )
+        secs.append(time.perf_counter() - t0)
     n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))
     from sonic_etl_ray.pipelines.ingest import read_lake
 
     rows = read_lake(lake, columns=["repo"]).count()
     shutil.rmtree(lake, ignore_errors=True)
+    sec = min(secs)
     return {"sec": sec, "events": n, "events_per_sec": n / sec, "final_rows": rows,
-            "segments": n_events}
+            "segments": n_events, "rep_secs": [round(s, 3) for s in secs]}
 
 
 def _run_queries() -> dict[str, float]:
@@ -175,6 +184,7 @@ def main() -> None:
                 "unit": "sec",
                 "events": headline["events"],
                 "events_per_sec": round(headline["events_per_sec"], 1),
+                "rep_secs": headline["rep_secs"],
                 "final_rows": headline["final_rows"],
                 "queries": queries,
                 "sf": _sf_tag(),
