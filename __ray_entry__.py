@@ -167,6 +167,24 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup_docs(sf_dir)
 
 
+def _q_split(sf_dir: str):
+    from sonic_etl_ray.functions.sampling import split_documents
+
+    return split_documents(sf_dir)
+
+
+def _q_stratified(sf_dir: str):
+    from sonic_etl_ray.functions.sampling import stratified_sample_docs
+
+    return stratified_sample_docs(sf_dir)
+
+
+def _q_vocab(sf_dir: str):
+    from sonic_etl_ray.functions.sampling import vocab_topk
+
+    return vocab_topk(sf_dir)
+
+
 # MinHash gate config: k=9 shingles separate the corpus (true near-dups at
 # j≥0.9, ambient pairs ≤~0.1), and 21 bands × 3 rows give miss-probability
 # ~2e-14 at j=0.9 — so the LSH output EQUALS the brute-force pair set and a
@@ -361,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
+        "split_assign": _q_split,
+        "stratified_sample": _q_stratified,
+        "vocab_topk": _q_vocab,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
@@ -561,6 +582,25 @@ def oracle_sql() -> dict[str, str]:
     sql["token_counts"] = f"""
         SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
         FROM documents ORDER BY doc_id"""
+
+    # hash-bucket split/sample: md5_number_lower over the same key strings
+    # the engine hashes — bit-identical buckets, content-stable assignment
+    sql["split_assign"] = """
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+              FROM documents)
+        ORDER BY doc_id"""
+
+    sql["stratified_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE md5_number_lower(lang || ':' || CAST(doc_id AS VARCHAR)) % 100 < 20
+        ORDER BY doc_id"""
+
+    sql["vocab_topk"] = f"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_TOK}) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 50"""
 
     sql["bpe_token_counts"] = r"""
         SELECT doc_id,

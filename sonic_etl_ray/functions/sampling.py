@@ -1,0 +1,113 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+The reference has NO sampling surface at all (SURVEY §2.7: "No top-k, no
+sampling"), yet every large-scale training-data pipeline needs content-stable
+dataset splits and stratified subsamples. All operators here are built on the
+same primitive: a per-row hash bucket from ``md5_number_lower`` (low 8 bytes
+of md5, little-endian) over a deterministic key string — exactly DuckDB's
+function of the same name, so every op has an exact SQL oracle and the same
+row lands in the same split on every engine, at any scale, under any
+partitioning (no RNG state, no driver coordination, embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .text import TOKEN_RE, md5_u64
+
+# train/val/test boundaries over 100 hash buckets
+SPLIT_BOUNDS = (("train", 90), ("val", 95), ("test", 100))
+
+
+def _hash_bucket(keys: list[str], mod: int) -> np.ndarray:
+    return (md5_u64(keys) % np.uint64(mod)).astype(np.int64)
+
+
+def assign_splits(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    """Hash-split every row into train/val/test (90/5/5) keyed on the id —
+    content-stable: adding or removing other rows never moves an existing
+    row's split (the property random shuffles + fractions lack)."""
+
+    def split_batch(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = _hash_bucket([str(i) for i in b[id_col]], 100)
+        split = np.full(len(b), "train", dtype=object)
+        for name, hi in reversed(SPLIT_BOUNDS):  # test, val, then train
+            split[bucket < hi] = name
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "split": split})
+
+    return ds.map_batches(split_batch, batch_format="pandas")
+
+
+def split_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-document split assignment over the documents table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = assign_splits(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    pct: int = 20,
+) -> ray.data.Dataset:
+    """Keep ``pct``% of rows per stratum, deterministically: the hash key is
+    ``stratum:id`` so each stratum is sampled independently (a doc's
+    membership never shifts when other strata grow — the property a global
+    ``random_sample`` lacks) and no shuffle is needed (pure per-batch
+    filter; the stratum column rides along in the same batch)."""
+
+    def sample_batch(b: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"{s}:{i}" for s, i in zip(b[stratum_col], b[id_col])]
+        keep = _hash_bucket(keys, 100) < pct
+        return b.loc[keep].reset_index(drop=True)
+
+    return ds.map_batches(sample_batch, batch_format="pandas")
+
+
+def stratified_sample_docs(sf_dir: str, pct: int = 20) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(ds, pct=pct).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Top-k corpus vocabulary by global token frequency.
+
+    Scale shape: per-batch token counting is a COMBINER (each batch emits
+    one row per distinct token in the batch, not one per occurrence), the
+    only shuffle is the groupby over (token, partial-count) rows, and the
+    global top-k is per-block top-k → a sort of ≤ k rows per block — the
+    same pre-aggregate + bounded-sort pattern as ``top_orders_by_revenue``.
+    Ties break lexicographically so the result is total-order deterministic
+    (and matches the SQL oracle's ORDER BY n DESC, token ASC)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.findall(TOKEN_RE).explode().dropna()
+        if toks.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")})
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")})
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
+
+    out = totals.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1,0 +1,64 @@
+"""Deterministic split / stratified-sample / vocab operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from sonic_etl_ray.functions.sampling import (
+    assign_splits,
+    stratified_sample,
+    vocab_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_proportions_and_stability():
+    ids = pd.DataFrame({"doc_id": np.arange(10_000, dtype=np.int64)})
+    out = assign_splits(ray.data.from_pandas(ids)).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.88 < frac["train"] < 0.92
+    assert 0.03 < frac["val"] < 0.07
+    assert 0.03 < frac["test"] < 0.07
+    # content-stable: a row's split never moves when the corpus shrinks
+    sub = assign_splits(ray.data.from_pandas(ids.head(100))).to_pandas()
+    merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_stratified_sample_per_stratum_independent():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5_000, dtype=np.int64),
+            "lang": np.where(np.arange(5_000) % 10 == 0, "rare", "common"),
+        }
+    )
+    out = stratified_sample(ray.data.from_pandas(df), pct=20).to_pandas()
+    by = out.groupby("lang").size()
+    n_rare, n_common = 500, 4_500
+    assert 0.12 < by["rare"] / n_rare < 0.28  # ~20% of the small stratum too
+    assert 0.17 < by["common"] / n_common < 0.23
+    # dropping the other stratum entirely must not move this stratum's sample
+    only_rare = df[df["lang"] == "rare"]
+    out2 = stratified_sample(ray.data.from_pandas(only_rare), pct=20).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out[out["lang"] == "rare"]["doc_id"])
+
+
+def test_vocab_topk_matches_bruteforce():
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    counts = texts["text"].str.findall(r"\S+").explode().dropna().value_counts()
+    brute = (
+        counts.rename_axis("token")
+        .reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True], kind="stable")
+        .head(50)
+        .reset_index(drop=True)
+    )
+    got = vocab_topk(SF, k=50)
+    pd.testing.assert_frame_equal(
+        got, brute.astype({"n": "int64"}), check_dtype=False
+    )
