@@ -330,6 +330,12 @@ def _q_cdc_feed(sf_dir: str):
     return cdc_change_feed(sf_dir)
 
 
+def _q_cdc_rebucket(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_rebucket
+
+    return cdc_rebucket(sf_dir)
+
+
 def _q_cdc_feed_view(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_feed_incremental_view
 
@@ -357,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multitable_counts": _q_cdc_multitable,
         "cdc_nested_evolution": _q_cdc_nested,
         "cdc_change_feed": _q_cdc_feed,
+        "cdc_rebucket": _q_cdc_rebucket,
         "cdc_feed_incremental_view": _q_cdc_feed_view,
         "cdc_time_travel": _q_cdc_timetravel,
         # relational operator surface

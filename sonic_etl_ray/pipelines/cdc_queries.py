@@ -415,6 +415,20 @@ def cdc_time_travel(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def cdc_rebucket(sf_dir: str) -> pa.Table:
+    """Partition-count migration: apply the stream at P=8, rebucket the lake
+    to P=5 through the normal ingest path (state → pseudo-events → re-key →
+    exactly-once commit), read the DESTINATION — must equal the plain LWW
+    final state (the oracle never sees the migration)."""
+    from ..pipelines.ingest import rebucket_lake
+
+    src = scratch_lake_dir("cdcrb_src")
+    apply_epoch(_events_as_cdc(sf_dir), src, epoch=0, num_partitions=8)
+    dst = scratch_lake_dir("cdcrb_dst")
+    rebucket_lake(src, dst, num_partitions=5)
+    return lake_final_table(dst).select(FINAL_COLUMNS)
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -468,6 +482,8 @@ ORACLES: dict[str, str] = {
                 THEN CAST(strlen(content) AS BIGINT) END AS size_hint
     FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # the migration must be invisible: destination state == plain LWW final
+    "cdc_rebucket": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_row_counts": ORACLE_SRC
     + """
     SELECT repo, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes

@@ -903,7 +903,9 @@ def read_lake(
     tombstone_filter = pc.field("deleted") == False  # noqa: E712 (pyarrow expr)
     if filter is not None:
         tombstone_filter = tombstone_filter & filter
-    kwargs: dict[str, Any] = {"filter": tombstone_filter}
+    # partitioning=None: the lake's part=N dirs are PHYSICAL layout, not a
+    # logical column — default hive inference would leak a 'part' column
+    kwargs: dict[str, Any] = {"filter": tombstone_filter, "partitioning": None}
     if columns is not None:
         kwargs["columns"] = columns
         return ray.data.read_parquet(files, **kwargs)
@@ -1153,6 +1155,50 @@ def feed_incremental_agg(
         columns=[group_col, "n_files", "total_bytes"],
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def rebucket_lake(
+    src_lake: str,
+    dst_lake: str,
+    num_partitions: int,
+    read_kwargs: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Migrate the lake to a different hash-partition count — the admin op
+    for when key cardinality outgrows (or no longer needs) the original P.
+
+    Shape: live state files (one block per source partition) stream through
+    the NORMAL ingest path — state rows become pseudo-events at their
+    original ``applied_lsn`` (tombstones become deletes, so resurrect
+    protection survives the migration) and ``apply_epoch`` re-keys, shuffles
+    and commits them into the destination at the new P. Everything scales
+    like an ingest epoch: no driver materialization, exactly-once commit
+    records per (epoch-0, partition) make a killed migration resumable, and
+    the destination's final table is bit-equal to the source's (the BQ
+    repartition-by-copy analog of the reference's fixed range partitioning,
+    ``iac/terraform/bq.tf:30-39``, which cannot re-partition in place).
+    """
+    files = lake_state_files(src_lake)
+    if not files:
+        raise ValueError(f"no committed state in {src_lake}")
+    # partitioning=None: don't hive-infer the physical part=N dirs
+    ds = ray.data.read_parquet(files, partitioning=None, **(read_kwargs or {}))
+
+    def to_events(t: pa.Table) -> pa.Table:
+        ev = _state_as_events(t)
+        derived = [c for c in ("content_sha256", "size_bytes") if c in ev.column_names]
+        return ev.drop_columns(derived)  # re-derived (and re-verified) downstream
+
+    records = apply_epoch(
+        ds.map_batches(to_events, batch_format="pyarrow"),
+        dst_lake,
+        epoch=0,
+        num_partitions=num_partitions,
+        input_desc={"rebucket_from": src_lake, "segments": [os.path.basename(f) for f in files]},
+    )
+    return {
+        "partitions": len(records),
+        "n_rows": sum(max(int(r["n_rows"]), 0) for r in records),
+    }
 
 
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
