@@ -415,6 +415,44 @@ def cdc_time_travel(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def _inject_faults(t: pa.Table) -> pa.Table:
+    """Deterministic, SQL-mirrorable corruption on top of the standard
+    projection: value<2 → delete that (illegally) carries content;
+    20≤value<24 → unknown op; 24≤value<28 → upsert without content."""
+    ev = _to_change_events(t)
+    v = t["value"]
+    bogus = pc.and_(pc.greater_equal(v, 20.0), pc.less(v, 24.0))
+    nocontent = pc.and_(pc.greater_equal(v, 24.0), pc.less(v, 28.0))
+    delwith = pc.less(v, 2.0)
+    op = pc.if_else(bogus, pa.scalar("bogus", pa.string()), ev["op"])
+    content = pc.if_else(nocontent, pa.scalar(None, pa.string()), ev["content"])
+    content = pc.if_else(delwith, t["props"], content)
+    ev = ev.set_column(ev.column_names.index("op"), "op", op)
+    return ev.set_column(ev.column_names.index("content"), "content", content)
+
+
+def cdc_error_channel(sf_dir: str) -> pd.DataFrame:
+    """Typed error rows (M15/``TransformationErr`` analog,
+    ``transformation/err.rs:1-31``) as a driver-gate query: malformed events
+    are ROUTED to the per-partition error channel instead of aborting the
+    epoch, and read back as (lsn, reason) — the oracle recomputes the same
+    classification from the raw events."""
+    from ..pipelines.ingest import read_errors
+    from ..stages.transform import ERROR_COLUMN
+
+    lake = scratch_lake_dir("cdcerr")
+    faulty = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    ).map_batches(_inject_faults, batch_format="pyarrow")
+    apply_epoch(faulty, lake, epoch=0, num_partitions=8, on_error="route")
+    t = read_errors(lake)
+    out = pd.DataFrame(
+        {"lsn": t["lsn"].to_pandas().astype("int64"), "reason": t[ERROR_COLUMN].to_pandas()}
+    )
+    return out.sort_values("lsn").reset_index(drop=True)
+
+
 def cdc_rebucket(sf_dir: str) -> pa.Table:
     """Partition-count migration: apply the stream at P=8, rebucket the lake
     to P=5 through the normal ingest path (state → pseudo-events → re-key →
@@ -484,6 +522,16 @@ ORACLES: dict[str, str] = {
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # the migration must be invisible: destination state == plain LWW final
     "cdc_rebucket": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # same classification the route-mode validator applies (precedence:
+    # unknown op, then delete-with-content, then upsert-without-content)
+    "cdc_error_channel": """
+    SELECT CAST(event_id AS BIGINT) AS lsn,
+           CASE WHEN value >= 20 AND value < 24 THEN 'unknown_op'
+                WHEN value < 2 THEN 'delete_with_content'
+                ELSE 'upsert_without_content' END AS reason
+    FROM events
+    WHERE value < 2 OR (value >= 20 AND value < 28)
+    ORDER BY lsn""",
     "cdc_row_counts": ORACLE_SRC
     + """
     SELECT repo, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes
