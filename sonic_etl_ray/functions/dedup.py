@@ -96,6 +96,9 @@ class MinHasher:
         return vals.min(axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # per-doc loop is the FAST shape here: each doc's (n_shingles,
+        # num_perm) affine temp stays cache-resident (~1 MB); a whole-batch
+        # matrix + segmented reduceat measured 50x slower (134 MB temps)
         sigs = np.stack([self.signature(t) for t in batch["text"]])
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "sig": list(sigs)})
 
@@ -160,6 +163,7 @@ def minhash_candidate_pairs(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k},
         batch_format="pandas",
+        batch_size=1024,  # split one parquet block across the pool
         concurrency=(1, 4),
     )
     band_rows = sigs.map_batches(
