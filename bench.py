@@ -220,6 +220,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SKIP_QUERIES="1",
+            BENCH_REPS="1",  # scaling does its own outer reps
             BENCH_EVENTS=os.environ.get("SCALE_EVENTS", "32000000"),
             BENCH_MAX_KEYS=os.environ.get("SCALE_MAX_KEYS", "2000000"),
         )
