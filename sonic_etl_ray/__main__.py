@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--lake", required=True)
     v.add_argument("--keep-epochs", type=int, default=2)
 
+    cc = sub.add_parser(
+        "compact-commits",
+        help="roll manifested epochs' commit records into one checkpoint (O(1) resume)",
+    )
+    cc.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -102,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.ingest import vacuum
 
         print(json.dumps(vacuum(args.lake, keep_epochs=args.keep_epochs)))
+        return 0
+    if args.cmd == "compact-commits":
+        from .state.commitlog import compact_commits
+
+        print(json.dumps(compact_commits(args.lake)))
         return 0
 
     _ray_init(args.num_cpus)

@@ -858,10 +858,16 @@ def lineage(lake_dir: str) -> pa.Table:
     import glob as _glob
     import json as _json
 
-    rows = []
+    recs: list[dict[str, Any]] = []
+    cp = cl.read_checkpoint(lake_dir)
+    if cp is not None:  # compacted history first, then live files
+        recs.extend(cp.get("records", {}).values())
     for p in sorted(_glob.glob(os.path.join(lake_dir, "_commits", "epoch=*", "part=*.json"))):
         with open(p) as f:
-            r = _json.loads(f.read())
+            recs.append(_json.loads(f.read()))
+    recs.sort(key=lambda r: (int(r["epoch"]), int(r["part"])))
+    rows = []
+    for r in recs:
         rows.append(
             {
                 "epoch": int(r["epoch"]),
@@ -904,12 +910,15 @@ def read_lake(
     if filter is not None:
         tombstone_filter = tombstone_filter & filter
     # partitioning=None: the lake's part=N dirs are PHYSICAL layout, not a
-    # logical column — default hive inference would leak a 'part' column
-    kwargs: dict[str, Any] = {"filter": tombstone_filter, "partitioning": None}
+    # logical column — default hive inference would leak a 'part' column.
+    # With an explicit column list the selection already excludes it, and
+    # ray 2.49's parquet reader raises UnboundLocalError on
+    # partitioning=None + columns, so only pass it on the full-schema path.
+    kwargs: dict[str, Any] = {"filter": tombstone_filter}
     if columns is not None:
         kwargs["columns"] = columns
         return ray.data.read_parquet(files, **kwargs)
-    ds = ray.data.read_parquet(files, **kwargs)
+    ds = ray.data.read_parquet(files, partitioning=None, **kwargs)
     return ds.drop_columns(["deleted"])
 
 
@@ -1180,8 +1189,13 @@ def rebucket_lake(
     files = lake_state_files(src_lake)
     if not files:
         raise ValueError(f"no committed state in {src_lake}")
-    # partitioning=None: don't hive-infer the physical part=N dirs
-    ds = ray.data.read_parquet(files, partitioning=None, **(read_kwargs or {}))
+    # partitioning=None: don't hive-infer the physical part=N dirs (ray
+    # 2.49 raises on partitioning=None + columns, so pass it only without
+    # an explicit column list)
+    rk = dict(read_kwargs or {})
+    if "columns" not in rk:
+        rk["partitioning"] = None
+    ds = ray.data.read_parquet(files, **rk)
 
     def to_events(t: pa.Table) -> pa.Table:
         ev = _state_as_events(t)

@@ -37,6 +37,93 @@ from typing import Any
 EPOCH_FMT = "epoch={:08d}"
 PART_FMT = "part={:05d}"
 
+# rolled-up commit log: one file subsuming any number of per-epoch
+# manifests + per-(epoch, partition) commit records (see compact_commits)
+CHECKPOINT_NAME = "CHECKPOINT.json"
+
+# (path → (mtime_ns, parsed)) — the checkpoint only changes via the offline
+# compact_commits admin op, never during an ingest run, so mtime caching is
+# safe; it keeps is_committed() O(1) when called once per state file
+_CHECKPOINT_CACHE: dict[str, tuple[int, dict[str, Any]]] = {}
+
+
+def checkpoint_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_commits", CHECKPOINT_NAME)
+
+
+def read_checkpoint(lake_dir: str) -> dict[str, Any] | None:
+    p = checkpoint_path(lake_dir)
+    try:
+        mtime = os.stat(p).st_mtime_ns
+    except FileNotFoundError:
+        return None
+    hit = _CHECKPOINT_CACHE.get(p)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    with open(p, "rb") as f:
+        data = json.loads(f.read())
+    _CHECKPOINT_CACHE[p] = (mtime, data)
+    return data
+
+
+def compact_commits(lake_dir: str) -> dict[str, int]:
+    """Roll every MANIFESTED epoch's manifest + per-partition commit records
+    into the single checkpoint file, then delete the rolled-up files.
+
+    Why: resume planning reads one manifest per committed epoch — O(epochs)
+    small-file reads, which at 10^10-event scale (10^4–10^5 epochs) dominates
+    job startup. After compaction, resume is one checkpoint read plus only
+    the epochs committed since (the reference's ``indexed_blocks/`` resume
+    dir has the same unbounded-file-count flaw, ``main.rs:188-241``).
+
+    Crash-safe: the checkpoint is atomically written BEFORE any file is
+    deleted, and every reader unions file-level records with the checkpoint
+    (file wins), so a crash mid-delete just leaves benign duplicates.
+    Epochs without a manifest (in-flight or crashed runs) are left alone —
+    their per-partition commit gates still guard re-application. Offline
+    admin op, like vacuum: never run it concurrently with an ingest.
+    """
+    cp = read_checkpoint(lake_dir) or {"manifests": {}, "records": {}}
+    manifests: dict[str, Any] = dict(cp.get("manifests", {}))
+    records: dict[str, Any] = dict(cp.get("records", {}))
+    rolled_epochs = rolled_records = 0
+    to_delete: list[str] = []
+    d = os.path.join(lake_dir, "_commits")
+    if not os.path.isdir(d):
+        return {"epochs": 0, "records": 0}
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".MANIFEST.json"):
+            continue
+        epoch = int(name.split("=")[1].split(".")[0])
+        mpath = os.path.join(d, name)
+        with open(mpath, "rb") as f:
+            manifests[str(epoch)] = json.loads(f.read())
+        to_delete.append(mpath)
+        rolled_epochs += 1
+        cdir = commit_dir(lake_dir, epoch)
+        if os.path.isdir(cdir):
+            for pname in sorted(os.listdir(cdir)):
+                if not pname.endswith(".json"):
+                    continue
+                with open(os.path.join(cdir, pname), "rb") as f:
+                    rec = json.loads(f.read())
+                records[f"{epoch}:{int(rec['part'])}"] = rec
+                rolled_records += 1
+            to_delete.append(cdir)
+    if rolled_epochs:
+        _atomic_write(
+            checkpoint_path(lake_dir),
+            json.dumps({"manifests": manifests, "records": records}, sort_keys=True).encode(),
+        )
+        import shutil as _shutil
+
+        for p in to_delete:
+            if os.path.isdir(p):
+                _shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+    return {"epochs": rolled_epochs, "records": rolled_records}
+
 
 def _atomic_write(path: str, data: bytes) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
@@ -88,11 +175,17 @@ def list_states(lake_dir: str, part: int) -> list[tuple[int, int, str]]:
 
 
 def is_committed(lake_dir: str, epoch: int, part: int) -> bool:
-    return os.path.exists(commit_path(lake_dir, epoch, part))
+    if os.path.exists(commit_path(lake_dir, epoch, part)):
+        return True
+    cp = read_checkpoint(lake_dir)
+    return cp is not None and f"{epoch}:{part}" in cp.get("records", {})
 
 
 def epoch_manifest_exists(lake_dir: str, epoch: int) -> bool:
-    return os.path.exists(manifest_path(lake_dir, epoch))
+    if os.path.exists(manifest_path(lake_dir, epoch)):
+        return True
+    cp = read_checkpoint(lake_dir)
+    return cp is not None and str(epoch) in cp.get("manifests", {})
 
 
 def write_commit(lake_dir: str, record: dict[str, Any]) -> None:
@@ -107,10 +200,13 @@ def write_commit(lake_dir: str, record: dict[str, Any]) -> None:
 
 def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
     p = commit_path(lake_dir, epoch, part)
-    if not os.path.exists(p):
-        return None
-    with open(p, "rb") as f:
-        return json.loads(f.read())
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return json.loads(f.read())
+    cp = read_checkpoint(lake_dir)
+    if cp is not None:
+        return cp.get("records", {}).get(f"{epoch}:{part}")
+    return None
 
 
 def write_manifest(lake_dir: str, epoch: int, summary: dict[str, Any]) -> None:
@@ -122,21 +218,27 @@ def write_manifest(lake_dir: str, epoch: int, summary: dict[str, Any]) -> None:
 
 def read_manifest(lake_dir: str, epoch: int) -> dict[str, Any] | None:
     p = manifest_path(lake_dir, epoch)
-    if not os.path.exists(p):
-        return None
-    with open(p, "rb") as f:
-        return json.loads(f.read())
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return json.loads(f.read())
+    cp = read_checkpoint(lake_dir)
+    if cp is not None:
+        return cp.get("manifests", {}).get(str(epoch))
+    return None
 
 
 def committed_epochs(lake_dir: str) -> list[int]:
-    """Epochs with a driver manifest (fully applied), ascending."""
+    """Epochs with a driver manifest (fully applied), ascending — live
+    manifest files unioned with the compacted checkpoint."""
     d = os.path.join(lake_dir, "_commits")
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for name in os.listdir(d):
-        if name.endswith(".MANIFEST.json"):
-            out.append(int(name.split("=")[1].split(".")[0]))
+    out: set[int] = set()
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".MANIFEST.json"):
+                out.add(int(name.split("=")[1].split(".")[0]))
+    cp = read_checkpoint(lake_dir)
+    if cp is not None:
+        out.update(int(e) for e in cp.get("manifests", {}))
     return sorted(out)
 
 
