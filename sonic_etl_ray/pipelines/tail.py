@@ -44,6 +44,7 @@ class Tailer:
         segments_per_epoch: int = 8,
         merge_concurrency: int | tuple[int, int] | None = None,
         read_kwargs: dict[str, Any] | None = None,
+        compact_every: int | None = None,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -51,6 +52,12 @@ class Tailer:
         self.segments_per_epoch = segments_per_epoch
         self.merge_concurrency = merge_concurrency
         self.read_kwargs = read_kwargs or {}
+        # self-maintenance: roll the commit log into the checkpoint after
+        # every N newly closed epochs (safe here: the tailer is the only
+        # writer and compaction runs between epochs, never mid-apply) — a
+        # long-lived tail would otherwise accumulate unbounded commit files
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
         self._stop = False
         self._last_seen = -1  # highest segment index observed (head watermark)
 
@@ -87,6 +94,10 @@ class Tailer:
                 input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
             )
             applied += 1
+        self._applied_since_compact += applied
+        if self.compact_every and self._applied_since_compact >= self.compact_every:
+            cl.compact_commits(self.lake_dir)
+            self._applied_since_compact = 0
         return {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
 
     def run(

@@ -72,6 +72,27 @@ def test_tailer_incremental_and_resume(tmp_path):
     assert_state_equal(lake_final_table(lake), oracle_final_state(all_files))
 
 
+def test_tailer_self_compacts_commit_log(tmp_path):
+    """compact_every rolls the commit log into the checkpoint as the tail
+    advances; a restarted tailer resumes from the checkpoint alone."""
+    import glob
+    import os
+
+    spec = StreamSpec(n_events=4000, n_repos=8, seed=23, segment_size=500)
+    table = generate_events(spec)
+    seg_dir = str(tmp_path / "segs")
+    write_segments(table, seg_dir, spec)
+    lake = scratch_lake_dir("tailcc")
+    t = Tailer(seg_dir, lake, num_partitions=4, segments_per_epoch=2, compact_every=2)
+    t.tick()
+    assert glob.glob(os.path.join(lake, "_commits", "epoch=*")) == []  # all rolled up
+    r = Tailer(seg_dir, lake, num_partitions=4, segments_per_epoch=2).tick()
+    assert r["epochs_applied"] == 0 and r["epochs_skipped"] == 4
+    assert_state_equal(
+        lake_final_table(lake), oracle_final_state(sorted(glob.glob(seg_dir + "/*.parquet")))
+    )
+
+
 def test_watermark_override(tmp_path):
     """manual_set analog: overriding the watermark skips early epochs."""
     spec = StreamSpec(n_events=2000, n_repos=5, seed=31, segment_size=500)
