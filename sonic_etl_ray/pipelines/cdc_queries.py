@@ -364,7 +364,12 @@ def cdc_change_feed(sf_dir: str) -> pd.DataFrame:
 N_FEED_EPOCHS = 4
 
 
-def _replay_quartile_epochs(sf_dir: str, tag: str) -> tuple[str, int, int]:
+def _replay_quartile_epochs(
+    sf_dir: str,
+    tag: str,
+    events_fn=None,
+    suppress_unchanged: bool = False,
+) -> tuple[str, int, int]:
     """Replay the event log as N_FEED_EPOCHS contiguous-LSN epochs (epoch of
     an event = (lsn-lo)*N // (hi-lo+1), mirrored exactly in SQL)."""
     from ray.data.aggregate import Max, Min
@@ -382,9 +387,11 @@ def _replay_quartile_epochs(sf_dir: str, tag: str) -> tuple[str, int, int]:
             )
             return t.filter(pc.equal(ep, e))
 
+        src = events_fn(sf_dir) if events_fn is not None else _events_as_cdc(sf_dir)
         apply_epoch(
-            _events_as_cdc(sf_dir).map_batches(in_epoch, batch_format="pyarrow"),
+            src.map_batches(in_epoch, batch_format="pyarrow"),
             lake, epoch=e, num_partitions=8,
+            suppress_unchanged=suppress_unchanged,
         )
     return lake, lo, span
 
@@ -467,6 +474,46 @@ def cdc_rebucket(sf_dir: str) -> pa.Table:
     return lake_final_table(dst).select(FINAL_COLUMNS)
 
 
+def _events_as_cdc_lowcard(sf_dir: str) -> ray.data.Dataset:
+    """The standard projection with a LOW-CARDINALITY content column
+    (``'v' || floor(value)::BIGINT % 3``) so repeated per-key upserts often
+    carry identical content — the regime no-op suppression exists for."""
+    import numpy as np
+
+    def lowcard(t: pa.Table) -> pa.Table:
+        ev = _to_change_events_with_value(t)
+        short = pa.array(
+            np.char.add("v", (np.floor(np.asarray(ev["__value"])).astype(np.int64) % 3).astype(str))
+        )
+        content = pc.if_else(
+            pc.equal(ev["op"], "delete"), pa.scalar(None, pa.string()), short
+        )
+        ev = ev.set_column(ev.column_names.index("content"), "content", content)
+        return ev.drop_columns(["__value"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    ).map_batches(lowcard, batch_format="pyarrow")
+
+
+def _to_change_events_with_value(t: pa.Table) -> pa.Table:
+    return _to_change_events(t).append_column("__value", t["value"])
+
+
+def cdc_suppress_noop(sf_dir: str) -> pa.Table:
+    """No-op update suppression end-to-end: 4-epoch replay of a
+    low-cardinality-content stream with ``suppress_unchanged=True`` — a
+    winning upsert whose content equals the prior live row leaves the row
+    (commit, lang, applied_lsn and all) untouched. The oracle recomputes the
+    same semantics as four chained per-epoch CTEs, so the compare pins both
+    which rows survive AND that suppressed rows keep their OLD lineage."""
+    lake, _, _ = _replay_quartile_epochs(
+        sf_dir, "cdcsup", events_fn=_events_as_cdc_lowcard, suppress_unchanged=True
+    )
+    return lake_final_table(lake).select(FINAL_COLUMNS)
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -508,6 +555,56 @@ final AS (
 )
 """
 
+def _suppress_oracle_sql(n: int = N_FEED_EPOCHS) -> str:
+    """Chained per-epoch CTEs mirroring suppression semantics exactly:
+    state_k = state_{k-1} where the epoch-k winner is absent OR is an upsert
+    content-equal to the live prior row; else the winner."""
+    cols = ["repo", "path", '"commit"', "lang", "content", "lsn", "deleted"]
+    parts = [
+        """
+WITH src AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < 20 THEN 'delete' ELSE 'insert' END AS op,
+         'r' || CAST(user_id % 5 AS VARCHAR) AS repo,
+         'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS path,
+         sha256(CAST(event_id AS VARCHAR)) AS "commit",
+         event_type AS lang,
+         CASE WHEN value < 20 THEN NULL
+              ELSE 'v' || CAST(CAST(FLOOR(value) AS BIGINT) % 3 AS VARCHAR) END AS content
+  FROM events
+),
+bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) - MIN(lsn) + 1 AS span FROM src)"""
+    ]
+    for k in range(n):
+        parts.append(f""",
+w{k} AS (
+  SELECT repo, path, "commit", lang, content, lsn, (op = 'delete') AS deleted
+  FROM src, bounds WHERE ((lsn - lo) * {n}) // span = {k}
+  QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1
+)""")
+        if k == 0:
+            parts.append(",\ns0 AS (SELECT * FROM w0)")
+        else:
+            keep_s = (
+                "(w.repo IS NULL OR (NOT w.deleted AND s.repo IS NOT NULL"
+                " AND NOT s.deleted AND w.content = s.content))"
+            )
+            sel = ",\n         ".join(
+                f"CASE WHEN {keep_s} THEN s.{c} ELSE w.{c} END AS {c}" for c in cols
+            )
+            parts.append(f""",
+s{k} AS (
+  SELECT {sel}
+  FROM w{k} w FULL OUTER JOIN s{k - 1} s
+    ON w.repo = s.repo AND w.path = s.path
+)""")
+    parts.append(f"""
+SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha256,
+       CAST(strlen(content) AS BIGINT) AS size_bytes, lsn AS applied_lsn
+FROM s{n - 1} WHERE NOT deleted ORDER BY repo, path""")
+    return "".join(parts)
+
+
 ORACLES: dict[str, str] = {
     "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_apply_blocklisted": ORACLE_SRC
@@ -522,6 +619,8 @@ ORACLES: dict[str, str] = {
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # the migration must be invisible: destination state == plain LWW final
     "cdc_rebucket": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # suppression: chained per-epoch CTEs (built by _suppress_oracle_sql)
+    "cdc_suppress_noop": _suppress_oracle_sql(),
     # same classification the route-mode validator applies (precedence:
     # unknown op, then delete-with-content, then upsert-without-content)
     "cdc_error_channel": """

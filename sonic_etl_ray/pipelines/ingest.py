@@ -94,6 +94,30 @@ def _project_state(winners: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _drop_unchanged_upserts(fresh: pa.Table, prior: pa.Table) -> tuple[pa.Table, int]:
+    """No-op update suppression: drop winning upserts whose ``content``
+    equals the prior LIVE row's content (in-task hash join on the unique
+    per-key rows of both sides — co-partitioned by construction)."""
+    live = prior.filter(pc.invert(pc.fill_null(prior.column("deleted"), False)))
+    if live.num_rows == 0:
+        return fresh, 0
+    lookup = pa.table(
+        {"__sk": key_strings(live), "__prior_content": live.column("content")}
+    )
+    j = fresh.append_column("__fk", key_strings(fresh)).join(
+        lookup, keys=["__fk"], right_keys=["__sk"], join_type="left outer"
+    )
+    same = pc.fill_null(
+        pc.and_(
+            pc.not_equal(j.column("op"), "delete"),
+            pc.equal(j.column("content"), j.column("__prior_content")),
+        ),
+        False,
+    )
+    kept = j.filter(pc.invert(same)).drop_columns(["__fk", "__prior_content"])
+    return kept, fresh.num_rows - kept.num_rows
+
+
 def _state_as_events(prior: pa.Table) -> pa.Table:
     """Prior state rows → pseudo-events so the merge is ONE last-writer-wins
     reduction over (prior ∪ incoming): op from the tombstone flag, lsn from
@@ -131,10 +155,24 @@ class MergeApplier:
     (``daily_qc_airflow/daily_dedupe_mainnet.py:28-35,65-81``).
     """
 
-    def __init__(self, lake_dir: str, epoch: int, input_desc: dict[str, Any] | None = None):
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        input_desc: dict[str, Any] | None = None,
+        suppress_unchanged: bool = False,
+    ):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.input_desc = input_desc or {}
+        # no-op update suppression: an epoch's winning upsert whose content
+        # equals the prior LIVE row's content leaves the row untouched —
+        # old applied_lsn kept, no copy-on-write rewrite for that key, and
+        # the change feed stays quiet (Debezium's skip-unchanged analog).
+        # Keyed on content only (the sha256-verified payload); assumes
+        # in-order epoch application (the tail path), since what counts as
+        # "unchanged" depends on apply order.
+        self.suppress_unchanged = suppress_unchanged
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -242,6 +280,18 @@ class MergeApplier:
         if decoded_file is not None:
             record["decoded_file"] = decoded_file
 
+        def _noop_commit(prior_ref) -> dict[str, Any]:
+            # nothing effective: commit references the prior state as-is
+            prior_meta = cl.read_commit(lake, prior_ref[1], part) or {}
+            record.update(
+                n_rows=prior_meta.get("n_rows", -1),
+                data_file=prior_ref[0],
+                noop=True,
+            )
+            cl.write_commit(lake, record)
+            return record
+
+        prior_ref = None
         if mem is not None:
             prior = mem[0] if mem[0] is not None else STATE_SCHEMA.empty_table()
             prior_seq = mem[1]
@@ -250,21 +300,20 @@ class MergeApplier:
             # — required for out-of-order backfill (LWW is order-independent)
             prior_ref = cl.latest_state(lake, part)
             if fresh.num_rows == 0 and prior_ref is not None:
-                # nothing effective: commit references the prior state as-is
-                prior_meta = cl.read_commit(lake, prior_ref[1], part) or {}
-                record.update(
-                    n_rows=prior_meta.get("n_rows", -1),
-                    data_file=prior_ref[0],
-                    noop=True,
-                )
-                cl.write_commit(lake, record)
-                return record, None, None
+                return _noop_commit(prior_ref), None, None
             prior = (
                 pq.read_table(prior_ref[0])
                 if prior_ref is not None
                 else STATE_SCHEMA.empty_table()
             )
             prior_seq = prior_ref[2] if prior_ref is not None else None
+
+        if self.suppress_unchanged and fresh.num_rows and prior.num_rows:
+            fresh, n_suppressed = _drop_unchanged_upserts(fresh, prior)
+            record["n_suppressed"] = n_suppressed
+            if fresh.num_rows == 0 and prior_ref is not None:
+                # every winner was a no-op: the whole unit avoids the rewrite
+                return _noop_commit(prior_ref), None, None
 
         # per-key LWW reduction over (prior ∪ incoming): correct under
         # duplicate delivery AND out-of-order backfill epochs, because
@@ -448,6 +497,7 @@ def _exchange_and_merge(
     epoch: int,
     num_partitions: int,
     input_desc: dict[str, Any] | None,
+    suppress_unchanged: bool = False,
 ) -> list[dict[str, Any]]:
     """Raw-task hash exchange + merge — the default merge transport.
 
@@ -468,7 +518,7 @@ def _exchange_and_merge(
     retries and resumed runs stay exactly-once.
     """
     per_block_refs = _exchange(ds, num_partitions)
-    applier = MergeApplier(lake_dir, epoch, input_desc)
+    applier = MergeApplier(lake_dir, epoch, input_desc, suppress_unchanged=suppress_unchanged)
 
     @ray.remote(num_cpus=1)
     def merge_partition_task(part: int, *slices: pa.Table) -> dict[str, Any]:
@@ -499,6 +549,7 @@ def apply_epoch(
     decode_catalog: Any | None = None,
     on_undecodable: str = "abort",
     exchange: str = "tasks",
+    suppress_unchanged: bool = False,
 ) -> list[dict[str, Any]]:
     """Apply one epoch of change events; returns per-partition commit records.
 
@@ -540,7 +591,9 @@ def apply_epoch(
 
     t0 = time.perf_counter()
     if exchange == "tasks" and not use_actor_pool:
-        records = _exchange_and_merge(ds, lake_dir, epoch, num_partitions, input_desc)
+        records = _exchange_and_merge(
+            ds, lake_dir, epoch, num_partitions, input_desc, suppress_unchanged
+        )
     else:
         grouped = ds.groupby(PART_COLUMN, num_partitions=_shuffle_partitions(num_partitions))
         if use_actor_pool:
@@ -550,7 +603,7 @@ def apply_epoch(
                 merge_concurrency = _default_merge_concurrency(num_partitions)
             commits = grouped.map_groups(
                 MergeApplier,
-                fn_constructor_args=(lake_dir, epoch, input_desc),
+                fn_constructor_args=(lake_dir, epoch, input_desc, suppress_unchanged),
                 batch_format="pyarrow",
                 concurrency=merge_concurrency,
                 num_cpus=1,
@@ -558,7 +611,7 @@ def apply_epoch(
         else:
             # Dataset-native merge transport (parity/verification path; the
             # task exchange above is the default — see _exchange_and_merge)
-            applier = MergeApplier(lake_dir, epoch, input_desc)
+            applier = MergeApplier(lake_dir, epoch, input_desc, suppress_unchanged)
 
             def merge_partition(group: pa.Table) -> pa.Table:
                 return applier(group)
@@ -613,8 +666,14 @@ def run_ingest(
     finalize: bool = True,
     decode_catalog: Any | None = None,
     on_undecodable: str = "abort",
+    suppress_unchanged: bool = False,
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
+
+    ``suppress_unchanged`` turns on no-op update suppression in the merge
+    (see :class:`MergeApplier`); it implies the sequential epoch path
+    (fused mode chains in-memory state differently and is not combined
+    with suppression).
 
     Segments (sorted by name = ascending LSN spans, the coordinator's
     range-chunk analog) are grouped into epochs; epochs with a manifest are
@@ -675,6 +734,7 @@ def run_ingest(
             input_desc=desc,
             decode_catalog=decode_catalog,
             on_undecodable=on_undecodable,
+            suppress_unchanged=suppress_unchanged,
         )
 
     # late-segment repair pass: a manifested epoch whose plan now has NEW
@@ -696,6 +756,8 @@ def run_ingest(
         covered.update(os.path.basename(f) for f in delta)
         repaired += 1
 
+    if fused and suppress_unchanged:
+        fused = False
     if fused and normal:
         # fused mode needs uniform segment schemas across ALL pending
         # segments (a mid-epoch column add would silently enter the union
