@@ -80,6 +80,46 @@ def test_delete_then_reinsert_same_content_not_suppressed():
     assert list(final["path"]) == ["a.py"] and final["applied_lsn"].iloc[0] == 3
 
 
+def test_suppression_matches_sequential_simulator():
+    """Randomized multi-epoch stream (seeded) vs a per-key sequential
+    simulator of the boundary rule: apply each epoch's per-key winner unless
+    it is an upsert content-equal to the live prior row."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    n_keys, n_epochs, per_epoch = 12, 5, 30
+    lake = scratch_lake_dir("supprop")
+    state: dict[str, tuple] = {}  # path -> (content|None(tombstone), lsn, commit)
+    lsn = 0
+    for e in range(n_epochs):
+        rows = []
+        for _ in range(per_epoch):
+            lsn += 1
+            path = f"k{rng.integers(n_keys)}.py"
+            if rng.random() < 0.2:
+                rows.append((lsn, "delete", path, None))
+            else:
+                rows.append((lsn, "insert", path, f"C{rng.integers(3)}"))
+        _apply(lake, e, rows)
+        # simulator: winner per key = max-lsn row of this epoch
+        winners: dict[str, tuple] = {}
+        for r in rows:
+            if r[0] >= winners.get(r[2], (0,))[0]:
+                winners[r[2]] = (r[0], r[1], r[3])
+        for path, (wlsn, op, content) in winners.items():
+            prior = state.get(path)
+            live = prior is not None and prior[0] is not None
+            if op != "delete" and live and prior[0] == content:
+                continue  # suppressed: row untouched
+            state[path] = (None if op == "delete" else content, wlsn, f"c{wlsn}")
+    want = sorted(
+        (p, c, l, cm) for p, (c, l, cm) in state.items() if c is not None
+    )
+    got = lake_final_table(lake).to_pandas()
+    got_rows = sorted(zip(got["path"], got["content"], got["applied_lsn"], got["commit"]))
+    assert got_rows == want
+
+
 def test_suppression_off_by_default_updates_lineage():
     lake = scratch_lake_dir("sup4")
     apply_epoch(_events([(1, "insert", "a.py", "A")]), lake, 0, num_partitions=2)
