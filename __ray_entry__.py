@@ -330,6 +330,12 @@ def _q_cdc_feed(sf_dir: str):
     return cdc_change_feed(sf_dir)
 
 
+def _q_cdc_fresh(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_freshness_accounting
+
+    return cdc_freshness_accounting(sf_dir)
+
+
 def _q_cdc_suppress(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_suppress_noop
 
@@ -378,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rebucket": _q_cdc_rebucket,
         "cdc_error_channel": _q_cdc_errors,
         "cdc_suppress_noop": _q_cdc_suppress,
+        "cdc_freshness_accounting": _q_cdc_fresh,
         "cdc_feed_incremental_view": _q_cdc_feed_view,
         "cdc_time_travel": _q_cdc_timetravel,
         # relational operator surface

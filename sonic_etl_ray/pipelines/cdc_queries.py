@@ -514,6 +514,26 @@ def cdc_suppress_noop(sf_dir: str) -> pa.Table:
     return lake_final_table(lake).select(FINAL_COLUMNS)
 
 
+def cdc_freshness_accounting(sf_dir: str) -> pd.DataFrame:
+    """Liveness/accounting QC from the LINEAGE LOG ONLY (never the data):
+    after a 4-epoch replay, the commit records must account for every
+    delivered event, the stream's exact LSN head, and the live row count —
+    the hourly-liveness + row-counts DAGs
+    (``mainnet_hourly_block_check.py:33-47``, ``row_counts.py:16-22``) as
+    one oracle-checked aggregate."""
+    from ..pipelines.ingest import lineage
+
+    lake, _, _ = _replay_quartile_epochs(sf_dir, "cdcfresh")
+    lin = lineage(lake).to_pandas()
+    return pd.DataFrame(
+        {
+            "max_applied_lsn": [int(lin["applied_lsn"].max())],
+            "n_events_total": [int(lin["n_events"].sum())],
+            "n_live_rows": [int(lake_final_table(lake).num_rows)],
+        }
+    )
+
+
 def cdc_gap_detect(sf_dir: str) -> pd.DataFrame:
     """Gap detection over a holed LSN stream (``daily_backfill_mainnet.py:67-99``):
     drop lsn % 97 == 3 events, detect exactly those as missing."""
@@ -621,6 +641,14 @@ ORACLES: dict[str, str] = {
     "cdc_rebucket": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # suppression: chained per-epoch CTEs (built by _suppress_oracle_sql)
     "cdc_suppress_noop": _suppress_oracle_sql(),
+    # lineage-log accounting: every event delivered exactly once, head LSN
+    # exact, live-row count equals the LWW oracle's
+    "cdc_freshness_accounting": ORACLE_SRC
+    + """
+    SELECT MAX(s.lsn) AS max_applied_lsn,
+           COUNT(*) AS n_events_total,
+           (SELECT COUNT(*) FROM final) AS n_live_rows
+    FROM src s""",
     # same classification the route-mode validator applies (precedence:
     # unknown op, then delete-with-content, then upsert-without-content)
     "cdc_error_channel": """
