@@ -369,6 +369,7 @@ def _replay_quartile_epochs(
     tag: str,
     events_fn=None,
     suppress_unchanged: bool = False,
+    merge_mode: str = "cow",
 ) -> tuple[str, int, int]:
     """Replay the event log as N_FEED_EPOCHS contiguous-LSN epochs (epoch of
     an event = (lsn-lo)*N // (hi-lo+1), mirrored exactly in SQL)."""
@@ -392,8 +393,40 @@ def _replay_quartile_epochs(
             src.map_batches(in_epoch, batch_format="pyarrow"),
             lake, epoch=e, num_partitions=8,
             suppress_unchanged=suppress_unchanged,
+            merge_mode=merge_mode,
         )
     return lake, lo, span
+
+
+def cdc_apply_mor(sf_dir: str) -> pa.Table:
+    """Merge-on-read replay: 4 epochs each writing only per-key-winner DELTA
+    files (no prior read, no partition rewrite — the sparse-update
+    write-amplification fix at 10^10 events), a compaction folding the first
+    epochs\' deltas mid-stream, then the resolved final table. The oracle is
+    the SAME LWW snapshot SQL as cdc_apply_upserts: merge-on-read must be
+    indistinguishable from copy-on-write at read time."""
+    from ..pipelines.ingest import compact_lake_states, lake_final_table
+
+    from ray.data.aggregate import Max, Min
+
+    ids = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    agg = ids.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(agg["min(event_id)"]), int(agg["max(event_id)"])
+    span = hi - lo + 1
+    lake = scratch_lake_dir("cdcmor")
+    for e in range(N_FEED_EPOCHS):
+
+        def in_epoch(t: pa.Table, e: int = e) -> pa.Table:
+            ep = pc.divide(pc.multiply(pc.subtract(t["lsn"], lo), N_FEED_EPOCHS), span)
+            return t.filter(pc.equal(ep, e))
+
+        apply_epoch(
+            _events_as_cdc(sf_dir).map_batches(in_epoch, batch_format="pyarrow"),
+            lake, epoch=e, num_partitions=8, merge_mode="mor",
+        )
+        if e == N_FEED_EPOCHS // 2 - 1:  # fold the first half, keep the rest as deltas
+            compact_lake_states(lake)
+    return lake_final_table(lake).select(FINAL_COLUMNS)
 
 
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
@@ -637,6 +670,7 @@ ORACLES: dict[str, str] = {
                 THEN CAST(strlen(content) AS BIGINT) END AS size_hint
     FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # the migration must be invisible: destination state == plain LWW final
     "cdc_rebucket": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # suppression: chained per-epoch CTEs (built by _suppress_oracle_sql)

@@ -133,6 +133,129 @@ def _state_as_events(prior: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _lww_resolve(tables: list[pa.Table]) -> pa.Table:
+    """One last-writer-wins reduction over several state-row tables (a base
+    plus merge-on-read deltas, or any mix): state rows → pseudo-events →
+    per-key max-LSN winner → state rows, canonically sorted. Exactly the
+    reduction the copy-on-write merge applies at write time, so a resolved
+    merge-on-read partition is bit-identical to its copy-on-write twin."""
+    tables = [t for t in tables if t is not None and t.num_rows]
+    if not tables:
+        return STATE_SCHEMA.empty_table()
+    if len(tables) == 1:
+        state = tables[0]
+    else:
+        evs = [_state_as_events(t) for t in tables]
+        target = evs[0].schema
+        for e in evs[1:]:
+            target = unify_schemas(target, e.schema)
+        all_ev = pa.concat_tables(
+            [conform_table(e, target) for e in evs], promote_options="default"
+        )
+        state = _project_state(reduce_last_per_key(all_ev))
+    return state.take(pc.sort_indices(state, sort_keys=STATE_SORT))
+
+
+def resolve_partition_state(
+    lake_dir: str, part: int, as_of_epoch: int | None = None
+) -> pa.Table:
+    """A partition's full state table (tombstones included) resolved across
+    its newest base STATE file and any trailing merge-on-read DELTA files.
+    For a pure copy-on-write partition this is a single file read. Cost is
+    O(base + deltas-since-compaction) — the merge-on-read read amplification
+    that ``compact_partition`` bounds."""
+    files = cl.list_part_files(lake_dir, part)
+    if as_of_epoch is not None:
+        files = [f for f in files if f[1] <= as_of_epoch]
+    if not files:
+        return STATE_SCHEMA.empty_table()
+    base_i = 0
+    for i, (_, _, _, kind) in enumerate(files):
+        if kind == "state":
+            base_i = i  # newest base shadows everything before it
+    live = files[base_i:]
+    if len(live) == 1 and live[0][3] == "state":
+        return pq.read_table(live[0][2])
+    return _lww_resolve([pq.read_table(p) for _, _, p, _ in live])
+
+
+def compact_partition(lake_dir: str, part: int) -> dict[str, Any]:
+    """Fold a partition's trailing merge-on-read deltas into a new base
+    STATE file (the Hudi compaction analog). The new base takes the next
+    seq and the max contributing epoch; it is covered by that epoch's
+    existing commit record, so no new commit is written — crash-safe via
+    tmp+rename, idempotent (re-running with no trailing deltas is a no-op).
+    Older files stay on disk for time travel until ``vacuum``."""
+    files = cl.list_part_files(lake_dir, part)
+    if not files or files[-1][3] == "state":
+        return {"part": part, "compacted": 0, "n_rows": -1}
+    base_i = 0
+    for i, (_, _, _, kind) in enumerate(files):
+        if kind == "state":
+            base_i = i
+    live = files[base_i:] if files[base_i][3] == "state" else files
+    state = _lww_resolve([pq.read_table(p) for _, _, p, _ in live])
+    seq = files[-1][0] + 1
+    epoch = max(f[1] for f in live)
+    out = cl.state_path(lake_dir, part, epoch, seq)
+    tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(state, tmp, compression="snappy")
+    os.rename(tmp, out)
+    _write_stats_sidecar(state, out)  # stats view freshness = last compaction
+    n_deltas = sum(1 for f in live if f[3] == "delta")
+    return {"part": part, "compacted": n_deltas, "n_rows": state.num_rows}
+
+
+def compact_lake_states(
+    lake_dir: str, min_deltas: int = 1, parallel: bool = True
+) -> dict[str, int]:
+    """Compact every partition with ≥ ``min_deltas`` trailing deltas; one
+    independent Ray task per partition (embarrassingly parallel — each
+    reads/writes only its own files on shared storage)."""
+    todo = []
+    if os.path.isdir(lake_dir):
+        for name in sorted(os.listdir(lake_dir)):
+            if not name.startswith("part="):
+                continue
+            part = int(name.split("=")[1])
+            files = cl.list_part_files(lake_dir, part)
+            trailing = 0
+            for _, _, _, kind in reversed(files):
+                if kind != "delta":
+                    break
+                trailing += 1
+            if trailing >= min_deltas:
+                todo.append(part)
+    if not todo:
+        return {"partitions": 0, "deltas_folded": 0}
+    if parallel and ray.is_initialized():
+        task = ray.remote(num_cpus=1)(compact_partition)
+        results = ray.get([task.remote(lake_dir, p) for p in todo])
+    else:
+        results = [compact_partition(lake_dir, p) for p in todo]
+    return {
+        "partitions": sum(1 for r in results if r["compacted"]),
+        "deltas_folded": sum(r["compacted"] for r in results),
+    }
+
+
+def _write_stats_sidecar(state: pa.Table, state_file: str) -> str:
+    """Per-repo aggregate sidecar next to a state file (the incremental
+    materialized view's unit of storage)."""
+    live = _drop_tombstones(state)
+    stats = (
+        pa.table({"repo": live.column("repo"), "size_bytes": live.column("size_bytes")})
+        .group_by("repo")
+        .aggregate([("size_bytes", "sum"), ("size_bytes", "count")])
+        .rename_columns(["repo", "total_bytes", "n_files"])
+    )
+    stats_file = state_file.replace("state-", "stats-")
+    stmp = f"{stats_file}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(stats, stmp)
+    os.rename(stmp, stats_file)
+    return stats_file
+
+
 class MergeApplier:
     """Stateful actor-pool merge applier for one hash partition at a time.
 
@@ -161,10 +284,24 @@ class MergeApplier:
         epoch: int,
         input_desc: dict[str, Any] | None = None,
         suppress_unchanged: bool = False,
+        merge_mode: str = "cow",
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.input_desc = input_desc or {}
+        # merge_mode="mor" (merge-on-read): write only the epoch's per-key
+        # winners as a DELTA file — no prior read, no full-partition rewrite.
+        # At 100 TB a sparse epoch touching 1% of a partition's keys pays 1%
+        # of the copy-on-write write volume; readers resolve base ∪ deltas
+        # (resolve_partition_state) and compact_partition bounds the read
+        # amplification. The Hudi MOR / Delta log-file model.
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        if merge_mode == "mor" and suppress_unchanged:
+            # suppression compares against prior live content; MOR's whole
+            # point is never reading the prior at write time
+            raise ValueError("suppress_unchanged requires merge_mode='cow'")
+        self.merge_mode = merge_mode
         # no-op update suppression: an epoch's winning upsert whose content
         # equals the prior LIVE row's content leaves the row untouched —
         # old applied_lsn kept, no copy-on-write rewrite for that key, and
@@ -291,18 +428,49 @@ class MergeApplier:
             cl.write_commit(lake, record)
             return record
 
+        if self.merge_mode == "mor":
+            if mem is not None:
+                raise ValueError("fused mode chains in-memory state; use merge_mode='cow'")
+            frontier = cl.latest_file(lake, part)
+            if fresh.num_rows == 0 and frontier is not None:
+                return _noop_commit(frontier), None, None
+            # delta = this epoch's per-key winners only (fresh is already
+            # reduced); the race against prior rows is resolved at READ time
+            delta = _project_state(fresh)
+            delta = delta.take(pc.sort_indices(delta, sort_keys=STATE_SORT))
+            seq = cl.next_seq(lake, part)
+            out = cl.delta_path(lake, part, epoch, seq)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+            pq.write_table(delta, tmp, compression="snappy")
+            os.rename(tmp, out)  # atomic; commit record is the commit point
+            record.update(
+                n_rows=-1,  # resolved row count unknown by design (no base read)
+                n_delta_rows=delta.num_rows,
+                data_file=out,
+                kind="delta",
+                noop=False,
+                schema={f.name: str(f.type) for f in delta.schema},
+            )
+            cl.write_commit(lake, record)
+            return record, None, None
+
         prior_ref = None
         if mem is not None:
             prior = mem[0] if mem[0] is not None else STATE_SCHEMA.empty_table()
             prior_seq = mem[1]
         else:
             # rebase onto the NEWEST committed state whatever its epoch number
-            # — required for out-of-order backfill (LWW is order-independent)
-            prior_ref = cl.latest_state(lake, part)
+            # — required for out-of-order backfill (LWW is order-independent).
+            # latest_file + resolve (not latest_state + read): a mixed-mode
+            # lake may carry trailing merge-on-read deltas that a copy-on-
+            # write epoch must fold in rather than silently shadow
+            frontier = cl.latest_file(lake, part)
+            prior_ref = (frontier[0], frontier[1], frontier[2]) if frontier else None
             if fresh.num_rows == 0 and prior_ref is not None:
                 return _noop_commit(prior_ref), None, None
             prior = (
-                pq.read_table(prior_ref[0])
+                resolve_partition_state(lake, part)
                 if prior_ref is not None
                 else STATE_SCHEMA.empty_table()
             )
@@ -355,17 +523,7 @@ class MergeApplier:
         # partition, maintained at merge time — consumers read ONLY the tiny
         # sidecars, never rescan the lake (the inline version of the
         # reference's row-counts QC query, row_counts.py:85-102)
-        live = _drop_tombstones(state)
-        stats = (
-            pa.table({"repo": live.column("repo"), "size_bytes": live.column("size_bytes")})
-            .group_by("repo")
-            .aggregate([("size_bytes", "sum"), ("size_bytes", "count")])
-            .rename_columns(["repo", "total_bytes", "n_files"])
-        )
-        stats_file = out.replace("state-", "stats-")
-        stmp = f"{stats_file}.tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(stats, stmp)
-        os.rename(stmp, stats_file)
+        stats_file = _write_stats_sidecar(state, out)
 
         record.update(
             n_rows=state.num_rows,
@@ -498,6 +656,7 @@ def _exchange_and_merge(
     num_partitions: int,
     input_desc: dict[str, Any] | None,
     suppress_unchanged: bool = False,
+    merge_mode: str = "cow",
 ) -> list[dict[str, Any]]:
     """Raw-task hash exchange + merge — the default merge transport.
 
@@ -518,7 +677,10 @@ def _exchange_and_merge(
     retries and resumed runs stay exactly-once.
     """
     per_block_refs = _exchange(ds, num_partitions)
-    applier = MergeApplier(lake_dir, epoch, input_desc, suppress_unchanged=suppress_unchanged)
+    applier = MergeApplier(
+        lake_dir, epoch, input_desc,
+        suppress_unchanged=suppress_unchanged, merge_mode=merge_mode,
+    )
 
     @ray.remote(num_cpus=1)
     def merge_partition_task(part: int, *slices: pa.Table) -> dict[str, Any]:
@@ -550,6 +712,7 @@ def apply_epoch(
     on_undecodable: str = "abort",
     exchange: str = "tasks",
     suppress_unchanged: bool = False,
+    merge_mode: str = "cow",
 ) -> list[dict[str, Any]]:
     """Apply one epoch of change events; returns per-partition commit records.
 
@@ -592,7 +755,8 @@ def apply_epoch(
     t0 = time.perf_counter()
     if exchange == "tasks" and not use_actor_pool:
         records = _exchange_and_merge(
-            ds, lake_dir, epoch, num_partitions, input_desc, suppress_unchanged
+            ds, lake_dir, epoch, num_partitions, input_desc, suppress_unchanged,
+            merge_mode=merge_mode,
         )
     else:
         grouped = ds.groupby(PART_COLUMN, num_partitions=_shuffle_partitions(num_partitions))
@@ -603,7 +767,7 @@ def apply_epoch(
                 merge_concurrency = _default_merge_concurrency(num_partitions)
             commits = grouped.map_groups(
                 MergeApplier,
-                fn_constructor_args=(lake_dir, epoch, input_desc, suppress_unchanged),
+                fn_constructor_args=(lake_dir, epoch, input_desc, suppress_unchanged, merge_mode),
                 batch_format="pyarrow",
                 concurrency=merge_concurrency,
                 num_cpus=1,
@@ -611,7 +775,9 @@ def apply_epoch(
         else:
             # Dataset-native merge transport (parity/verification path; the
             # task exchange above is the default — see _exchange_and_merge)
-            applier = MergeApplier(lake_dir, epoch, input_desc, suppress_unchanged)
+            applier = MergeApplier(
+                lake_dir, epoch, input_desc, suppress_unchanged, merge_mode
+            )
 
             def merge_partition(group: pa.Table) -> pa.Table:
                 return applier(group)
@@ -667,8 +833,15 @@ def run_ingest(
     decode_catalog: Any | None = None,
     on_undecodable: str = "abort",
     suppress_unchanged: bool = False,
+    merge_mode: str = "cow",
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
+
+    ``merge_mode="mor"`` switches the merge to merge-on-read: each epoch
+    writes only its per-key winners as a partition DELTA file (no prior
+    read, no full rewrite — the sparse-update write-amplification fix at
+    100 TB); readers resolve, ``compact_lake_states`` folds. Implies the
+    sequential epoch path and no suppression.
 
     ``suppress_unchanged`` turns on no-op update suppression in the merge
     (see :class:`MergeApplier`); it implies the sequential epoch path
@@ -735,6 +908,7 @@ def run_ingest(
             decode_catalog=decode_catalog,
             on_undecodable=on_undecodable,
             suppress_unchanged=suppress_unchanged,
+            merge_mode=merge_mode,
         )
 
     # late-segment repair pass: a manifested epoch whose plan now has NEW
@@ -756,8 +930,8 @@ def run_ingest(
         covered.update(os.path.basename(f) for f in delta)
         repaired += 1
 
-    if fused and suppress_unchanged:
-        fused = False
+    if fused and (suppress_unchanged or merge_mode == "mor"):
+        fused = False  # fused chains in-memory COW state; see MergeApplier
     if fused and normal:
         # fused mode needs uniform segment schemas across ALL pending
         # segments (a mid-epoch column add would silently enter the union
@@ -895,19 +1069,46 @@ def _run_ingest_fused(
     }
 
 
+def _lake_parts(lake_dir: str) -> list[int]:
+    if not os.path.isdir(lake_dir):
+        return []
+    return sorted(
+        int(name.split("=")[1])
+        for name in os.listdir(lake_dir)
+        if name.startswith("part=")
+    )
+
+
+def lake_read_plan(
+    lake_dir: str, as_of_epoch: int | None = None
+) -> tuple[list[str], list[int]]:
+    """Split the lake into (clean state files, dirty partition ids): a clean
+    partition's frontier is a single base STATE file (zero-copy parquet scan
+    with pushdown); a dirty partition has trailing merge-on-read deltas and
+    needs an LWW resolution task. ``as_of_epoch`` time-travels both."""
+    clean, dirty = [], []
+    for part in _lake_parts(lake_dir):
+        files = cl.list_part_files(lake_dir, part)
+        if as_of_epoch is not None:
+            files = [f for f in files if f[1] <= as_of_epoch]
+        if not files:
+            continue
+        if files[-1][3] == "state":
+            clean.append(files[-1][2])
+        else:
+            dirty.append(part)
+    return clean, dirty
+
+
 def lake_state_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
-    """Latest committed state file per partition.
+    """Latest committed base state file per partition (partitions whose
+    frontier is a merge-on-read delta are NOT listed — use lake_read_plan).
 
     ``as_of_epoch`` reads the lake as of the END of that epoch (time travel
     over the copy-on-write history; only works for epochs not yet vacuumed).
     """
     out = []
-    if not os.path.isdir(lake_dir):
-        return out
-    for name in sorted(os.listdir(lake_dir)):
-        if not name.startswith("part="):
-            continue
-        part = int(name.split("=")[1])
+    for part in _lake_parts(lake_dir):
         ref = cl.latest_state(lake_dir, part, max_epoch=as_of_epoch)
         if ref is not None:
             out.append(ref[0])
@@ -962,26 +1163,58 @@ def read_lake(
 
     ``columns`` and ``filter`` (a pyarrow dataset expression, e.g.
     ``pc.field("repo") == "org0/repo0"``) push down to the Parquet read so
-    only the needed columns/row groups leave storage."""
-    files = lake_state_files(lake_dir)
-    if not files:
+    only the needed columns/row groups leave storage.
+
+    Merge-on-read partitions (frontier is a delta) are resolved by one Ray
+    task each — base ∪ deltas LWW — and unioned with the zero-copy scan of
+    the clean partitions; filter/columns apply to the resolved blocks too."""
+    clean_files, dirty_parts = lake_read_plan(lake_dir)
+    if not clean_files and not dirty_parts:
         return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
     # tombstones (deleted keys) are physical rows but not part of the logical
     # table: push the filter into the parquet scan
     tombstone_filter = pc.field("deleted") == False  # noqa: E712 (pyarrow expr)
     if filter is not None:
         tombstone_filter = tombstone_filter & filter
+
+    parts_ds = None
+    if dirty_parts:
+        resolve = ray.remote(num_cpus=1)(_resolved_live_block)
+        refs = [
+            resolve.remote(lake_dir, p, columns, filter) for p in dirty_parts
+        ]
+        parts_ds = ray.data.from_arrow_refs(refs)
     # partitioning=None: the lake's part=N dirs are PHYSICAL layout, not a
     # logical column — default hive inference would leak a 'part' column.
     # With an explicit column list the selection already excludes it, and
     # ray 2.49's parquet reader raises UnboundLocalError on
     # partitioning=None + columns, so only pass it on the full-schema path.
+    if not clean_files:
+        return parts_ds
     kwargs: dict[str, Any] = {"filter": tombstone_filter}
     if columns is not None:
         kwargs["columns"] = columns
-        return ray.data.read_parquet(files, **kwargs)
-    ds = ray.data.read_parquet(files, partitioning=None, **kwargs)
-    return ds.drop_columns(["deleted"])
+        ds = ray.data.read_parquet(clean_files, **kwargs)
+    else:
+        ds = ray.data.read_parquet(clean_files, partitioning=None, **kwargs)
+        ds = ds.drop_columns(["deleted"])
+    return ds.union(parts_ds) if parts_ds is not None else ds
+
+
+def _resolved_live_block(
+    lake_dir: str, part: int, columns: list[str] | None, filter: Any | None
+) -> pa.Table:
+    """Resolve one merge-on-read partition to its LIVE rows (tombstones and
+    the 'deleted' flag dropped), with column/filter applied post-resolve —
+    the per-partition read task behind read_lake's dirty path."""
+    tbl = _drop_tombstones(resolve_partition_state(lake_dir, part))
+    if filter is not None:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(tbl).to_table(filter=filter)
+    if columns is not None:
+        tbl = tbl.select(columns)
+    return tbl
 
 
 def lake_final_table(
@@ -990,17 +1223,21 @@ def lake_final_table(
     as_of_epoch: int | None = None,
 ) -> pa.Table:
     """Full lake state as one canonically sorted Arrow table (tests/oracle).
-    Tombstones are physical rows; the logical table excludes them."""
-    files = lake_state_files(lake_dir, as_of_epoch=as_of_epoch)
-    if not files:
+    Tombstones are physical rows; the logical table excludes them.
+    Merge-on-read partitions are resolved inline (driver-side — this is the
+    small-result/test surface; the streaming surface is read_lake)."""
+    tables = [
+        resolve_partition_state(lake_dir, part, as_of_epoch=as_of_epoch)
+        for part in _lake_parts(lake_dir)
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
         return _drop_tombstones(STATE_SCHEMA.empty_table())
-    schemas = [pq.read_schema(f) for f in files]
-    target = schemas[0]
-    for s in schemas[1:]:
-        target = unify_schemas(target, s)
+    target = tables[0].schema
+    for t in tables[1:]:
+        target = unify_schemas(target, t.schema)
     tbl = pa.concat_tables(
-        [conform_table(pq.read_table(f), target) for f in files],
-        promote_options="default",
+        [conform_table(t, target) for t in tables], promote_options="default"
     )
     tbl = _drop_tombstones(tbl)
     if columns is not None:
@@ -1054,18 +1291,24 @@ def _diff_partition_states(
     lake_dir: str, part: int, epoch: int, include_preimages: bool = False
 ) -> pa.Table:
     """Logical change rows for one partition in one epoch: diff of the live
-    state as of ``epoch`` vs ``epoch - 1`` (two copy-on-write files, in-task
-    hash joins — co-partitioned by construction, so no shuffle exists in the
-    whole feed read)."""
+    state as of ``epoch`` vs ``epoch - 1`` (in-task hash joins over the two
+    time-travel states — co-partitioned by construction, so no shuffle
+    exists in the whole feed read). For copy-on-write partitions each side
+    is one file read; merge-on-read partitions resolve base ∪ deltas first."""
     empty = _empty_feed_table()
-    cur = cl.latest_state(lake_dir, part, max_epoch=epoch)
-    if cur is None:
+    files = cl.list_part_files(lake_dir, part)
+    cur_files = [f for f in files if f[1] <= epoch]
+    if not cur_files:
         return empty
-    prev = cl.latest_state(lake_dir, part, max_epoch=epoch - 1)
-    if prev is not None and prev[0] == cur[0]:
-        return empty  # partition untouched in this epoch
-    cur_t = pq.read_table(cur[0])
-    prev_t = pq.read_table(prev[0]) if prev is not None else None
+    prev_files = [f for f in files if f[1] <= epoch - 1]
+    if prev_files and prev_files[-1][2] == cur_files[-1][2]:
+        return empty  # partition untouched in this epoch (same frontier)
+    cur_t = resolve_partition_state(lake_dir, part, as_of_epoch=epoch)
+    prev_t = (
+        resolve_partition_state(lake_dir, part, as_of_epoch=epoch - 1)
+        if prev_files
+        else None
+    )
 
     deleted = pc.fill_null(cur_t.column("deleted"), False)
     cur_live = cur_t.filter(pc.invert(deleted))
@@ -1248,8 +1491,8 @@ def rebucket_lake(
     repartition-by-copy analog of the reference's fixed range partitioning,
     ``iac/terraform/bq.tf:30-39``, which cannot re-partition in place).
     """
-    files = lake_state_files(src_lake)
-    if not files:
+    files, dirty_parts = lake_read_plan(src_lake)
+    if not files and not dirty_parts:
         raise ValueError(f"no committed state in {src_lake}")
     # partitioning=None: don't hive-infer the physical part=N dirs (ray
     # 2.49 raises on partitioning=None + columns, so pass it only without
@@ -1257,7 +1500,15 @@ def rebucket_lake(
     rk = dict(read_kwargs or {})
     if "columns" not in rk:
         rk["partitioning"] = None
-    ds = ray.data.read_parquet(files, **rk)
+    ds = ray.data.read_parquet(files, **rk) if files else None
+    if dirty_parts:
+        # merge-on-read frontiers: resolve to FULL state rows (tombstones
+        # included — they must migrate) in one task per partition
+        resolve = ray.remote(num_cpus=1)(resolve_partition_state)
+        dirty_ds = ray.data.from_arrow_refs(
+            [resolve.remote(src_lake, p) for p in dirty_parts]
+        )
+        ds = ds.union(dirty_ds) if ds is not None else dirty_ds
 
     def to_events(t: pa.Table) -> pa.Table:
         ev = _state_as_events(t)
@@ -1290,20 +1541,33 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
     if keep_epochs < 1:
         raise ValueError("keep_epochs must be >= 1 (the live state must survive)")
     removed = kept = 0
-    if not os.path.isdir(lake_dir):
-        return {"removed": 0, "kept": 0}
-    for name in sorted(os.listdir(lake_dir)):
-        if not name.startswith("part="):
+    for part in _lake_parts(lake_dir):
+        files = cl.list_part_files(lake_dir, part)  # seq-ascending, committed
+        # a delta is only superseded once a LATER base state (compaction or
+        # copy-on-write epoch) covers it; unsuperseded deltas are part of the
+        # live frontier and must never be vacuumed, whatever their age
+        last_base = max(
+            (i for i, f in enumerate(files) if f[3] == "state"), default=None
+        )
+        if last_base is None:
+            kept += len(files)
             continue
-        part = int(name.split("=")[1])
-        states = cl.list_states(lake_dir, part)  # seq-ascending, committed only
-        for _, _, path in states[:-keep_epochs]:
+        states = [f for f in files[: last_base + 1] if f[3] == "state"]
+        droppable_states = states[:-keep_epochs] if keep_epochs else states
+        droppable = {f[2] for f in droppable_states}
+        oldest_kept_seq = (
+            states[-keep_epochs][0] if len(states) >= keep_epochs else -1
+        )
+        for seq, _, path, kind in files[: last_base + 1]:
+            if kind == "delta" and seq < oldest_kept_seq:
+                droppable.add(path)  # shadowed by every retained base
+        for path in sorted(droppable):
             os.remove(path)
             sidecar = path.replace("state-", "stats-")
             if os.path.exists(sidecar):
                 os.remove(sidecar)
             removed += 1
-        kept += min(len(states), keep_epochs)
+        kept += len(files) - len(droppable)
     return {"removed": removed, "kept": kept}
 
 
@@ -1311,19 +1575,30 @@ def repo_stats_view(lake_dir: str) -> pa.Table:
     """The incrementally-maintained per-repo aggregate: merges each
     partition's latest stats SIDECAR (written at merge time) — reads KBs of
     sidecars instead of rescanning the lake. Returns (repo, n_files,
-    total_bytes) sorted by repo."""
+    total_bytes) sorted by repo.
+
+    Merge-on-read partitions get a sidecar only at compaction; a partition
+    whose frontier is a delta falls back to resolving its own files (still
+    partition-local — never a lake rescan). Run compact_lake_states to make
+    the view sidecar-only again."""
     tables = []
-    if os.path.isdir(lake_dir):
-        for name in sorted(os.listdir(lake_dir)):
-            if not name.startswith("part="):
-                continue
-            part = int(name.split("=")[1])
-            ref = cl.latest_state(lake_dir, part)
-            if ref is None:
-                continue
-            sidecar = ref[0].replace("state-", "stats-")
-            if os.path.exists(sidecar):
-                tables.append(pq.read_table(sidecar))
+    for part in _lake_parts(lake_dir):
+        frontier = cl.latest_file(lake_dir, part)
+        if frontier is None:
+            continue
+        sidecar = frontier[0].replace("state-", "stats-")
+        if frontier[3] == "state" and os.path.exists(sidecar):
+            tables.append(pq.read_table(sidecar))
+        else:  # MOR frontier (or pre-sidecar file): resolve this partition
+            live = _drop_tombstones(resolve_partition_state(lake_dir, part))
+            tables.append(
+                pa.table(
+                    {"repo": live.column("repo"), "size_bytes": live.column("size_bytes")}
+                )
+                .group_by("repo")
+                .aggregate([("size_bytes", "sum"), ("size_bytes", "count")])
+                .rename_columns(["repo", "total_bytes", "n_files"])
+            )
     if not tables:
         return pa.table(
             {"repo": pa.array([], pa.string()), "n_files": pa.array([], pa.int64()),

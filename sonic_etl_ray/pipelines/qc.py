@@ -127,13 +127,16 @@ def freshness(lake_dir: str) -> dict[str, Any]:
         if not name.startswith("part="):
             continue
         part = int(name.split("=")[1])
-        ref = cl.latest_state(lake_dir, part)
+        ref = cl.latest_file(lake_dir, part)  # delta commits advance liveness too
         if ref:
             rec = cl.read_commit(lake_dir, ref[1], part) or {}
             out[part] = {
                 "epoch": ref[1],
                 "applied_lsn": rec.get("applied_lsn"),
-                "n_rows": rec.get("n_rows"),
+                # merge-on-read delta commits record n_rows=-1 (no base read
+                # at write time); report the delta row count for skew/liveness
+                "n_rows": rec.get("n_rows") if rec.get("kind") != "delta" else rec.get("n_delta_rows"),
+                "kind": ref[3],
             }
     return out
 
@@ -164,14 +167,15 @@ def skew_report(lake_dir: str) -> dict[str, Any]:
 
 
 def verify_lake_counts(lake_dir: str) -> bool:
-    """Commit-log n_rows must equal actual state-file row counts (the
-    count-column cross-check, A1–A4/J3 analog)."""
+    """Commit-log n_rows must equal actual data-file row counts (the
+    count-column cross-check, A1–A4/J3 analog). For a merge-on-read frontier
+    the recorded delta row count is checked against the delta file."""
     import pyarrow.parquet as pq
 
     from ..state import commitlog as cl
 
     for part, info in freshness(lake_dir).items():
-        ref = cl.latest_state(lake_dir, part)
+        ref = cl.latest_file(lake_dir, part)
         actual = pq.read_metadata(ref[0]).num_rows
         if actual != info["n_rows"]:
             return False

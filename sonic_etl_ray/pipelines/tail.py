@@ -45,6 +45,8 @@ class Tailer:
         merge_concurrency: int | tuple[int, int] | None = None,
         read_kwargs: dict[str, Any] | None = None,
         compact_every: int | None = None,
+        merge_mode: str = "cow",
+        compact_states_every: int | None = None,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -57,7 +59,13 @@ class Tailer:
         # writer and compaction runs between epochs, never mid-apply) — a
         # long-lived tail would otherwise accumulate unbounded commit files
         self.compact_every = compact_every
+        # merge-on-read tailing: each epoch appends partition deltas; fold
+        # them into fresh bases every N closed epochs so read amplification
+        # stays bounded while the write path never rewrites full state
+        self.merge_mode = merge_mode
+        self.compact_states_every = compact_states_every
         self._applied_since_compact = 0
+        self._applied_since_state_compact = 0
         self._stop = False
         self._last_seen = -1  # highest segment index observed (head watermark)
 
@@ -92,12 +100,22 @@ class Tailer:
                 num_partitions=self.num_partitions,
                 merge_concurrency=self.merge_concurrency,
                 input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
+                merge_mode=self.merge_mode,
             )
             applied += 1
         self._applied_since_compact += applied
         if self.compact_every and self._applied_since_compact >= self.compact_every:
             cl.compact_commits(self.lake_dir)
             self._applied_since_compact = 0
+        self._applied_since_state_compact += applied
+        if (
+            self.compact_states_every
+            and self._applied_since_state_compact >= self.compact_states_every
+        ):
+            from .ingest import compact_lake_states
+
+            compact_lake_states(self.lake_dir)
+            self._applied_since_state_compact = 0
         return {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
 
     def run(

@@ -158,20 +158,68 @@ def state_path(lake_dir: str, part: int, epoch: int, seq: int) -> str:
     )
 
 
-def list_states(lake_dir: str, part: int) -> list[tuple[int, int, str]]:
-    """Committed (seq, epoch, path) state files for a partition, seq-ascending."""
+def delta_path(lake_dir: str, part: int, epoch: int, seq: int) -> str:
+    """Merge-on-read DELTA file: only the epoch's per-key winners (state-row
+    schema, tombstones included) — no prior read, no full-partition rewrite.
+    Readers resolve base ∪ trailing deltas with the same LWW reduction the
+    copy-on-write merge uses (the Hudi MOR / log-file model); a compaction
+    folds deltas into a new ``state-`` base under the same seq ordering."""
+    return os.path.join(
+        lake_dir,
+        PART_FMT.format(part),
+        f"delta-seq={seq:08d}-{EPOCH_FMT.format(epoch)}.parquet",
+    )
+
+
+def list_part_files(lake_dir: str, part: int) -> list[tuple[int, int, str, str]]:
+    """All committed data files for a partition as (seq, epoch, path, kind),
+    seq-ascending; kind ∈ {'state', 'delta'}. Uncommitted files (orphans of
+    crashed appliers) are ignored — the retry rewrites them deterministically."""
     pdir = os.path.join(lake_dir, PART_FMT.format(part))
     if not os.path.isdir(pdir):
         return []
     out = []
     for name in os.listdir(pdir):
-        if name.startswith("state-seq=") and name.endswith(".parquet"):
-            body = name[len("state-") : -len(".parquet")]
-            seq_part, epoch_part = body.split("-")
-            seq, epoch = int(seq_part.split("=")[1]), int(epoch_part.split("=")[1])
-            if is_committed(lake_dir, epoch, part):
-                out.append((seq, epoch, os.path.join(pdir, name)))
+        for kind in ("state", "delta"):
+            pre = f"{kind}-seq="
+            if name.startswith(pre) and name.endswith(".parquet"):
+                body = name[len(kind) + 1 : -len(".parquet")]
+                seq_part, epoch_part = body.split("-")
+                seq, epoch = int(seq_part.split("=")[1]), int(epoch_part.split("=")[1])
+                if is_committed(lake_dir, epoch, part):
+                    out.append((seq, epoch, os.path.join(pdir, name), kind))
     return sorted(out)
+
+
+def list_states(lake_dir: str, part: int) -> list[tuple[int, int, str]]:
+    """Committed (seq, epoch, path) STATE (full/base) files, seq-ascending."""
+    return [
+        (seq, epoch, path)
+        for seq, epoch, path, kind in list_part_files(lake_dir, part)
+        if kind == "state"
+    ]
+
+
+def next_seq(lake_dir: str, part: int) -> int:
+    """Next per-partition commit sequence number (0 for an empty partition).
+    Based on COMMITTED files only, so a crashed applier's orphan is reused
+    (same deterministic name) rather than leaking a gap."""
+    files = list_part_files(lake_dir, part)
+    return (files[-1][0] + 1) if files else 0
+
+
+def latest_file(
+    lake_dir: str, part: int, max_epoch: int | None = None
+) -> tuple[str, int, int, str] | None:
+    """Newest committed (path, epoch, seq, kind) data file of ANY kind —
+    the per-partition frontier (watermark lookups, noop-commit references)."""
+    files = list_part_files(lake_dir, part)
+    if max_epoch is not None:
+        files = [f for f in files if f[1] <= max_epoch]
+    if not files:
+        return None
+    seq, epoch, path, kind = files[-1]
+    return path, epoch, seq, kind
 
 
 def is_committed(lake_dir: str, epoch: int, part: int) -> bool:
@@ -265,8 +313,10 @@ def latest_state(
 
 
 def partition_watermark(lake_dir: str, part: int) -> int:
-    """Applied-LSN high watermark for a partition (−1 if empty)."""
-    latest = latest_state(lake_dir, part)
+    """Applied-LSN high watermark for a partition (−1 if empty). The newest
+    committed file of ANY kind carries it — a merge-on-read delta commit
+    advances the watermark exactly like a copy-on-write state commit."""
+    latest = latest_file(lake_dir, part)
     if latest is None:
         return -1
     rec = read_commit(lake_dir, latest[1], part)
