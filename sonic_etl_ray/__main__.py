@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--segments-per-epoch", type=int, default=8)
     i.add_argument("--on-error", choices=["abort", "route"], default="abort")
     i.add_argument(
+        "--merge-mode", choices=["cow", "mor"], default="cow",
+        help="mor = merge-on-read (per-epoch delta files; compact-states folds)",
+    )
+    i.add_argument(
         "--no-finalize",
         action="store_true",
         help="defer a trailing partial epoch instead of closing it (tail-style)",
@@ -69,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--segments-per-epoch", type=int, default=8)
     t.add_argument("--ticks", type=int, default=None)
     t.add_argument("--poll-interval", type=float, default=2.0)
+    t.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    t.add_argument(
+        "--compact-states-every", type=int, default=None,
+        help="fold merge-on-read deltas into bases every N closed epochs",
+    )
 
     q = sub.add_parser("qc", help="freshness + count invariants of a lake")
     q.add_argument("--lake", required=True)
@@ -80,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="GC superseded copy-on-write state files")
     v.add_argument("--lake", required=True)
     v.add_argument("--keep-epochs", type=int, default=2)
+
+    cs = sub.add_parser(
+        "compact-states",
+        help="fold merge-on-read delta files into fresh base states (Hudi compaction analog)",
+    )
+    cs.add_argument("--lake", required=True)
+    cs.add_argument("--min-deltas", type=int, default=1)
 
     cc = sub.add_parser(
         "compact-commits",
@@ -114,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(compact_commits(args.lake)))
         return 0
+    if args.cmd == "compact-states":
+        _ray_init(args.num_cpus)  # per-partition compaction tasks
+        from .pipelines.ingest import compact_lake_states
+
+        print(json.dumps(compact_lake_states(args.lake, min_deltas=args.min_deltas)))
+        import ray
+
+        ray.shutdown()
+        return 0
 
     _ray_init(args.num_cpus)
     import ray
@@ -130,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                 segments_per_epoch=args.segments_per_epoch,
                 on_error=args.on_error,
                 finalize=not args.no_finalize,
+                merge_mode=args.merge_mode,
             )
             print(json.dumps(stats))
         elif args.cmd == "tail":
@@ -142,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake,
                 num_partitions=args.partitions,
                 segments_per_epoch=args.segments_per_epoch,
+                merge_mode=args.merge_mode,
+                compact_states_every=args.compact_states_every,
             )
             signal.signal(signal.SIGTERM, lambda *_: tailer.stop())
             signal.signal(signal.SIGINT, lambda *_: tailer.stop())

@@ -203,6 +203,17 @@ def compact_partition(lake_dir: str, part: int) -> dict[str, Any]:
     os.rename(tmp, out)
     _write_stats_sidecar(state, out)  # stats view freshness = last compaction
     n_deltas = sum(1 for f in live if f[3] == "delta")
+    # compaction lineage marker: the base has no commit record of its own
+    # (it rides the newest delta's), so record the resolved row count here —
+    # freshness/verify_lake_counts read it back
+    import json as _json
+
+    with open(out + ".compaction.json", "w") as fh:
+        fh.write(_json.dumps({
+            "n_rows": state.num_rows,
+            "folded_deltas": n_deltas,
+            "source_seqs": [f[0] for f in live],
+        }, sort_keys=True))
     return {"part": part, "compacted": n_deltas, "n_rows": state.num_rows}
 
 
@@ -1563,9 +1574,9 @@ def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
                 droppable.add(path)  # shadowed by every retained base
         for path in sorted(droppable):
             os.remove(path)
-            sidecar = path.replace("state-", "stats-")
-            if os.path.exists(sidecar):
-                os.remove(sidecar)
+            for extra in (path.replace("state-", "stats-"), path + ".compaction.json"):
+                if os.path.exists(extra):
+                    os.remove(extra)
             removed += 1
         kept += len(files) - len(droppable)
     return {"removed": removed, "kept": kept}

@@ -130,15 +130,33 @@ def freshness(lake_dir: str) -> dict[str, Any]:
         ref = cl.latest_file(lake_dir, part)  # delta commits advance liveness too
         if ref:
             rec = cl.read_commit(lake_dir, ref[1], part) or {}
+            # row count at the frontier: copy-on-write commit → record n_rows;
+            # merge-on-read delta frontier → record n_delta_rows; compaction
+            # base (a state file riding a delta commit) → its lineage marker
+            if ref[3] == "state" and rec.get("kind") == "delta":
+                n_rows = _compaction_rows(ref[0])
+            elif rec.get("kind") == "delta":
+                n_rows = rec.get("n_delta_rows")
+            else:
+                n_rows = rec.get("n_rows")
             out[part] = {
                 "epoch": ref[1],
                 "applied_lsn": rec.get("applied_lsn"),
-                # merge-on-read delta commits record n_rows=-1 (no base read
-                # at write time); report the delta row count for skew/liveness
-                "n_rows": rec.get("n_rows") if rec.get("kind") != "delta" else rec.get("n_delta_rows"),
+                "n_rows": n_rows,
                 "kind": ref[3],
             }
     return out
+
+
+def _compaction_rows(state_file: str) -> int | None:
+    import json
+    import os
+
+    marker = state_file + ".compaction.json"
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return int(json.loads(fh.read())["n_rows"])
 
 
 def skew_report(lake_dir: str) -> dict[str, Any]:
@@ -175,6 +193,8 @@ def verify_lake_counts(lake_dir: str) -> bool:
     from ..state import commitlog as cl
 
     for part, info in freshness(lake_dir).items():
+        if info["n_rows"] is None:
+            return False  # a frontier with no recorded count is a QC failure
         ref = cl.latest_file(lake_dir, part)
         actual = pq.read_metadata(ref[0]).num_rows
         if actual != info["n_rows"]:

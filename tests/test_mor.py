@@ -128,6 +128,37 @@ def test_mor_compaction_and_vacuum_preserve_state(tmp_path):
     assert repo_stats_view(mor).equals(repo_stats_view(cow))
 
 
+def test_mor_qc_counts_across_compaction(tmp_path):
+    """freshness/verify_lake_counts stay truthful at every frontier kind:
+    delta frontier (n_delta_rows), compaction base (lineage marker)."""
+    from sonic_etl_ray.pipelines.qc import freshness
+
+    spec = StreamSpec(n_events=4000, n_repos=8, seed=19, segment_size=400)
+    seg = str(tmp_path / "segments")
+    files = generate_stream(seg, spec)
+    lake = scratch_lake_dir("morqc")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=5, merge_mode="mor")
+    assert all(v["kind"] == "delta" for v in freshness(lake).values())
+    assert verify_lake_counts(lake)
+    compact_lake_states(lake)
+    f = freshness(lake)
+    assert all(v["kind"] == "state" for v in f.values())
+    assert sum(v["n_rows"] for v in f.values()) == lake_final_table(lake).num_rows + _tombstones(lake)
+    assert verify_lake_counts(lake)
+
+
+def _tombstones(lake: str) -> int:
+    import pyarrow.compute as pc
+
+    from sonic_etl_ray.pipelines.ingest import _lake_parts, resolve_partition_state
+
+    n = 0
+    for p in _lake_parts(lake):
+        t = resolve_partition_state(lake, p)
+        n += int(pc.sum(pc.cast(t.column("deleted"), "int64")).as_py() or 0)
+    return n
+
+
 def test_mor_time_travel_matches_cow(tmp_path):
     spec = StreamSpec(n_events=6000, n_repos=8, seed=13, segment_size=500)
     _, cow, mor = _twin_lakes(tmp_path, spec, num_partitions=4, segments_per_epoch=4)
