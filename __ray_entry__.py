@@ -288,6 +288,12 @@ def _q_cdc_mor(sf_dir: str):
     return cdc_apply_mor(sf_dir)
 
 
+def _q_cdc_lookup(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_point_lookup
+
+    return cdc_point_lookup(sf_dir)
+
+
 def _q_cdc_mv(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_incremental_repo_stats
 
@@ -378,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_upserts": _q_cdc_upserts,
         "cdc_apply_dup_replay": _q_cdc_dup,
         "cdc_apply_mor": _q_cdc_mor,
+        "cdc_point_lookup": _q_cdc_lookup,
         "cdc_apply_blocklisted": _q_cdc_blocklist,
         "cdc_schema_evolution": _q_cdc_evolve,
         "cdc_row_counts": _q_cdc_counts,

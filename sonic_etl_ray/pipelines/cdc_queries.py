@@ -429,6 +429,45 @@ def cdc_apply_mor(sf_dir: str) -> pa.Table:
     return lake_final_table(lake).select(FINAL_COLUMNS)
 
 
+def cdc_point_lookup(sf_dir: str) -> pa.Table:
+    """Data-skipping point lookup: replay the stream, then fetch a
+    deterministic key set (every key of users with user_id % 97 == 0)
+    through :func:`..pipelines.ingest.lookup_keys` — each key is read from
+    EXACTLY the one partition it hashes to (plus Parquet row-group pruning
+    inside the sorted state file), never a lake scan. Oracle: the LWW
+    snapshot joined to the same key set."""
+    from ..pipelines.ingest import lookup_keys
+
+    lake = scratch_lake_dir("cdclkp")
+    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = np.asarray(t["user_id"])
+        keep = t.filter(pa.array(uid % 97 == 0))
+        ev = _to_change_events(
+            keep.append_column("value", pa.array(np.full(keep.num_rows, 100.0)))
+            .append_column("props", pa.array([""] * keep.num_rows, pa.string()))
+        )
+        return ev.select(["repo", "path"])
+
+    key_refs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+        )
+        .map_batches(key_rows, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    keys_t = (
+        pa.concat_tables([t for t in ray.get(key_refs) if t.num_rows])
+        .group_by(["repo", "path"])  # tiny: the lookup INPUT (~1% of users)
+        .aggregate([])
+    )
+    keys = list(zip(keys_t["repo"].to_pylist(), keys_t["path"].to_pylist()))
+    return lookup_keys(lake, keys, num_partitions=8).select(FINAL_COLUMNS)
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -671,6 +710,12 @@ ORACLES: dict[str, str] = {
     FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_point_lookup": ORACLE_SRC + """
+    SELECT f.* FROM final f
+    JOIN (SELECT DISTINCT 'r' || CAST(user_id % 5 AS VARCHAR) AS repo,
+                 'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS path
+          FROM events WHERE user_id % 97 = 0) k
+    USING (repo, path) ORDER BY repo, path""",
     # the migration must be invisible: destination state == plain LWW final
     "cdc_rebucket": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # suppression: chained per-epoch CTEs (built by _suppress_oracle_sql)

@@ -1228,6 +1228,94 @@ def _resolved_live_block(
     return tbl
 
 
+def lake_num_partitions(lake_dir: str) -> int:
+    """The lake's hash-partition count, from the newest epoch manifest
+    (recorded at apply time); falls back to counting part dirs."""
+    for e in reversed(cl.committed_epochs(lake_dir)):
+        m = cl.read_manifest(lake_dir, e) or {}
+        if "num_partitions" in m:
+            return int(m["num_partitions"])
+    parts = _lake_parts(lake_dir)
+    return (max(parts) + 1) if parts else 0
+
+
+def _lookup_partition(
+    lake_dir: str, part: int, repos: list[str], keyset: list[str],
+    as_of_epoch: int | None,
+) -> pa.Table:
+    """Point-read one partition: a clean frontier is a single Parquet read
+    with a repo filter (state files are (repo, path)-sorted, so Parquet
+    row-group stats prune within the file too); a merge-on-read frontier
+    resolves base ∪ deltas with the same repo filter pushed into every file
+    read (safe: LWW is per key, and the filter keeps ALL rows of the looked-
+    up keys). Exact (repo, path) match + tombstone drop happen in-task."""
+    import pyarrow.dataset as pads
+
+    files = cl.list_part_files(lake_dir, part)
+    if as_of_epoch is not None:
+        files = [f for f in files if f[1] <= as_of_epoch]
+    if not files:
+        return _drop_tombstones(STATE_SCHEMA.empty_table())
+    base_i = 0
+    for i, (_, _, _, kind) in enumerate(files):
+        if kind == "state":
+            base_i = i
+    live = files[base_i:]
+    repo_filter = pc.field("repo").isin(repos)
+    tabs = [
+        pads.dataset(p, format="parquet").to_table(filter=repo_filter)
+        for _, _, p, _ in live
+    ]
+    tbl = _lww_resolve(tabs)
+    exact = pc.is_in(key_strings(tbl), value_set=pa.array(keyset, pa.string()))
+    return _drop_tombstones(tbl.filter(exact))
+
+
+def lookup_keys(
+    lake_dir: str,
+    keys: list[tuple[str, str]],
+    num_partitions: int | None = None,
+    as_of_epoch: int | None = None,
+) -> pa.Table:
+    """Point lookup of live rows by exact (repo, path) keys — data skipping
+    via the lake's OWN partitioning: each key hashes to exactly one
+    partition (stages/keys.py, the same SipHash the merge shuffle uses), so
+    a k-key lookup touches ≤ k of P partitions and never scans the lake.
+    One Ray task per touched partition; within a partition, Parquet
+    row-group stats on the sorted ``repo`` column prune further. The
+    O(1/P + row-group) point-read path a 100 TB lake needs."""
+    from ..stages.keys import KEY_SEP, stable_hash64
+
+    if not keys:
+        return _drop_tombstones(STATE_SCHEMA.empty_table())
+    P = num_partitions or lake_num_partitions(lake_dir)
+    if P <= 0:
+        return _drop_tombstones(STATE_SCHEMA.empty_table())
+    keytab = pa.table(
+        {"repo": [k[0] for k in keys], "path": [k[1] for k in keys]}
+    )
+    import numpy as np
+
+    parts = stable_hash64(key_strings(keytab)) % np.uint64(P)
+    by_part: dict[int, list[int]] = {}
+    for i, p in enumerate(parts):
+        by_part.setdefault(int(p), []).append(i)
+    task = ray.remote(num_cpus=1)(_lookup_partition)
+    refs = []
+    for part, idxs in sorted(by_part.items()):
+        repos = sorted({keys[i][0] for i in idxs})
+        keyset = sorted({keys[i][0] + KEY_SEP + keys[i][1] for i in idxs})
+        refs.append(task.remote(lake_dir, part, repos, keyset, as_of_epoch))
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return _drop_tombstones(STATE_SCHEMA.empty_table())
+    target = tabs[0].schema
+    for t in tabs[1:]:
+        target = unify_schemas(target, t.schema)
+    out = pa.concat_tables([conform_table(t, target) for t in tabs], promote_options="default")
+    return out.take(pc.sort_indices(out, sort_keys=STATE_SORT))
+
+
 def lake_final_table(
     lake_dir: str,
     columns: list[str] | None = None,
@@ -1251,9 +1339,10 @@ def lake_final_table(
         [conform_table(t, target) for t in tables], promote_options="default"
     )
     tbl = _drop_tombstones(tbl)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
     if columns is not None:
-        tbl = tbl.select(columns)
-    return tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
+        tbl = tbl.select(columns)  # after the sort: columns may omit sort keys
+    return tbl
 
 
 def _drop_tombstones(tbl: pa.Table) -> pa.Table:
