@@ -147,6 +147,18 @@ def _q_doc_quality(sf_dir: str):
     return _r(doc_quality(sf_dir), ["stop_ratio"])
 
 
+def _q_repetition(sf_dir: str):
+    from sonic_etl_ray.functions.text import repetition_stats
+
+    return _r(repetition_stats(sf_dir), ["dup_token_frac", "top_2gram_frac"])
+
+
+def _q_contamination(sf_dir: str):
+    from sonic_etl_ray.functions.text import contamination_check
+
+    return contamination_check(sf_dir)
+
+
 def _q_lang_id(sf_dir: str):
     from sonic_etl_ray.functions.text import lang_id
 
@@ -418,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
+        "repetition_stats": _q_repetition,
+        "contamination_check": _q_contamination,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
@@ -677,6 +691,48 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(len(list_filter({_TOK}, x -> list_contains({_STOP}, x))) AS DOUBLE)
                      / GREATEST(len({_TOK}), 1), {_ROUND}) AS stop_ratio
         FROM documents ORDER BY doc_id"""
+
+    # whitespace-normalized tokenization shared by both repetition ops:
+    # string_split(regexp_replace(text,'\\s+',' ','g'), ' ') — mirrored
+    # exactly by the engine's RepetitionScorer/ContaminationChecker
+    _NTOK = "string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')"
+    sql["repetition_stats"] = f"""
+        WITH l AS (SELECT doc_id, {_NTOK} AS toks FROM documents),
+        pairs AS (
+          SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS pair
+          FROM l, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+        ),
+        top2 AS (
+          SELECT doc_id, MAX(c) AS top_pair FROM (
+            SELECT doc_id, pair, COUNT(*) AS c FROM pairs GROUP BY doc_id, pair
+          ) GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN len(toks) > 0
+                          THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                          ELSE 0.0 END, {_ROUND}) AS dup_token_frac,
+               ROUND(CASE WHEN len(toks) >= 2
+                          THEN 2.0 * COALESCE(top_pair, 0) / len(toks)
+                          ELSE 0.0 END, {_ROUND}) AS top_2gram_frac
+        FROM l LEFT JOIN top2 USING (doc_id) ORDER BY doc_id"""
+
+    from sonic_etl_ray.functions.text import (
+        CONTAM_EVERY as _CE, CONTAM_HI as _CH, CONTAM_LO as _CL,
+        CONTAM_MIN_TOKENS as _CM,
+    )
+
+    sql["contamination_check"] = f"""
+        WITH norm AS (
+          SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS t FROM documents
+        ),
+        snips AS (
+          SELECT array_to_string(list_slice(string_split(t, ' '), {_CL + 1}, {_CH}), ' ') AS snip
+          FROM norm WHERE doc_id % {_CE} = 0 AND len(string_split(t, ' ')) >= {_CM}
+        )
+        SELECT d.doc_id,
+               EXISTS(SELECT 1 FROM snips s WHERE contains(d.t, s.snip)) AS contaminated
+        FROM norm d ORDER BY doc_id"""
 
     sql["dedup_exact"] = """
         SELECT doc_id, sha256(text) AS text_sha256 FROM documents

@@ -237,3 +237,127 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class RepetitionScorer:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    documents dominated by repeated tokens / n-grams are low-quality
+    training data. Per doc:
+
+      n_tokens        — tokens of the whitespace-normalized text
+      dup_token_frac  — 1 − unique/total token occurrences
+      top_2gram_frac  — tokens covered by the most frequent 2-gram (2·max/n)
+
+    Tokenization = split on single spaces after collapsing all whitespace,
+    exactly mirroring the SQL oracle's
+    ``string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')``.
+    Vectorized: one explode, grouped nunique, grouped shift for pairs."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        norm = batch["text"].fillna("").str.replace(r"\s+", " ", regex=True)
+        toks = norm.str.split(" ")
+        n = toks.map(len).astype("int64")
+        flat = toks.explode()
+        nuniq = (
+            flat.groupby(level=0).nunique().reindex(batch.index, fill_value=0).astype("int64")
+        )
+        dup_frac = (1.0 - nuniq / n.clip(lower=1)).where(n > 0, 0.0)
+        df = flat.to_frame("tok")
+        df["nxt"] = df.groupby(level=0)["tok"].shift(-1)
+        p = df.dropna(subset=["nxt"])
+        if len(p):
+            pair_counts = p.groupby([p.index, (p["tok"] + " " + p["nxt"]).values]).size()
+            top2 = (
+                pair_counts.groupby(level=0).max().reindex(batch.index, fill_value=0)
+            ).astype("int64")
+        else:
+            top2 = pd.Series(0, index=batch.index, dtype="int64")
+        top2_frac = (2 * top2 / n.clip(lower=1)).where(n >= 2, 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n,
+                "dup_token_frac": dup_frac.astype("float64"),
+                "top_2gram_frac": top2_frac.astype("float64"),
+            }
+        )
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(RepetitionScorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# deterministic "benchmark set" for the contamination check: every 50th doc
+# contributes its normalized tokens [10:23] as a 13-gram snippet (13-gram
+# overlap is the GPT-3/PaLM decontamination window)
+CONTAM_EVERY = 50
+CONTAM_LO, CONTAM_HI = 10, 23
+CONTAM_MIN_TOKENS = 30
+
+
+def _normalize_ws(s: pd.Series) -> pd.Series:
+    return s.fillna("").str.replace(r"\s+", " ", regex=True)
+
+
+def benchmark_snippets(sf_dir: str) -> list[str]:
+    """The (tiny) benchmark side: deterministic 13-gram snippets drawn from
+    every ``CONTAM_EVERY``-th document. This is the broadcast-small side —
+    collected once on the driver, shipped to every checker actor via
+    ``ray.put``, never joined through a shuffle."""
+    import pyarrow as pa
+    import ray as _ray
+
+    def _pick(t: pa.Table) -> pa.Table:
+        mask = np.asarray(t["doc_id"]) % CONTAM_EVERY == 0
+        return t.filter(pa.array(mask))
+
+    refs = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_pick, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+
+    t = pa.concat_tables([x for x in _ray.get(refs) if x.num_rows])
+    df = t.to_pandas().sort_values("doc_id")
+    toks = _normalize_ws(df["text"]).str.split(" ")
+    keep = toks.map(len) >= CONTAM_MIN_TOKENS
+    return [
+        " ".join(ts[CONTAM_LO:CONTAM_HI]) for ts in toks[keep]
+    ]
+
+
+class ContaminationChecker:
+    """Benchmark-contamination flag: does the (whitespace-normalized) doc
+    contain any benchmark 13-gram verbatim? Snippets are fetched from the
+    object store once per actor (ST8 pattern); the per-batch check is one
+    vectorized ``str.contains`` per snippet — exact substring, no regex."""
+
+    def __init__(self, snippets_ref):
+        import ray as _ray
+
+        self.snippets = _ray.get(snippets_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        norm = _normalize_ws(batch["text"])
+        flag = pd.Series(False, index=batch.index)
+        for s in self.snippets:
+            flag |= norm.str.contains(s, regex=False)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "contaminated": flag})
+
+
+def contamination_check(sf_dir: str) -> pd.DataFrame:
+    import ray as _ray
+
+    snippets_ref = _ray.put(benchmark_snippets(sf_dir))
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        ContaminationChecker,
+        fn_constructor_args=(snippets_ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

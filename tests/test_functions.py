@@ -279,3 +279,55 @@ def test_media_payload_stats_matches_pandas():
     pd.testing.assert_frame_equal(lhs, ref.astype(
         {"n_media": "int64", "n_unique_payloads": "int64", "total_bytes": "int64"}
     ))
+
+
+def test_repetition_scorer_definitions():
+    """Batch kernel vs per-doc brute force over the exact token definition
+    (whitespace-collapse then split on single spaces)."""
+    import re
+    from collections import Counter
+
+    from sonic_etl_ray.functions.text import RepetitionScorer
+
+    docs = [
+        "a a a a",                      # one repeated token
+        "x y x y x y",                  # dominated by one 2-gram
+        "all unique tokens here now",   # no repetition
+        "solo",                         # n=1: both fracs 0
+        "",                             # empty → [''] (n=1)
+        "  spaced\tout\n doc  ",        # whitespace collapse
+    ]
+    out = RepetitionScorer()(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    for i, d in enumerate(docs):
+        toks = re.sub(r"\s+", " ", d).split(" ")
+        n = len(toks)
+        dup = 1.0 - len(set(toks)) / max(n, 1) if n > 0 else 0.0
+        pairs = Counter(
+            toks[j] + " " + toks[j + 1] for j in range(n - 1)
+        )
+        top2 = 2 * max(pairs.values(), default=0) / max(n, 1) if n >= 2 else 0.0
+        row = out.iloc[i]
+        assert row["n_tokens"] == n, d
+        assert abs(row["dup_token_frac"] - dup) < 1e-12, d
+        assert abs(row["top_2gram_frac"] - top2) < 1e-12, d
+
+
+def test_contamination_checker_exact_substring():
+    import ray
+
+    from sonic_etl_ray.functions.text import ContaminationChecker
+
+    snippets = ["needle one two", "other snippet"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "prefix needle one two suffix",       # hit
+                "needle  one\ttwo",                   # hit after ws normalize
+                "needle one",                         # partial → miss
+                "regex[chars] do (not) matter",       # regex chars safe
+            ],
+        }
+    )
+    out = ContaminationChecker(ray.put(snippets))(docs)
+    assert out["contaminated"].tolist() == [True, True, False, False]

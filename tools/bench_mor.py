@@ -21,9 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_EVENTS = int(os.environ.get("MOR_EVENTS", 4_000_000))
-N_KEYS = int(os.environ.get("MOR_KEYS", 200_000))
-N_EPOCHS = int(os.environ.get("MOR_EPOCHS", 16))
+# SPARSE-epoch regime (the one MOR exists for): per-epoch event count must
+# be well under the live-key count, or every epoch rewrites ~the whole state
+# under COW *and* writes ~a whole state under MOR and nothing is learned.
+# 6M events / 2M keys / 48 epochs → late epochs touch ≤6% of state.
+N_EVENTS = int(os.environ.get("MOR_EVENTS", 6_000_000))
+N_KEYS = int(os.environ.get("MOR_KEYS", 2_000_000))
+N_EPOCHS = int(os.environ.get("MOR_EPOCHS", 48))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("BENCH_REPS", "2"))
 
