@@ -147,6 +147,24 @@ def _q_doc_quality(sf_dir: str):
     return _r(doc_quality(sf_dir), ["stop_ratio"])
 
 
+def _q_percentiles(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import price_percentiles
+
+    return price_percentiles(sf_dir)
+
+
+def _q_top_per_segment(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import top_orders_per_segment
+
+    return top_orders_per_segment(sf_dir)
+
+
+def _q_running_value(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import user_running_value
+
+    return _r(user_running_value(sf_dir), ["running_value"])
+
+
 def _q_repetition(sf_dir: str):
     from sonic_etl_ray.functions.text import repetition_stats
 
@@ -424,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_stats": _q_supplier_stats,
         "windowed_user_daily": _q_window,
         "asof_join_last_signup": _q_asof,
+        "price_percentiles": _q_percentiles,
+        "top_orders_per_segment": _q_top_per_segment,
+        "user_running_value": _q_running_value,
         "sessionize_events": _q_sessionize,
         "multitable_fanout_stats": _q_multitable,
         # training-data ops
@@ -733,6 +754,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                EXISTS(SELECT 1 FROM snips s WHERE contains(d.t, s.snip)) AS contaminated
         FROM norm d ORDER BY doc_id"""
+
+    sql["price_percentiles"] = """
+        WITH v AS (
+          SELECT quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99]) AS p
+          FROM lineitem
+        )
+        SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q, unnest(p) AS price FROM v"""
+
+    sql["top_orders_per_segment"] = """
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(row_number() OVER w AS BIGINT) AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey)
+        QUALIFY rank <= 3 ORDER BY c_mktsegment, rank"""
+
+    sql["user_running_value"] = f"""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), {_ROUND})
+                 AS running_value
+        FROM events ORDER BY user_id, event_id"""
 
     sql["dedup_exact"] = """
         SELECT doc_id, sha256(text) AS text_sha256 FROM documents

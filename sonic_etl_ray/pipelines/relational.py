@@ -353,3 +353,110 @@ def asof_join_last_signup(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def price_percentiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles of ``l_extendedprice`` via two-pass
+    counting — the scale path for order statistics: prices are discrete
+    (2 decimals), so per-batch value→count partials collapse through one
+    small ``groupby(value)`` into a distinct-value histogram (≈100k rows at
+    any sf, vs billions of input rows); the driver cumsums the histogram and
+    selects index ceil(q·n)−1 per quantile — DuckDB ``quantile_disc``'s
+    exact rule (verified empirically). No full sort, no sampling error."""
+    import math
+
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = t.group_by("l_extendedprice").aggregate([([], "count_all")])
+        return part.rename_columns(["l_extendedprice", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_extendedprice")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("l_extendedprice")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    vals = []
+    for q in qs:
+        k = math.ceil(q * n) - 1  # 0-based rank, quantile_disc rule
+        i = int(np.searchsorted(cum, k + 1, side="left"))
+        vals.append(float(hist["l_extendedprice"].iloc[i]))
+    return pd.DataFrame({"q": qs, "price": vals})
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (the window-function ``row_number() <= k`` analog):
+    top-k orders by price per market segment. Broadcast customer dim into
+    the fact scan; every batch emits at most k rows per segment, so the
+    final per-segment reduce sees ≤ k·blocks tiny rows — no global sort of
+    the fact table, one small shuffle on the 5 segment keys."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = ray.put(cust.to_pandas().set_index("c_custkey"))
+
+    class LocalTopK:
+        def __init__(self, ref):
+            self.dim = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            j = batch.merge(self.dim, left_on="o_custkey", right_index=True, how="inner")
+            j = j.sort_values(
+                ["c_mktsegment", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            return j.groupby("c_mktsegment", as_index=False).head(k)[
+                ["c_mktsegment", "o_orderkey", "o_totalprice"]
+            ]
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(LocalTopK, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+
+
+def user_running_value(sf_dir: str) -> pd.DataFrame:
+    """Per-key ORDERED running aggregate (the cumulative window function,
+    ``SUM(value) OVER (PARTITION BY user ORDER BY ts, id)``): one shuffle on
+    the key, an in-group stable sort, a sequential cumsum — the per-key
+    ordering discipline the merge already relies on (O1/O2), surfaced as a
+    query operator. Output is row-per-event (a transform, not an aggregate);
+    summation order matches the SQL window exactly, so values are
+    bit-identical before the display rounding."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "running_value": g["value"].cumsum(),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
