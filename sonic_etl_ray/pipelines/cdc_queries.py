@@ -468,6 +468,20 @@ def cdc_point_lookup(sf_dir: str) -> pa.Table:
     return lookup_keys(lake, keys, num_partitions=8).select(FINAL_COLUMNS)
 
 
+def cdc_replicate(sf_dir: str) -> pa.Table:
+    """Lake→lake replication through the change feed: replay the stream as
+    4 epochs into an upstream lake (P=8), subscribe a downstream lake (P=4,
+    merge-on-read) to its per-epoch CDF, return the DOWNSTREAM final table.
+    The oracle is the same LWW snapshot SQL — replication must be exactly
+    state-preserving across partition counts and merge modes."""
+    from ..pipelines.ingest import lake_final_table, replicate_lake
+
+    src_lake, _, _ = _replay_quartile_epochs(sf_dir, "cdcrepsrc")
+    dst_lake = scratch_lake_dir("cdcrepdst")
+    replicate_lake(src_lake, dst_lake, num_partitions=4, merge_mode="mor")
+    return lake_final_table(dst_lake).select(FINAL_COLUMNS)
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -710,6 +724,7 @@ ORACLES: dict[str, str] = {
     FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_point_lookup": ORACLE_SRC + """
     SELECT f.* FROM final f
     JOIN (SELECT DISTINCT 'r' || CAST(user_id % 5 AS VARCHAR) AS repo,

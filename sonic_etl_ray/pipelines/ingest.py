@@ -1357,33 +1357,46 @@ def _drop_tombstones(tbl: pa.Table) -> pa.Table:
 CHANGE_FEED_TYPES = ("insert", "update", "delete")
 
 
-def _empty_feed_table() -> pa.Table:
+def _feed_schema(extra: list[pa.Field] | None = None) -> pa.Schema:
+    """Feed schema = change_type + state payload (+ any EVOLVED columns the
+    contributing states carry — added columns must flow to feed consumers,
+    e.g. lake→lake replication, or evolution is silently lost downstream)."""
     fields = [pa.field("change_type", pa.string(), nullable=False)]
     for f in STATE_SCHEMA:
         if f.name == "applied_lsn":
             fields.append(pa.field("lsn", pa.int64()))
         elif f.name != "deleted":
             fields.append(pa.field(f.name, f.type))
-    return pa.schema(fields).empty_table()
+    for f in extra or []:
+        fields.append(pa.field(f.name, f.type))
+    return pa.schema(fields)
+
+
+def _empty_feed_table() -> pa.Table:
+    return _feed_schema().empty_table()
 
 
 def _feed_payload_rows(
-    src: pa.Table, change_type: pa.Array | str, lsn: pa.Array | pa.ChunkedArray
+    src: pa.Table,
+    change_type: pa.Array | str,
+    lsn: pa.Array | pa.ChunkedArray,
+    schema: pa.Schema | None = None,
 ) -> pa.Table:
     """Project a state-shaped table onto the feed schema (missing evolved
     columns → null) with the given change_type/lsn columns."""
-    empty = _empty_feed_table()
-    payload_names = [f.name for f in empty.schema if f.name not in ("change_type", "lsn")]
+    empty = (schema or _feed_schema()).empty_table()
     if isinstance(change_type, str):
         change_type = pa.array([change_type] * len(src), pa.string())
-    cols: dict[str, Any] = {"change_type": change_type}
-    for name in payload_names:
-        cols[name] = (
-            src.column(name)
-            if name in src.column_names
-            else pa.nulls(len(src), empty.schema.field(name).type)
-        )
-    cols["lsn"] = lsn
+    cols: dict[str, Any] = {}
+    for f in empty.schema:  # schema order (cast below is order-sensitive)
+        if f.name == "change_type":
+            cols[f.name] = change_type
+        elif f.name == "lsn":
+            cols[f.name] = lsn
+        elif f.name in src.column_names:
+            cols[f.name] = src.column(f.name)
+        else:
+            cols[f.name] = pa.nulls(len(src), f.type)
     return pa.table(cols).cast(empty.schema)
 
 
@@ -1409,6 +1422,16 @@ def _diff_partition_states(
         if prev_files
         else None
     )
+    # evolved (post-base-schema) columns ride the feed; union of both sides
+    extra_fields: list[pa.Field] = []
+    seen = set(STATE_SCHEMA.names)
+    for t in (cur_t, prev_t):
+        if t is not None:
+            for f in t.schema:
+                if f.name not in seen:
+                    extra_fields.append(f)
+                    seen.add(f.name)
+    feed_schema = _feed_schema(extra_fields)
 
     deleted = pc.fill_null(cur_t.column("deleted"), False)
     cur_live = cur_t.filter(pc.invert(deleted))
@@ -1435,7 +1458,9 @@ def _diff_partition_states(
         )
     )
     change_type = pc.if_else(pc.is_null(moved.column("__prior_lsn")), "insert", "update")
-    upserts = _feed_payload_rows(moved, change_type, moved.column("applied_lsn"))
+    upserts = _feed_payload_rows(
+        moved, change_type, moved.column("applied_lsn"), schema=feed_schema
+    )
 
     # deletes: keys live before, tombstoned now (lsn = the tombstone's LSN;
     # payload columns are null — the post-image of a delete is no row —
@@ -1452,7 +1477,7 @@ def _diff_partition_states(
         )
     else:
         gone = gone_keys.join(tomb, keys=["repo", "path"], join_type="left outer")
-    deletes = _feed_payload_rows(gone, "delete", gone.column("applied_lsn"))
+    deletes = _feed_payload_rows(gone, "delete", gone.column("applied_lsn"), schema=feed_schema)
 
     parts = [upserts, deletes]
     if include_preimages and prev_full is not None:
@@ -1462,7 +1487,9 @@ def _diff_partition_states(
         )
         pre = prev_full.join(upd_keys, keys=["repo", "path"], join_type="left semi")
         parts.append(
-            _feed_payload_rows(pre, "update_preimage", pre.column("applied_lsn"))
+            _feed_payload_rows(
+                pre, "update_preimage", pre.column("applied_lsn"), schema=feed_schema
+            )
         )
 
     out = pa.concat_tables(parts)
@@ -1507,7 +1534,12 @@ def read_change_feed(
             _diff_partition_states(lake_dir, int(p), epoch, include_preimages)
             for p in b.column("part").to_pylist()
         ]
-        return pa.concat_tables(tables) if tables else _empty_feed_table()
+        # partitions may disagree on evolved columns (one touched, one not)
+        return (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else _empty_feed_table()
+        )
 
     parts_ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
     return parts_ds.map_batches(
@@ -1626,6 +1658,57 @@ def rebucket_lake(
         "partitions": len(records),
         "n_rows": sum(max(int(r["n_rows"]), 0) for r in records),
     }
+
+
+def replicate_lake(
+    src_lake: str,
+    dst_lake: str,
+    num_partitions: int | None = None,
+    merge_mode: str = "cow",
+) -> dict[str, Any]:
+    """Downstream lake replication by CHANGE-FEED subscription: for each
+    manifested upstream epoch, the per-epoch change feed (insert/update
+    post-images, delete tombstones, each at its winning LSN) is applied to
+    the destination as ordinary change events through the normal exactly-
+    once ingest path — the consumer side of the reference's per-table
+    publish stream (``sonic_config/mod.rs:501-574``), i.e. lake→lake fan-out
+    without re-reading the upstream's raw segments.
+
+    Resumable per epoch via the destination's own manifests; correct under
+    re-run (idempotent commits) and independent of the destination's
+    partition count or merge mode. The destination's final table is
+    bit-equal to the source's (per-key LWW over the same winning LSNs)."""
+    src_parts = lake_num_partitions(src_lake)
+    if num_partitions is None:
+        num_partitions = src_parts or 32
+    applied = skipped = 0
+    for e in cl.committed_epochs(src_lake):
+        if cl.epoch_manifest_exists(dst_lake, e):
+            skipped += 1
+            continue
+        feed = read_change_feed(src_lake, e)
+
+        def to_events(t: pa.Table) -> pa.Table:
+            op = pc.if_else(
+                pc.equal(t.column("change_type"), "delete"), "delete", "insert"
+            )
+            cols: dict[str, Any] = {"lsn": t.column("lsn"), "op": op}
+            for name in t.column_names:
+                # derived columns are re-derived (and re-verified) downstream
+                if name not in ("change_type", "lsn", "content_sha256", "size_bytes"):
+                    cols[name] = t.column(name)
+            return pa.table(cols)
+
+        apply_epoch(
+            feed.map_batches(to_events, batch_format="pyarrow"),
+            dst_lake,
+            e,
+            num_partitions=num_partitions,
+            input_desc={"replicated_from": src_lake, "segments": [f"feed-epoch={e}"]},
+            merge_mode=merge_mode,
+        )
+        applied += 1
+    return {"epochs_applied": applied, "epochs_skipped": skipped}
 
 
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
