@@ -68,3 +68,37 @@ def test_random_epoch_orders_and_duplicates(tmp_path):
         lake = scratch_lake_dir(f"ooo{i}")
         _apply_order(files, order, lake, dup_epochs=(order[0], order[-1]))
         assert_state_equal(lake_final_table(lake), golden)
+
+
+def test_random_mixed_mode_orders_match_oracle(tmp_path):
+    """The strongest merge-on-read claim: final state is invariant under ANY
+    epoch order, ANY duplicate delivery, ANY per-epoch choice of cow/mor,
+    and ANY compaction points in between — all resolve to the same LWW
+    snapshot the oracle computes."""
+    from sonic_etl_ray.pipelines.ingest import compact_lake_states
+
+    spec = StreamSpec(n_events=2400, n_repos=8, seed=303, segment_size=400)
+    table = generate_events(spec)
+    files = write_segments(table, str(tmp_path / "segs"), spec)
+    golden = oracle_final_state(files)
+
+    rng = random.Random(77)
+    for trial in range(3):
+        lake = scratch_lake_dir(f"mixooo{trial}")
+        order = list(range(len(files)))
+        rng.shuffle(order)
+        dups = rng.sample(order, 2)
+        for e in order:
+            mode = rng.choice(["cow", "mor"])
+            apply_epoch(
+                ray.data.read_parquet([files[e]]), lake, epoch=e,
+                num_partitions=4, merge_mode=mode,
+            )
+            if rng.random() < 0.3:
+                compact_lake_states(lake)
+        for e in dups:  # whole-epoch redelivery under fresh ids
+            apply_epoch(
+                ray.data.read_parquet([files[e]]), lake, epoch=100 + e,
+                num_partitions=4, merge_mode=rng.choice(["cow", "mor"]),
+            )
+        assert_state_equal(lake_final_table(lake), golden)
