@@ -318,6 +318,12 @@ def _q_cdc_mor(sf_dir: str):
     return cdc_apply_mor(sf_dir)
 
 
+def _q_cdc_split_decoded(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_split_decoded_tables
+
+    return cdc_split_decoded_tables(sf_dir)
+
+
 def _q_cdc_replicate(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_replicate
 
@@ -422,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_mor": _q_cdc_mor,
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_replicate": _q_cdc_replicate,
+        "cdc_split_decoded_tables": _q_cdc_split_decoded,
         "cdc_apply_blocklisted": _q_cdc_blocklist,
         "cdc_schema_evolution": _q_cdc_evolve,
         "cdc_row_counts": _q_cdc_counts,

@@ -298,6 +298,36 @@ def cdc_decoded_events(sf_dir: str) -> pd.DataFrame:
     return read_decoded(lake).to_pandas()
 
 
+def cdc_split_decoded_tables(sf_dir: str) -> pd.DataFrame:
+    """N-way fan-out: the catalog routes click events to table 'clicks' and
+    purchase events to table 'purchases' — ONE engine pass, one shuffle,
+    THREE typed outputs (state + 2 decoded tables), each gated by the unit
+    commit record (the reference's six-table PerBlockRecords publish,
+    ``sonic_config/mod.rs:305-314``). Returns the union with a tbl label."""
+    from ..pipelines.ingest import decoded_tables, read_decoded
+    from ..stages.decode import DecodeCatalog, EventSpec
+
+    catalog = DecodeCatalog(
+        {
+            "click": EventSpec("ClickArgs", r'^\{"k": (\d+)\}$', table="clicks"),
+            "purchase": EventSpec("PurchaseArgs", r'^\{"k": (\d+)\}$', table="purchases"),
+        }
+    )
+    lake = scratch_lake_dir("cdcsplit")
+    apply_epoch(
+        _events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8,
+        decode_catalog=catalog,
+    )
+    assert decoded_tables(lake) == ["clicks", "purchases"]
+    parts = []
+    for t in decoded_tables(lake):
+        df = read_decoded(lake, table=t).to_pandas()
+        df.insert(0, "tbl", t)
+        parts.append(df)
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["tbl", "lsn"]).reset_index(drop=True)
+
+
 def cdc_multitable_counts(sf_dir: str) -> pd.DataFrame:
     """Both fan-out tables from the SAME single pass: per-repo file-state
     row counts AND decoded-event counts (cross-table accounting, the
@@ -725,6 +755,15 @@ ORACLES: dict[str, str] = {
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    "cdc_split_decoded_tables": ORACLE_SRC + """
+    SELECT CASE lang WHEN 'click' THEN 'clicks' ELSE 'purchases' END AS tbl,
+           lsn, repo, path,
+           CASE lang WHEN 'click' THEN 'ClickArgs' ELSE 'PurchaseArgs' END AS event_name,
+           '["' || regexp_extract(content, '^\{"k": (\d+)\}$', 1) || '"]' AS args,
+           CAST(0 AS BIGINT) AS line_no
+    FROM src
+    WHERE lang IN ('click', 'purchase') AND content IS NOT NULL
+    ORDER BY tbl, lsn""",
     "cdc_point_lookup": ORACLE_SRC + """
     SELECT f.* FROM final f
     JOIN (SELECT DISTINCT 'r' || CAST(user_id % 5 AS VARCHAR) AS repo,

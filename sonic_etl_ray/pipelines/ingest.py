@@ -354,14 +354,18 @@ class MergeApplier:
             return existing, None, None
 
         # multi-table fan-out (PerBlockRecords analog): decoded-event rows
-        # ride the same shuffle; they publish to their own append table
-        from ..stages.decode import TABLE_COLUMN, split_tables
+        # ride the same shuffle; each named output table publishes to its
+        # own per-(epoch, partition) file — the reference emits SIX typed
+        # tables per block this way (``sonic_config/mod.rs:305-314``)
+        from ..stages.decode import TABLE_COLUMN, TABLE_DECODED, split_tables
 
-        decoded = None
+        decoded_map: dict[str, pa.Table] = {}
         if TABLE_COLUMN in group.column_names:
-            group, decoded = split_tables(group)
-        n_decoded, decoded_file = 0, None
-        if decoded is not None and decoded.num_rows:
+            group, decoded_map = split_tables(group)
+        n_decoded, decoded_files = 0, {}
+        for tname, decoded in sorted(decoded_map.items()):
+            if not decoded.num_rows:
+                continue
             # exact dedupe within the unit (at-least-once delivery inside an
             # epoch) + canonical order, then atomic publish — the inline
             # analog of the reference's daily MERGE on the events table
@@ -372,15 +376,20 @@ class MergeApplier:
                     sort_keys=[("lsn", "ascending"), ("event_name", "ascending"), ("line_no", "ascending")],
                 )
             )
+            # default table keeps the original flat layout; named tables
+            # nest under table=<name>/
+            sub = [] if tname == TABLE_DECODED else [f"table={tname}"]
             decoded_file = os.path.join(
-                lake, "_decoded", cl.EPOCH_FMT.format(epoch),
+                lake, "_decoded", *sub, cl.EPOCH_FMT.format(epoch),
                 cl.PART_FMT.format(part) + ".parquet",
             )
             os.makedirs(os.path.dirname(decoded_file), exist_ok=True)
             dtmp = f"{decoded_file}.tmp.{uuid.uuid4().hex[:8]}"
             pq.write_table(decoded, dtmp)
             os.rename(dtmp, decoded_file)  # atomic; commit record gates it
-            n_decoded = decoded.num_rows
+            n_decoded += decoded.num_rows
+            decoded_files[tname] = decoded_file
+        decoded_file = decoded_files.get(TABLE_DECODED)
 
         n_errors = 0
         if ERROR_COLUMN in group.column_names:
@@ -427,6 +436,8 @@ class MergeApplier:
         }
         if decoded_file is not None:
             record["decoded_file"] = decoded_file
+        if decoded_files:
+            record["decoded_files"] = decoded_files  # table → file (lineage)
 
         def _noop_commit(prior_ref) -> dict[str, Any]:
             # nothing effective: commit references the prior state as-is
@@ -1803,8 +1814,25 @@ def repo_stats_view(lake_dir: str) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("repo", "ascending")]))
 
 
-def read_decoded(lake_dir: str) -> pa.Table:
-    """The decoded-events table (second fan-out output): all committed
+def decoded_tables(lake_dir: str) -> list[str]:
+    """Names of the decoded fan-out tables present in the lake (the default
+    table plus any named EventSpec.table routes)."""
+    from ..stages.decode import TABLE_DECODED
+
+    root = os.path.join(lake_dir, "_decoded")
+    out = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            if name.startswith("table="):
+                out.append(name.split("=", 1)[1])
+            elif name.startswith("epoch="):
+                if TABLE_DECODED not in out:
+                    out.insert(0, TABLE_DECODED)
+    return out
+
+
+def read_decoded(lake_dir: str, table: str | None = None) -> pa.Table:
+    """A decoded fan-out table (``table=None`` → the default): all committed
     (epoch, partition) decoded files, exact-deduped by full row — the
     at-read analog of the reference's daily MERGE on the events table
     (an lsn replayed across DIFFERENT epochs writes two identical rows in
@@ -1812,11 +1840,12 @@ def read_decoded(lake_dir: str) -> pa.Table:
     (lsn, event_name, line_no)."""
     import glob as _glob
 
-    from ..stages.decode import DECODED_SCHEMA
+    from ..stages.decode import DECODED_SCHEMA, TABLE_DECODED
 
+    sub = [] if table in (None, TABLE_DECODED) else [f"table={table}"]
     files = []
     for f in sorted(
-        _glob.glob(os.path.join(lake_dir, "_decoded", "epoch=*", "part=*.parquet"))
+        _glob.glob(os.path.join(lake_dir, "_decoded", *sub, "epoch=*", "part=*.parquet"))
     ):
         epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
         part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])

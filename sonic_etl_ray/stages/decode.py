@@ -59,10 +59,15 @@ class EventSpec:
 
     ``pattern`` must have ≥1 capture groups; captured strings become the
     JSON args array (the reference renders every decoded value to string /
-    array form, ``events/generic.rs:76-99``)."""
+    array form, ``events/generic.rs:76-99``). ``table`` routes the decoded
+    rows to a named output table — the reference's per-table publish
+    fan-out emits SIX typed tables per block (``sonic_config/mod.rs:
+    305-314``); specs sharing a table append into the same per-(epoch,
+    partition) file."""
 
     name: str
     pattern: str
+    table: str = TABLE_DECODED
 
 
 class DecodeCatalog:
@@ -72,6 +77,9 @@ class DecodeCatalog:
     def __init__(self, specs: dict[str, EventSpec]):
         self.specs = dict(specs)
         self.compiled = {sel: re.compile(s.pattern) for sel, s in specs.items()}
+        for s in specs.values():
+            if s.table == TABLE_FILES:
+                raise ValueError(f"{TABLE_FILES!r} is the reserved state-table tag")
 
     def selectors(self) -> list[str]:
         return sorted(self.specs)
@@ -155,7 +163,7 @@ class ContentDecoder:
                 "lsn": pa.array(lsn[idx], pa.int64()),
                 "repo": pa.array(repo.iloc[idx], pa.string()),
                 "path": pa.array(path.iloc[idx], pa.string()),
-                TABLE_COLUMN: pa.array([TABLE_DECODED] * idx.size, pa.string()),
+                TABLE_COLUMN: pa.array([spec.table] * idx.size, pa.string()),
                 "event_name": pa.array([spec.name] * idx.size, pa.string()),
                 "args": pa.array(_json_args(groups), pa.string()),
                 "line_no": pa.array(np.zeros(idx.size, dtype=np.int64)),
@@ -180,15 +188,22 @@ class ContentDecoder:
         return pa.concat_tables([batch, *decoded_parts], promote_options="default")
 
 
-def split_tables(group: pa.Table) -> tuple[pa.Table, pa.Table | None]:
-    """Split a merge group into (file rows, decoded rows|None); file rows
-    lose the decode-only columns so they can never leak into lake state."""
+def split_tables(group: pa.Table) -> tuple[pa.Table, dict[str, pa.Table]]:
+    """Split a merge group into (file rows, {table name → decoded rows});
+    file rows lose the decode-only columns so they can never leak into lake
+    state. One fan-out group may carry rows for several decoded tables."""
     if TABLE_COLUMN not in group.column_names:
-        return group, None
-    mask = pc.equal(pc.fill_null(group.column(TABLE_COLUMN), TABLE_FILES), TABLE_DECODED)
-    decoded = group.filter(mask)
-    files = group.filter(pc.invert(mask))
+        return group, {}
+    tags = pc.fill_null(group.column(TABLE_COLUMN), TABLE_FILES)
+    is_files = pc.equal(tags, TABLE_FILES)
+    files = group.filter(is_files)
     drop = [c for c in (TABLE_COLUMN, *DECODE_COLUMNS) if c in files.column_names]
     files = files.drop_columns(drop)
-    decoded = decoded.select(DECODED_SCHEMA.names)
-    return files, decoded
+    out: dict[str, pa.Table] = {}
+    others = group.filter(pc.invert(is_files))
+    if others.num_rows:
+        names = pc.unique(pc.fill_null(others.column(TABLE_COLUMN), TABLE_FILES))
+        for name in sorted(n.as_py() for n in names):
+            part = others.filter(pc.equal(others.column(TABLE_COLUMN), name))
+            out[name] = part.select(DECODED_SCHEMA.names)
+    return files, out
