@@ -1863,12 +1863,88 @@ def read_decoded(lake_dir: str, table: str | None = None) -> pa.Table:
     )
 
 
-def read_errors(lake_dir: str) -> pa.Table:
+def replay_errors(
+    lake_dir: str,
+    fix_fn: Any | None = None,
+    num_partitions: int | None = None,
+    on_error: str = "abort",
+    decode_catalog: Any | None = None,
+    on_undecodable: str = "abort",
+) -> dict[str, Any]:
+    """Dead-letter replay: re-ingest quarantined error rows under a repair
+    epoch after the cause is fixed — the operational close of the typed
+    error channel (the reference's equivalent loop is manual backfill after
+    an aborted block, ``daily_backfill_mainnet.py``; routing + replay keeps
+    the good rows flowing and repairs the bad ones later).
+
+    ``fix_fn`` (an Arrow ``map_batches`` callable) repairs the quarantined
+    rows (e.g. a corrected op mapping or a newly registered catalog entry);
+    rows it cannot fix can be re-routed by passing ``on_error="route"`` —
+    they land in the REPAIR epoch's own error channel, still quarantined.
+
+    Exactly-once: the repair epoch id is deterministic from the set of
+    pending error files; a killed replay re-runs to the same epoch and
+    fast-forwards off its manifest. Replayed files get a ``.REPLAYED``
+    marker (written only after the repair manifest exists) so a later
+    replay only picks up NEW errors. Correct under any interleaving with
+    live ingest: replayed rows merge at their ORIGINAL LSNs, so they lose
+    per-key races against newer updates and win only where they were the
+    newest write — exactly the semantics of a late backfill."""
+    import glob as _glob
+
+    pending = []
+    for f in sorted(_glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet"))):
+        epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
+        if cl.is_committed(lake_dir, epoch, part) and not os.path.exists(f + ".REPLAYED"):
+            pending.append(f)
+    if not pending:
+        return {"replayed_rows": 0, "files": 0, "repair_epoch": None}
+    rel = [os.path.relpath(f, lake_dir) for f in pending]
+    rep_epoch = repair_epoch_id(rel)
+    n_rows = sum(pq.read_metadata(f).num_rows for f in pending)
+    if not cl.epoch_manifest_exists(lake_dir, rep_epoch):
+        ds = ray.data.read_parquet(pending, partitioning=None)
+
+        def strip(t: pa.Table) -> pa.Table:
+            # drop the error tag + stale derived columns (re-derived and
+            # re-verified by the normal transform chain)
+            drop = [
+                c for c in (ERROR_COLUMN, "content_sha256", "size_bytes")
+                if c in t.column_names
+            ]
+            return t.drop_columns(drop)
+
+        ds = ds.map_batches(strip, batch_format="pyarrow")
+        if fix_fn is not None:
+            ds = ds.map_batches(fix_fn, batch_format="pyarrow")
+        apply_epoch(
+            ds,
+            lake_dir,
+            rep_epoch,
+            num_partitions=num_partitions or lake_num_partitions(lake_dir) or 32,
+            on_error=on_error,
+            decode_catalog=decode_catalog,
+            on_undecodable=on_undecodable,
+            input_desc={"replayed_errors": rel, "segments": rel},
+        )
+    for f in pending:  # markers AFTER the manifest: crash-safe bookkeeping
+        _mtmp = f"{f}.REPLAYED.tmp.{uuid.uuid4().hex[:8]}"
+        with open(_mtmp, "w") as fh:
+            fh.write(str(rep_epoch))
+        os.rename(_mtmp, f + ".REPLAYED")
+    return {"replayed_rows": n_rows, "files": len(pending), "repair_epoch": rep_epoch}
+
+
+def read_errors(lake_dir: str, pending_only: bool = False) -> pa.Table:
     """All diverted error rows across epochs/partitions (the typed error
-    channel readback; empty table when no errors were routed)."""
+    channel readback; empty table when no errors were routed).
+    ``pending_only`` skips rows already re-ingested by :func:`replay_errors`."""
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet")))
+    if pending_only:
+        files = [f for f in files if not os.path.exists(f + ".REPLAYED")]
     if not files:
         return pa.table({})
     return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")

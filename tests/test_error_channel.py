@@ -123,3 +123,57 @@ def test_lang_catalog_conflicts_and_normalizer():
         LangNormalizer, batch_format="pyarrow", concurrency=1
     ).to_pandas()
     assert list(got["lang_norm"]) == ["python", "mystery", "rust", "x"]
+
+
+def test_dead_letter_replay_restores_state(tmp_path):
+    """Quarantine → fix → replay: routed error rows re-ingested under a
+    deterministic repair epoch restore the lake to the state of the
+    uncorrupted stream (replay merges at ORIGINAL LSNs, so interleaving
+    with already-applied later epochs stays correct)."""
+    import pyarrow.compute as pc
+
+    from sonic_etl_ray.pipelines.ingest import replay_errors
+
+    spec = StreamSpec(n_events=3000, n_repos=8, seed=59, segment_size=500)
+    original = generate_events(spec)
+
+    # corrupt so the FIX restores exact original semantics:
+    # non-deletes get an unknown op; deletes get illegal stray content
+    op = original.column("op").to_pylist()
+    content = original.column("content").to_pylist()
+    n_corrupt = 0
+    for i in range(0, len(op), 40):
+        if op[i] == "delete":
+            content[i] = "stray"
+        else:
+            op[i] = "upsurt"
+        n_corrupt += 1
+    corrupted = original.set_column(
+        original.column_names.index("op"), "op", pa.array(op, pa.string())
+    ).set_column(
+        original.column_names.index("content"), "content", pa.array(content, pa.string())
+    )
+    files = write_segments(corrupted, str(tmp_path / "segs"), spec)
+    golden_files = write_segments(original, str(tmp_path / "golden"), spec)
+
+    lake = scratch_lake_dir("dlq")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=3, on_error="route")
+    pending = read_errors(lake, pending_only=True)
+    assert pending.num_rows == n_corrupt
+
+    def fix(t: pa.Table) -> pa.Table:
+        fixed_op = pc.if_else(pc.equal(t["op"], "upsurt"), "insert", t["op"])
+        fixed_content = pc.if_else(
+            pc.equal(fixed_op, "delete"), pa.scalar(None, pa.string()), t["content"]
+        )
+        t = t.set_column(t.column_names.index("op"), "op", fixed_op)
+        return t.set_column(t.column_names.index("content"), "content", fixed_content)
+
+    out = replay_errors(lake, fix_fn=fix)
+    assert out["files"] > 0 and out["replayed_rows"] == n_corrupt
+    assert read_errors(lake, pending_only=True).num_rows == 0  # marked
+    assert read_errors(lake).num_rows == n_corrupt  # history kept
+    assert_state_equal(lake_final_table(lake), oracle_final_state(golden_files))
+    # idempotent: nothing pending, same repair epoch would fast-forward anyway
+    again = replay_errors(lake, fix_fn=fix)
+    assert again["files"] == 0 and again["repair_epoch"] is None
