@@ -355,41 +355,103 @@ def asof_join_last_signup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def price_percentiles(sf_dir: str) -> pd.DataFrame:
-    """EXACT distributed quantiles of ``l_extendedprice`` via two-pass
-    counting — the scale path for order statistics: prices are discrete
-    (2 decimals), so per-batch value→count partials collapse through one
-    small ``groupby(value)`` into a distinct-value histogram (≈100k rows at
-    any sf, vs billions of input rows); the driver cumsums the histogram and
-    selects index ceil(q·n)−1 per quantile — DuckDB ``quantile_disc``'s
-    exact rule (verified empirically). No full sort, no sampling error."""
+def _footer_bounds(path: str, col: str) -> tuple[float, float] | None:
+    """Global [min, max] of a column from Parquet row-group statistics —
+    footer reads only, no data scan (bucket bounds for quantile passes;
+    any value works as long as it brackets the data)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(path)
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            los.append(st.min)
+            his.append(st.max)
+        return float(min(los)), float(max(his))
+    except Exception:
+        return None
+
+
+def price_percentiles(sf_dir: str, n_buckets: int = 1 << 16) -> pd.DataFrame:
+    """EXACT distributed quantiles of ``l_extendedprice`` without a global
+    sort and without collecting the column: two bounded passes.
+
+    Pass 1: per-batch counts into ``n_buckets`` fixed-width buckets over
+    [min, max] → one small groupby → a ≤64k-row histogram on the driver
+    (bounded regardless of input cardinality — the column here is
+    near-unique, so a value-level histogram would BE the column; at 10^10
+    rows that is a driver OOM, this is not). The cumulative histogram
+    locates, for each quantile rank ceil(q·n)−1 (DuckDB ``quantile_disc``'s
+    exact rule, verified empirically), the bucket holding it and the rank
+    offset inside that bucket.
+
+    Pass 2: collect ONLY the values in the few candidate buckets
+    (≈ n/n_buckets rows each — ~150k at 10^10 rows), sort exactly, select.
+    Exact order statistics, no sampling error."""
     import math
 
     import numpy as np
 
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", [col])
+    bounds = _footer_bounds(f"{sf_dir}/lineitem.parquet", col)
+    if bounds is not None:
+        lo, hi = bounds  # free: Parquet row-group stats, no execution
+    else:
+        agg = ds.aggregate(Min(col), Max(col))
+        lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if hi <= lo:  # degenerate: constant column
+        return pd.DataFrame({"q": qs, "price": [lo] * len(qs)})
+    width = (hi - lo) / n_buckets
 
-    def partial(t: pa.Table) -> pa.Table:
-        part = t.group_by("l_extendedprice").aggregate([([], "count_all")])
-        return part.rename_columns(["l_extendedprice", "n"])
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
 
     hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_extendedprice")
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("l_extendedprice")
+        .sort_values("bucket")
         .reset_index(drop=True)
     )
     cum = hist["n"].cumsum().to_numpy()
     n = int(cum[-1])
-    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
-    vals = []
-    for q in qs:
-        k = math.ceil(q * n) - 1  # 0-based rank, quantile_disc rule
+    ranks = [math.ceil(q * n) - 1 for q in qs]  # 0-based, quantile_disc rule
+    need: dict[int, list[int]] = {}  # bucket -> local ranks
+    for k in ranks:
         i = int(np.searchsorted(cum, k + 1, side="left"))
-        vals.append(float(hist["l_extendedprice"].iloc[i]))
-    return pd.DataFrame({"q": qs, "price": vals})
+        before = int(cum[i - 1]) if i else 0
+        need.setdefault(int(hist["bucket"].iloc[i]), []).append(k - before)
+
+    wanted = np.array(sorted(need), dtype=np.int64)
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        mask = np.isin(b, wanted)
+        return pa.table(
+            {"bucket": pa.array(b[mask], pa.int64()), "v": pa.array(v[mask], pa.float64())}
+        )
+
+    refs = ds.map_batches(in_buckets, batch_format="pyarrow").to_arrow_refs()
+    cand = pa.concat_tables([t for t in ray.get(refs) if t.num_rows]).to_pandas()
+    out_vals = []
+    for q, k in zip(qs, ranks):
+        i = int(np.searchsorted(cum, k + 1, side="left"))
+        before = int(cum[i - 1]) if i else 0
+        b = int(hist["bucket"].iloc[i])
+        vals = np.sort(cand.loc[cand["bucket"] == b, "v"].to_numpy())
+        out_vals.append(float(vals[k - before]))
+    return pd.DataFrame({"q": qs, "price": out_vals})
 
 
 def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
