@@ -97,6 +97,26 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--lake", required=True)
     cs.add_argument("--min-deltas", type=int, default=1)
 
+    rp = sub.add_parser(
+        "replicate", help="subscribe a downstream lake to an upstream lake's change feed"
+    )
+    rp.add_argument("--src", required=True)
+    rp.add_argument("--dst", required=True)
+    rp.add_argument("--partitions", type=int, default=None)
+    rp.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+
+    lk = sub.add_parser("lookup", help="point-read live rows by exact repo:path keys")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--key", action="append", required=True,
+                    help="repo:path (repeatable)")
+    lk.add_argument("--as-of-epoch", type=int, default=None)
+
+    re_ = sub.add_parser(
+        "replay-errors", help="re-ingest pending quarantined rows under a repair epoch"
+    )
+    re_.add_argument("--lake", required=True)
+    re_.add_argument("--partitions", type=int, default=None)
+
     cc = sub.add_parser(
         "compact-commits",
         help="roll manifested epochs' commit records into one checkpoint (O(1) resume)",
@@ -191,6 +211,23 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "replicate":
+            from .pipelines.ingest import replicate_lake
+
+            print(json.dumps(replicate_lake(
+                args.src, args.dst, num_partitions=args.partitions,
+                merge_mode=args.merge_mode,
+            )))
+        elif args.cmd == "lookup":
+            from .pipelines.ingest import lookup_keys
+
+            keys = [tuple(k.split(":", 1)) for k in args.key]
+            t = lookup_keys(args.lake, keys, as_of_epoch=args.as_of_epoch)
+            print(json.dumps({"rows": t.to_pylist()}, default=str))
+        elif args.cmd == "replay-errors":
+            from .pipelines.ingest import replay_errors
+
+            print(json.dumps(replay_errors(args.lake, num_partitions=args.partitions)))
         elif args.cmd == "set-watermark":
             from .pipelines.tail import set_watermark_override
 
