@@ -420,6 +420,24 @@ def _q_cdc_timetravel(sf_dir: str):
     return cdc_time_travel(sf_dir)
 
 
+def _q_range_join(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import attribution_range_join
+
+    return attribution_range_join(sf_dir)
+
+
+def _q_hll_distinct(sf_dir: str):
+    from sonic_etl_ray.functions.sketch import hll_distinct_parts
+
+    return hll_distinct_parts(sf_dir)
+
+
+def _q_bloom_semijoin(sf_dir: str):
+    from sonic_etl_ray.functions.sketch import bloom_semijoin_revenue
+
+    return bloom_semijoin_revenue(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the core): real pipeline vs SQL-window oracle
@@ -459,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_percentiles": _q_percentiles,
         "top_orders_per_segment": _q_top_per_segment,
         "user_running_value": _q_running_value,
+        "attribution_range_join": _q_range_join,
         "sessionize_events": _q_sessionize,
         "multitable_fanout_stats": _q_multitable,
         # training-data ops
@@ -473,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split,
         "stratified_sample": _q_stratified,
         "vocab_topk": _q_vocab,
+        "hll_distinct_parts": _q_hll_distinct,
+        "bloom_semijoin_revenue": _q_bloom_semijoin,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
@@ -587,6 +608,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""
+
+    sql["attribution_range_join"] = """
+        SELECT p.event_id, p.user_id,
+               CAST(COUNT(e.event_id) AS BIGINT) AS n_touches,
+               CAST(COALESCE(SUM(CAST(ROUND(e.value * 100) AS BIGINT)), 0) AS BIGINT)
+                 AS touch_cents
+        FROM events p
+        LEFT JOIN events e
+          ON e.user_id = p.user_id
+         AND e.event_type IN ('view', 'click')
+         AND e.ts >= p.ts - INTERVAL 30 MINUTE
+         AND e.ts <  p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1"""
+
+    from sonic_etl_ray.functions.sketch import hll_oracle_sql
+
+    sql["hll_distinct_parts"] = hll_oracle_sql("lineitem", "l_returnflag", "l_partkey")
+
+    sql["bloom_semijoin_revenue"] = """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1 ORDER BY 1"""
 
     sql["q6_filter_revenue"] = f"""
         SELECT ROUND(SUM(l_extendedprice * l_discount), {_ROUND}) AS revenue

@@ -1,0 +1,265 @@
+"""Mergeable sketches as Ray Data combiners: HyperLogLog distinct-count
+registers and a Bloom-filter-pruned semi-join.
+
+Both follow the engine's partial-aggregate discipline (SCALE.md): each
+``map_batches`` task emits a FIXED-SIZE summary (512-entry register table,
+16 KiB bitmap) regardless of input rows, so the shuffle/driver volume is
+O(sketch), not O(data). The HLL hash and estimator use integer-only math
+that DuckDB reproduces bit-for-bit (md5 → top-p bucket bits → leading-zero
+rank → dyadic register sum), so even the *approximate* operator is
+oracle-exact: the approximation is in the algorithm, not the execution.
+
+Reference analog: the per-block count aggregates A1–A4 and the QC count
+comparison (``coordinator/qc.py``) are exact; these add the sublinear
+summaries a 100 TB corpus needs when exact distinct-counting would itself
+be a full shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), integer-exact variant
+# ---------------------------------------------------------------------------
+
+HLL_P = 7  # 2^7 = 128 registers
+HLL_M = 1 << HLL_P
+HLL_TAIL_BITS = 64 - HLL_P  # 57
+HLL_RHO_MAX = HLL_TAIL_BITS + 1  # 58 (all-zero tail)
+HLL_SCALE = 40  # dyadic register sum uses 2^(SCALE - min(rho, SCALE))
+# floor(alpha_m * m^2 * 2^SCALE) with alpha_m = 0.7213 / (1 + 1.079/m);
+# embedded as the SAME integer literal in the SQL oracle so the final
+# division is bit-identical on both sides.
+HLL_ALPHA_NUM = int(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * (1 << HLL_SCALE))
+
+
+def _hll_hash64(values: pd.Series) -> np.ndarray:
+    """md5 of the decimal string of each value → first 16 hex chars as a
+    uint64. Matches DuckDB ``('0x' || substr(md5(x::VARCHAR),1,16))::UBIGINT``
+    exactly. md5 is inherently per-row (same precedent as the exact-dedup
+    sha256); the cost is one digest per row, amortized per batch."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big") for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def _hll_partial(batch: pd.DataFrame, group_col: str, value_col: str) -> pd.DataFrame:
+    """Per-batch HLL combiner: (group, bucket) → max rho. Output is capped at
+    |groups in batch| × m rows — the fixed-size partial sketch."""
+    h = _hll_hash64(batch[value_col])
+    bucket = (h >> np.uint64(HLL_TAIL_BITS)).astype(np.int64)
+    tail = h & np.uint64((1 << HLL_TAIL_BITS) - 1)
+    # rho = leading zeros of the 57-bit tail + 1; all-zero tail → 58.
+    # bit_length by vectorized binary reduction — integer-exact (float log2
+    # misrounds above 2^53, which 57-bit tails exceed).
+    nbits = np.zeros(len(tail), dtype=np.int64)
+    t = tail.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = t >= np.uint64(1 << shift)
+        nbits[big] += shift
+        t[big] >>= np.uint64(shift)
+    nbits[tail != 0] += 1
+    rho = HLL_RHO_MAX - nbits
+    part = pd.DataFrame({group_col: batch[group_col].to_numpy(), "bucket": bucket, "rho": rho})
+    out = part.groupby([group_col, "bucket"], as_index=False)["rho"].max()
+    return out.rename(columns={"rho": "max_rho"})
+
+
+def hll_registers(ds: ray.data.Dataset, group_col: str, value_col: str) -> ray.data.Dataset:
+    """Distributed HLL sketch per group: ``map_batches`` partials (fixed-size
+    per batch) → one small ``groupby`` max-merge. The register table IS the
+    mergeable artifact — union of sketches = groupby-max of their rows, which
+    is how cross-epoch / cross-shard merges compose without re-reading data."""
+    return (
+        ds.map_batches(
+            lambda b: _hll_partial(b, group_col, value_col), batch_format="pandas"
+        )
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, group_col: str) -> pd.DataFrame:
+    """Integer-exact raw-HLL estimate from a register table: dyadic register
+    sum S = Σ 2^(SCALE−min(rho,SCALE)) (empty registers contribute 2^SCALE),
+    estimate = ALPHA_NUM // S. No floats anywhere, so DuckDB reproduces it
+    bit-for-bit. Raw estimator only (no small-range linear counting — a log()
+    branch would break integer parity); callers needing small-n accuracy
+    should size p so n ≳ 2.5·m."""
+    rows = []
+    for g, sub in registers.groupby(group_col, sort=True):
+        rho = np.minimum(sub["max_rho"].to_numpy(np.int64), HLL_SCALE)
+        s = int(np.sum(np.int64(1) << (HLL_SCALE - rho))) + (HLL_M - len(sub)) * (
+            1 << HLL_SCALE
+        )
+        rows.append({group_col: g, "est_distinct": HLL_ALPHA_NUM // s, "n_registers": len(sub)})
+    out = pd.DataFrame(rows)
+    out["est_distinct"] = out["est_distinct"].astype("int64")
+    out["n_registers"] = out["n_registers"].astype("int64")
+    return out
+
+
+def hll_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct ``l_partkey`` per ``l_returnflag`` over lineitem —
+    the fact-table "distinct products per return status" sketch. Exact
+    distinct would shuffle every (flag, partkey) pair; this ships 128
+    integers per flag per batch."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    )
+    regs = hll_registers(ds, "l_returnflag", "l_partkey").to_pandas()
+    out = hll_estimate(regs, "l_returnflag")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def hll_oracle_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB SQL computing the identical registers and integer estimate."""
+    tail_mask = (1 << HLL_TAIL_BITS) - 1
+    return f"""
+WITH hashed AS (
+  SELECT {group_col},
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM {table}
+), ranked AS (
+  SELECT {group_col},
+         CAST(h >> {HLL_TAIL_BITS} AS BIGINT) AS bucket,
+         CAST(h & {tail_mask} AS BIGINT) AS tail
+  FROM hashed
+), regs AS (
+  SELECT {group_col}, bucket,
+         MAX(CASE WHEN tail = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - LENGTH(BIN(tail)) END) AS max_rho
+  FROM ranked GROUP BY 1, 2
+)
+SELECT {group_col},
+       CAST({HLL_ALPHA_NUM}::BIGINT //
+         (SUM(1::BIGINT << ({HLL_SCALE} - LEAST(max_rho, {HLL_SCALE})))
+          + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_SCALE})) AS BIGINT) AS est_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_registers
+FROM regs GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-pruned semi-join
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 17  # 16 KiB bitmap — fixed size, independent of build rows
+BLOOM_K = 4
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """k bit positions per key via double hashing of two splitmix64-style
+    mixes — fully vectorized over the batch. Internal only (no oracle parity
+    needed: the final join re-verifies, so the filter affects cost, not
+    results)."""
+    x = keys.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * _SPLITMIX_C1
+    x = (x ^ (x >> np.uint64(27))) * _SPLITMIX_C2
+    h1 = x ^ (x >> np.uint64(31))
+    y = h1 * _SPLITMIX_C1
+    h2 = (y ^ (y >> np.uint64(29))) | np.uint64(1)
+    ks = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def bloom_build(ds: ray.data.Dataset, key_col: str) -> np.ndarray:
+    """Distributed Bloom build: each batch task emits its own 16 KiB bitmap;
+    the driver ORs the per-block partials (driver traffic = blocks × 16 KiB,
+    never rows). Returns the packed uint8 bitmap."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(BLOOM_BITS, dtype=bool)
+        pos = _bloom_positions(b[key_col].to_numpy(np.int64))
+        bits[pos.ravel()] = True
+        return pd.DataFrame({"bitmap": [np.packbits(bits).tobytes()]})
+
+    packed = ds.map_batches(partial, batch_format="pandas").take_all()
+    out = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for row in packed:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out
+
+
+class BloomPrune:
+    """Actor-pool fact-side filter: fetch the broadcast bitmap once per actor
+    (``ray.put`` ref in ``__init__``), test membership vectorized per batch.
+    Keeps false positives — the downstream exact join removes them — and
+    guarantees zero false negatives by Bloom construction."""
+
+    def __init__(self, bitmap_ref, key_col: str):
+        self.bits = np.unpackbits(ray.get(bitmap_ref)).astype(bool)
+        self.key_col = key_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        pos = _bloom_positions(b[self.key_col].to_numpy(np.int64))
+        return b[self.bits[pos].all(axis=0)]
+
+
+def bloom_semijoin_revenue(sf_dir: str, segment: str = "BUILDING") -> pd.DataFrame:
+    """Orders placed by customers of one market segment: revenue + count by
+    order priority, as a Bloom-pruned semi-join.
+
+    Scale shape: at 100 TB the dim side may be too large to broadcast as an
+    exact hash set, but its 16 KiB Bloom bitmap always broadcasts. The fact
+    table is pruned to ~|matches| + FP rows BEFORE the only shuffle (the
+    verification hash join), so exchange volume tracks the match rate, not
+    the fact size. Money sums are exact scaled-int64 cents (order-independent
+    — same bit-exactness discipline as q1)."""
+    dim = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr=f"c_mktsegment == '{segment}'")
+    dim_keys = dim.select_columns(["c_custkey"])
+    bitmap_ref = ray.put(bloom_build(dim_keys, "c_custkey"))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+    survivors = orders.map_batches(
+        BloomPrune,
+        fn_constructor_args=(bitmap_ref, "o_custkey"),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderpriority": b["o_orderpriority"],
+                "cents": np.round(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    verified = survivors.map_batches(to_cents, batch_format="pandas").join(
+        dim_keys,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    out = (
+        verified.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents")
+        )
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

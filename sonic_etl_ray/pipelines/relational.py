@@ -522,3 +522,54 @@ def user_running_value(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def attribution_range_join(sf_dir: str, window_minutes: int = 30) -> pd.DataFrame:
+    """Equi + range join (purchase attribution): each purchase event joined
+    to the same user's view/click events in the half-open window
+    [purchase_ts − window, purchase_ts), emitting touch count + value sum.
+
+    Range joins have no Ray-native operator; the composition is: tag both
+    sides in the SAME scan (one pruned read of events), ONE shuffle on the
+    equi key (user), then a per-group sorted sweep — anchors binary-search
+    the time-sorted source array (np.searchsorted) and read count/sum off a
+    prefix-sum, O((a+s)·log s) per group instead of the O(a·s) nested loop.
+    A pure (no-equi-key) range join uses the same sweep after bucketing both
+    sides by time bucket and replicating intervals into each bucket they
+    overlap — the partitioning assumption is bounded interval length.
+    Value sums are exact scaled-int64 cents (order-independent, hash-exact
+    vs the SQL LEFT JOIN oracle)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        anchors = g[g.event_type == "purchase"]
+        if anchors.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_touches": pd.Series(dtype="int64"),
+                    "touch_cents": pd.Series(dtype="int64"),
+                }
+            )
+        src = g[g.event_type.isin(("view", "click"))].sort_values("ts", kind="stable")
+        s_ts = src["ts"].to_numpy(dtype="datetime64[us]")
+        cents = np.round(src["value"].to_numpy() * 100.0).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        a_ts = anchors["ts"].to_numpy(dtype="datetime64[us]")
+        lo = np.searchsorted(s_ts, a_ts - win, side="left")
+        hi = np.searchsorted(s_ts, a_ts, side="left")  # strictly before anchor
+        return pd.DataFrame(
+            {
+                "event_id": anchors["event_id"].to_numpy(),
+                "user_id": anchors["user_id"].to_numpy(),
+                "n_touches": (hi - lo).astype(np.int64),
+                "touch_cents": csum[hi] - csum[lo],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

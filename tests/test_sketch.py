@@ -1,0 +1,147 @@
+"""Sketch operators: HLL registers/estimate, Bloom semi-join, range join.
+
+Exactness claims verified brute-force; accuracy claims (the only
+approximate part) verified against exact distinct counts at a scale where
+the raw HLL estimator is in-regime (n ≳ 2.5·m).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_hll_hash_and_rho_match_reference():
+    from sonic_etl_ray.functions.sketch import (
+        HLL_RHO_MAX,
+        HLL_TAIL_BITS,
+        _hll_partial,
+    )
+
+    vals = pd.Series([0, 1, 12345, 99999999, -7])
+    batch = pd.DataFrame({"g": ["x"] * len(vals), "v": vals})
+    out = _hll_partial(batch, "g", "v")
+    # independent per-row reference: md5 → top bits bucket, tail bit_length
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+        bucket = h >> HLL_TAIL_BITS
+        tail = h & ((1 << HLL_TAIL_BITS) - 1)
+        rho = HLL_RHO_MAX - tail.bit_length() if tail else HLL_RHO_MAX
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    got = dict(zip(out["bucket"], out["max_rho"]))
+    assert got == regs
+
+
+def test_hll_registers_merge_equals_single_pass():
+    """Mergeability: sketch(A ∪ B) == max-merge(sketch(A), sketch(B))."""
+    from sonic_etl_ray.functions.sketch import _hll_partial
+
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"g": "k", "v": rng.integers(0, 10_000, 5_000)})
+    b = pd.DataFrame({"g": "k", "v": rng.integers(5_000, 20_000, 5_000)})
+    whole = _hll_partial(pd.concat([a, b]), "g", "v")
+    merged = (
+        pd.concat([_hll_partial(a, "g", "v"), _hll_partial(b, "g", "v")])
+        .groupby(["g", "bucket"], as_index=False)["max_rho"]
+        .max()
+    )
+    assert whole.sort_values("bucket").reset_index(drop=True).equals(
+        merged.sort_values("bucket").reset_index(drop=True)
+    )
+
+
+def test_hll_estimate_accuracy_in_regime():
+    """At sf0.01 each return flag has ~2000 distinct partkeys with m=128
+    registers (n/m ≈ 15 — raw-estimator regime): expect ≤15% error, well
+    inside 3σ of the 1.04/√m ≈ 9.2% standard error."""
+    from sonic_etl_ray.functions.sketch import hll_distinct_parts
+
+    est = hll_distinct_parts(SF01).set_index("l_returnflag")["est_distinct"]
+    exact = (
+        duckdb.sql(
+            f"SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d "
+            f"FROM '{SF01}/lineitem.parquet' GROUP BY 1"
+        )
+        .df()
+        .set_index("l_returnflag")["d"]
+    )
+    for flag in exact.index:
+        rel = abs(int(est[flag]) - int(exact[flag])) / int(exact[flag])
+        assert rel < 0.15, (flag, int(est[flag]), int(exact[flag]))
+
+
+def test_bloom_no_false_negatives_and_prunes():
+    from sonic_etl_ray.functions.sketch import _bloom_positions, BLOOM_BITS
+
+    rng = np.random.default_rng(3)
+    members = rng.choice(1 << 40, 2_000, replace=False)
+    others = members + 1  # disjoint by construction (choice w/o replace on evens not guaranteed; filter)
+    others = np.setdiff1d(others, members)
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    bits[_bloom_positions(members).ravel()] = True
+    assert bits[_bloom_positions(members)].all(axis=0).all()  # zero false negatives
+    fp = bits[_bloom_positions(others)].all(axis=0).mean()
+    assert fp < 0.05  # 2k keys in 128k bits, k=4 → expected ≪ 1%
+
+
+def test_bloom_semijoin_matches_duckdb():
+    from sonic_etl_ray.functions.sketch import bloom_semijoin_revenue
+
+    got = bloom_semijoin_revenue(SF)
+    want = duckdb.sql(
+        f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM '{SF}/orders.parquet'
+        WHERE o_custkey IN (SELECT c_custkey FROM '{SF}/customer.parquet'
+                            WHERE c_mktsegment='BUILDING')
+        GROUP BY 1 ORDER BY 1"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_range_join_matches_duckdb():
+    from sonic_etl_ray.pipelines.relational import attribution_range_join
+
+    got = attribution_range_join(SF)
+    want = duckdb.sql(
+        f"""
+        SELECT p.event_id, p.user_id,
+               CAST(COUNT(e.event_id) AS BIGINT) AS n_touches,
+               CAST(COALESCE(SUM(CAST(ROUND(e.value*100) AS BIGINT)), 0) AS BIGINT) AS touch_cents
+        FROM '{SF}/events.parquet' p
+        LEFT JOIN '{SF}/events.parquet' e
+          ON e.user_id = p.user_id AND e.event_type IN ('view','click')
+         AND e.ts >= p.ts - INTERVAL 30 MINUTE AND e.ts < p.ts
+        WHERE p.event_type = 'purchase' GROUP BY 1,2 ORDER BY 1"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want[sorted(want.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_range_join_boundary_semantics():
+    """Half-open window: a touch exactly at anchor−window is included, a
+    touch exactly at the anchor timestamp is excluded."""
+    from sonic_etl_ray.pipelines.relational import attribution_range_join  # noqa: F401  (import parity)
+    import numpy as np
+
+    # direct check of the sweep math on a synthetic group
+    s_ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:30:00"], dtype="datetime64[us]")
+    a_ts = np.array(["2024-01-01T00:30:00"], dtype="datetime64[us]")
+    win = np.timedelta64(30 * 60, "s")
+    lo = np.searchsorted(s_ts, a_ts - win, side="left")
+    hi = np.searchsorted(s_ts, a_ts, side="left")
+    assert (hi - lo).tolist() == [1]  # 00:00 in, 00:30 (== anchor) out
