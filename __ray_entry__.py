@@ -438,6 +438,18 @@ def _q_bloom_semijoin(sf_dir: str):
     return bloom_semijoin_revenue(sf_dir)
 
 
+def _q_rollup(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import rollup_revenue
+
+    return rollup_revenue(sf_dir)
+
+
+def _q_interdoc_ngram(sf_dir: str):
+    from sonic_etl_ray.functions.text import interdoc_ngram_dup
+
+    return interdoc_ngram_dup(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # CDC engine (the core): real pipeline vs SQL-window oracle
@@ -478,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _q_top_per_segment,
         "user_running_value": _q_running_value,
         "attribution_range_join": _q_range_join,
+        "rollup_revenue": _q_rollup,
         "sessionize_events": _q_sessionize,
         "multitable_fanout_stats": _q_multitable,
         # training-data ops
@@ -494,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab,
         "hll_distinct_parts": _q_hll_distinct,
         "bloom_semijoin_revenue": _q_bloom_semijoin,
+        "interdoc_ngram_dup": _q_interdoc_ngram,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
@@ -633,6 +647,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1 ORDER BY 1"""
+
+    sql["rollup_revenue"] = """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        ORDER BY 1, 2"""
+
+    sql["interdoc_ngram_dup"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), ng AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+          FROM toks
+        ), totals AS (
+          SELECT g, COUNT(*) AS total FROM ng GROUP BY 1
+        )
+        SELECT ng.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN totals.total >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+        FROM ng JOIN totals USING (g)
         GROUP BY 1 ORDER BY 1"""
 
     sql["q6_filter_revenue"] = f"""

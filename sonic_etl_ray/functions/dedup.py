@@ -103,14 +103,22 @@ class MinHasher:
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "sig": list(sigs)})
 
 
-def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
+def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pa.Table:
     """Explode signatures to (band_id, band_hash, doc_id) rows for the LSH
-    groupby — the shuffle moves only tiny signature rows. Vectorized: one
+    self-join — the shuffle moves only tiny signature rows. Vectorized: one
     (n_docs, bands, rows_per_band) reshape, a columnwise polynomial mix per
     band, and a final avalanche (band hashes are bucket keys only — a rare
-    collision merely adds a candidate pair that verification rejects)."""
+    collision merely adds a candidate pair that verification rejects).
+    Returns an Arrow table so downstream ``rename_columns`` projections stay
+    zero-copy on Arrow blocks."""
     if not len(df):
-        return pd.DataFrame({"doc_id": [], "band_id": [], "band_hash": []})
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.uint64()),
+            }
+        )
     sig = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
     n = sig.shape[0]
     grid = sig[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
@@ -124,8 +132,12 @@ def _band_rows(df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame
         h ^= h >> np.uint64(29)
     doc_ids = np.repeat(df["doc_id"].to_numpy(), bands)
     band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
-    return pd.DataFrame(
-        {"doc_id": doc_ids, "band_id": band_ids, "band_hash": h.reshape(-1)}
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int64()),
+            "band_hash": pa.array(h.reshape(-1)),
+        }
     )
 
 
@@ -156,8 +168,15 @@ def minhash_candidate_pairs(
     k: int = 5,
 ) -> ray.data.Dataset:
     """LSH candidate (doc_a, doc_b) pairs as a Dataset: signatures → band
-    rows → band-bucket groupby → per-bucket pair expansion → distinct via a
-    (doc_a, doc_b) groupby. Only signature/pair rows ever shuffle."""
+    rows → band-bucket SELF-JOIN (pair expansion as a native hash join —
+    vectorized, unlike a per-bucket ``map_groups`` whose per-group Python
+    call dominated at ~80k tiny buckets) → ordered filter doc_a < doc_b.
+
+    Pairs sharing SEVERAL bands appear once per shared band (measured ~6%
+    multiplicity at high-recall settings): a distinct here would cost a
+    whole extra shuffle operator on the biggest intermediate, while the
+    verified output is tiny by construction — so dedup happens after
+    verification (`minhash_lsh_dedup`), not before."""
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHasher,
@@ -172,22 +191,19 @@ def minhash_candidate_pairs(
         batch_format="pandas",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def ordered(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        keep = pc.less(t["doc_a"], t["doc_b"])
+        return t.filter(keep).select(["doc_a", "doc_b"])
 
-    return (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(distinct, batch_format="pandas")
+    joined = band_rows.rename_columns({"doc_id": "doc_a"}).join(
+        band_rows.rename_columns({"doc_id": "doc_b"}),
+        join_type="inner",
+        num_partitions=_auto_join_partitions(),
+        on=("band_id", "band_hash"),
     )
+    return joined.map_batches(ordered, batch_format="pyarrow")
 
 
 def _auto_join_partitions() -> int:
@@ -220,7 +236,11 @@ def minhash_verified_pairs(
     if join_partitions is None:
         join_partitions = _auto_join_partitions()
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k)
+    # Materialize the candidate pairs (bounded: they ARE the near-dup set,
+    # tiny id-pair rows) so the self-join/aggregate graph releases its hash
+    # aggregators before the two text joins spin up theirs — three
+    # concurrent join operators can oversubscribe a small cluster's slots.
+    cand = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
     texts_a = docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
     texts_b = docs.rename_columns({"doc_id": "__tb_id", "text": "text_b"})
     joined = cand.join(
@@ -265,6 +285,10 @@ def minhash_lsh_dedup(
     if out.empty:
         out = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     else:
+        # candidates carry per-shared-band multiplicity (see
+        # minhash_candidate_pairs) — distinct on the tiny verified set here
+        # instead of a full shuffle on the big candidate set
+        out = out.drop_duplicates(["doc_a", "doc_b"])
         out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
         out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     _VERIFIED_PAIRS_CACHE[key] = out

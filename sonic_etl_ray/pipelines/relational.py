@@ -573,3 +573,59 @@ def attribution_range_join(sf_dir: str, window_minutes: int = 30) -> pd.DataFram
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """Multi-level grouping-sets aggregate (GROUP BY ROLLUP analog): order
+    count + revenue at (segment, priority), (segment) and grand-total levels
+    from ONE shuffle. The distributed pass aggregates only the finest level
+    (batch partials → one small groupby); coarser levels are derived from
+    that ≤|segments|×|priorities| table on the driver — the correct scale
+    shape whenever rollup keys are low-cardinality (additive aggregates
+    re-aggregate exactly). NULL group cells use the 'ALL' sentinel on both
+    sides (COALESCE in the oracle) so hashing is representation-stable.
+    Money sums are exact scaled-int64 cents."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    class Partial:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(
+                c_mktsegment=b["o_custkey"].map(self.seg),
+                cents=np.round(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            )
+            out = b.groupby(["c_mktsegment", "o_orderpriority"], as_index=False).agg(
+                n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+            )
+            return out
+
+    fine = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(Partial, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4))
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    by_seg = fine.groupby("c_mktsegment", as_index=False)[["n_orders", "revenue_cents"]].sum()
+    by_seg["o_orderpriority"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "c_mktsegment": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_seg, total], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["c_mktsegment", "o_orderpriority"]).reset_index(drop=True)

@@ -145,3 +145,59 @@ def test_range_join_boundary_semantics():
     lo = np.searchsorted(s_ts, a_ts - win, side="left")
     hi = np.searchsorted(s_ts, a_ts, side="left")
     assert (hi - lo).tolist() == [1]  # 00:00 in, 00:30 (== anchor) out
+
+
+def test_rollup_matches_duckdb():
+    from sonic_etl_ray.pipelines.relational import rollup_revenue
+
+    got = rollup_revenue(SF)
+    want = duckdb.sql(
+        f"""
+        SELECT COALESCE(c_mktsegment,'ALL') AS c_mktsegment,
+               COALESCE(o_orderpriority,'ALL') AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM '{SF}/orders.parquet' JOIN '{SF}/customer.parquet' ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderpriority) ORDER BY 1, 2"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want[sorted(want.columns)].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_rollup_levels_are_consistent():
+    from sonic_etl_ray.pipelines.relational import rollup_revenue
+
+    out = rollup_revenue(SF)
+    fine = out[(out.c_mktsegment != "ALL") & (out.o_orderpriority != "ALL")]
+    seg = out[(out.c_mktsegment != "ALL") & (out.o_orderpriority == "ALL")]
+    tot = out[(out.c_mktsegment == "ALL")]
+    assert len(tot) == 1
+    assert fine["n_orders"].sum() == tot["n_orders"].iloc[0]
+    assert seg["revenue_cents"].sum() == tot["revenue_cents"].iloc[0]
+
+
+def test_interdoc_ngram_dup_matches_bruteforce():
+    from sonic_etl_ray.functions.text import interdoc_ngram_dup
+    import re
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    got = interdoc_ngram_dup(SF).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    per_doc: dict[int, list[str]] = {}
+    totals: Counter = Counter()
+    for _, r in docs.iterrows():
+        t = re.sub(r"\s+", " ", r["text"] or "").split(" ")
+        ngs = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        per_doc[r["doc_id"]] = ngs
+        totals.update(ngs)
+    for doc_id, ngs in per_doc.items():
+        if not ngs:
+            assert doc_id not in got.index
+            continue
+        dup = sum(1 for g in ngs if totals[g] >= 2)
+        assert got.loc[doc_id, "n_ngrams"] == len(ngs)
+        assert got.loc[doc_id, "dup_ngrams"] == dup, doc_id
