@@ -282,6 +282,12 @@ def _q_embed_ivf(sf_dir: str):
     return _r(ivf_topk(sf_dir, k=10, n_clusters=8, n_probe=8), ["cosine"])
 
 
+def _q_token_shards(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import token_shards
+
+    return token_shards(sf_dir)
+
+
 def _q_prep_corpus(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import prep_corpus
 
@@ -304,6 +310,12 @@ def _q_cdc_blocklist(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_blocklisted
 
     return cdc_apply_blocklisted(sf_dir)
+
+
+def _q_cdc_export(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_export_snapshot
+
+    return cdc_export_snapshot(sf_dir)
 
 
 def _q_cdc_dup(sf_dir: str):
@@ -455,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC engine (the core): real pipeline vs SQL-window oracle
         "cdc_apply_upserts": _q_cdc_upserts,
         "cdc_apply_dup_replay": _q_cdc_dup,
+        "cdc_export_snapshot": _q_cdc_export,
         "cdc_apply_mor": _q_cdc_mor,
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_replicate": _q_cdc_replicate,
@@ -520,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_payload_stats": _q_media_stats,
         # composed end-to-end training-data prep (filter → dedup → tokenize)
         "prep_corpus": _q_prep_corpus,
+        "token_shards": _q_token_shards,
     }
 
 
@@ -648,6 +662,19 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY 1 ORDER BY 1"""
+
+    sql["token_shards"] = r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(CAST(COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    // 2000 AS BIGINT) AS shard_id
+        FROM t ORDER BY lang, doc_id"""
 
     sql["rollup_revenue"] = """
         SELECT COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,

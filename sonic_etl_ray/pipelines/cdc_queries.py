@@ -95,6 +95,24 @@ def cdc_apply_dup_replay(sf_dir: str) -> pa.Table:
     return _run_engine(sf_dir, duplicate=True).select(FINAL_COLUMNS)
 
 
+def cdc_export_snapshot(sf_dir: str) -> pa.Table:
+    """Publish-then-read-back: apply the stream, export the consumer-facing
+    snapshot (per-partition Ray tasks + atomic manifest,
+    :func:`~sonic_etl_ray.pipelines.ingest.export_snapshot`), and return the
+    snapshot as read through the manifest — must equal the LWW oracle."""
+    from ..pipelines.ingest import export_snapshot, read_snapshot
+
+    lake = scratch_lake_dir("cdcexp")
+    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    out_dir = scratch_lake_dir("cdcexp_out")
+    export_snapshot(lake, out_dir)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in read_snapshot(out_dir).to_arrow_refs()]
+    )
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("repo", "ascending"), ("path", "ascending")]))
+    return tbl.select(FINAL_COLUMNS)
+
+
 def cdc_incremental_repo_stats(sf_dir: str) -> pd.DataFrame:
     """The incrementally-maintained per-repo aggregate view: read from the
     merge-time sidecars only (no lake rescan) — must equal the recomputed
@@ -753,6 +771,8 @@ ORACLES: dict[str, str] = {
                 THEN CAST(strlen(content) AS BIGINT) END AS size_hint
     FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # a published snapshot is a faithful copy of the logical table
+    "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_split_decoded_tables": ORACLE_SRC + """

@@ -64,3 +64,55 @@ def prep_corpus(
     deduped = exact_dedup(filtered)  # hash groupby, deterministic min-id winner
     out = deduped.to_pandas()[["doc_id", "text_sha256", "n_tokens", "n_bpe_tokens"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
+    """Token-budget sharding (training-shard assignment): within each
+    language stream, documents in deterministic doc_id order are assigned
+    to shards by cumulative token budget — shard_id = floor(tokens-before /
+    capacity). The assignment a tokenizer-sharding run consumes: stable
+    under re-runs (pure function of the corpus), no shard ever starts
+    mid-document, shard sizes ≈ capacity (+ at most one document's
+    overhang, the standard greedy-prefix rule).
+
+    Distributed shape: ONE shuffle on the shard partition key (lang), an
+    in-group ordered cumsum — identical discipline to the per-key running
+    aggregate (O1/O2 ordering), so the SQL oracle is a plain SUM OVER
+    (PARTITION BY lang ORDER BY doc_id) window."""
+    import re
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    tok_re = re.compile(TOKEN_RE)
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "n_tokens": b["text"]
+                .map(lambda t: len(tok_re.findall(t or "")))
+                .astype("int64"),
+            }
+        )
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        before = g["n_tokens"].cumsum().shift(fill_value=0)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "lang": g["lang"],
+                "n_tokens": g["n_tokens"],
+                "shard_id": (before // capacity).astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(count_tokens, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)

@@ -1722,6 +1722,101 @@ def replicate_lake(
     return {"epochs_applied": applied, "epochs_skipped": skipped}
 
 
+def _export_partition(
+    lake_dir: str, part: int, out_dir: str, as_of_epoch: int | None
+) -> dict[str, Any]:
+    """Write one partition's resolved LIVE rows as a consumer-facing Parquet
+    file (canonical (repo, path) sort), atomically (tmp+rename), and return
+    its manifest entry: row count + a deterministic per-partition digest
+    (sha256 over the sorted per-row content_sha256 strings)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = _drop_tombstones(
+        resolve_partition_state(lake_dir, part, as_of_epoch=as_of_epoch)
+    )
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=STATE_SORT))
+    os.makedirs(f"{out_dir}/part={part}", exist_ok=True)
+    path = f"{out_dir}/part={part}/snapshot.parquet"
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    digest = hashlib.sha256(
+        "\n".join(tbl.column("content_sha256").to_pylist()).encode()
+    ).hexdigest()
+    return {"part": part, "rows": tbl.num_rows, "digest": digest, "file": path}
+
+
+def export_snapshot(
+    lake_dir: str, out_dir: str, as_of_epoch: int | None = None
+) -> dict[str, Any]:
+    """Publish the lake's resolved logical table as consumer-facing
+    partitioned Parquet — the reference's final-table publish step (the BQ
+    final tables behind ``K10``; publish fan-out ``sonic_config/mod.rs:501-574``)
+    re-expressed for lake consumers who cannot speak the commit-log format.
+
+    Shape: one Ray task per lake partition resolves (base ∪ deltas, LWW) and
+    writes ``part=N/snapshot.parquet`` via tmp+rename; ``SNAPSHOT.json`` is
+    written LAST and atomically, carrying per-partition row counts and
+    deterministic digests — readers that key off the manifest see either the
+    complete old snapshot or the complete new one, never a torn mix.
+    Resumable: partitions whose snapshot file already exists under an
+    unchanged manifest are skipped on re-run (the per-partition write is
+    idempotent anyway — same canonical sort, same content)."""
+    import json
+    import os
+
+    parts = _lake_parts(lake_dir)
+    manifest_path = f"{out_dir}/SNAPSHOT.json"
+    prior: dict[str, Any] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prior = json.load(f)
+    prior_parts = {
+        p["part"]: p
+        for p in prior.get("partitions", [])
+        if prior.get("as_of_epoch") == as_of_epoch
+        and os.path.exists(p.get("file", ""))
+    }
+    todo = [p for p in parts if p not in prior_parts]
+    task = ray.remote(num_cpus=1)(_export_partition)
+    entries = list(prior_parts.values()) + ray.get(
+        [task.remote(lake_dir, p, out_dir, as_of_epoch) for p in todo]
+    )
+    entries.sort(key=lambda e: e["part"])
+    manifest = {
+        "as_of_epoch": as_of_epoch,
+        "source_lake": lake_dir,
+        "partitions": entries,
+        "rows": int(sum(e["rows"] for e in entries)),
+    }
+    tmp = manifest_path + ".tmp"
+    os.makedirs(out_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path)
+    return {
+        "rows": manifest["rows"],
+        "partitions_written": len(todo),
+        "partitions_skipped": len(prior_parts),
+    }
+
+
+def read_snapshot(out_dir: str) -> ray.data.Dataset:
+    """Stream a published snapshot back (manifest-listed files only — stray
+    tmp/partial files are invisible to readers)."""
+    import json
+
+    with open(f"{out_dir}/SNAPSHOT.json") as f:
+        manifest = json.load(f)
+    files = [p["file"] for p in manifest["partitions"] if p["rows"]]
+    if not files:
+        return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
+    return ray.data.read_parquet(files)
+
+
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
     """Garbage-collect superseded copy-on-write state files.
 
