@@ -450,6 +450,12 @@ def _q_bloom_semijoin(sf_dir: str):
     return bloom_semijoin_revenue(sf_dir)
 
 
+def _q_cms_freq(sf_dir: str):
+    from sonic_etl_ray.functions.sketch import cms_token_freq
+
+    return cms_token_freq(sf_dir)
+
+
 def _q_rollup(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import rollup_revenue
 
@@ -521,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_parts": _q_hll_distinct,
         "bloom_semijoin_revenue": _q_bloom_semijoin,
         "interdoc_ngram_dup": _q_interdoc_ngram,
+        "cms_token_freq": _q_cms_freq,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
@@ -654,6 +661,10 @@ def oracle_sql() -> dict[str, str]:
     from sonic_etl_ray.functions.sketch import hll_oracle_sql
 
     sql["hll_distinct_parts"] = hll_oracle_sql("lineitem", "l_returnflag", "l_partkey")
+
+    from sonic_etl_ray.functions.sketch import cms_oracle_sql
+
+    sql["cms_token_freq"] = cms_oracle_sql("documents", probe_every=100)
 
     sql["bloom_semijoin_revenue"] = """
         SELECT o_orderpriority,

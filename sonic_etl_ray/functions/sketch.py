@@ -263,3 +263,130 @@ def bloom_semijoin_revenue(sf_dir: str, segment: str = "BUILDING") -> pd.DataFra
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005), integer-exact variant
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024  # 4 KiB of int64 counters per partial — fixed size
+
+
+def _cms_hash(tokens: pd.Series, row: int) -> np.ndarray:
+    """Row-j bucket of each token: top-8-byte md5 of 'j:token' mod width —
+    the same hash DuckDB computes as
+    ``('0x' || substr(md5(j || ':' || token), 1, 16))::UBIGINT % width``."""
+    pre = f"{row}:"
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5((pre + t).encode()).digest()[:8], "big")
+            % CMS_WIDTH
+            for t in tokens
+        ),
+        dtype=np.int64,
+        count=len(tokens),
+    )
+
+
+def _cms_partial(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """Per-batch CMS combiner over whitespace-normalized tokens: emits
+    (row, bucket, cnt) register increments — ≤ depth×width rows per batch
+    regardless of input size. Tokens are de-duplicated per batch before
+    hashing so md5 runs once per distinct token, not per occurrence."""
+    norm = batch[text_col].fillna("").str.replace(r"\s+", " ", regex=True)
+    counts = norm.str.split(" ").explode().value_counts()
+    if not len(counts):
+        return pd.DataFrame(
+            {
+                "row": pd.Series(dtype="int64"),
+                "bucket": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
+    toks = counts.index.to_series().astype(str)
+    n = counts.to_numpy(np.int64)
+    frames = []
+    for j in range(CMS_DEPTH):
+        b = _cms_hash(toks, j)
+        reg = np.zeros(CMS_WIDTH, dtype=np.int64)
+        np.add.at(reg, b, n)
+        nz = np.nonzero(reg)[0]
+        frames.append(
+            pd.DataFrame({"row": np.int64(j), "bucket": nz, "cnt": reg[nz]})
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def cms_registers(ds: ray.data.Dataset, text_col: str = "text") -> pd.DataFrame:
+    """Distributed CMS build: fixed-size per-batch partials → one tiny
+    groupby-sum merge (registers are additive — union of sketches = sum of
+    their register tables, the same mergeability story as the HLL max)."""
+    regs = (
+        ds.map_batches(lambda b: _cms_partial(b, text_col), batch_format="pandas")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    return regs.astype({"row": "int64", "bucket": "int64", "cnt": "int64"})
+
+
+def cms_token_freq(sf_dir: str, probe_every: int = 100) -> pd.DataFrame:
+    """Estimated corpus-wide token frequencies for a deterministic probe set
+    (the distinct tokens of every ``probe_every``-th document): point-query
+    heavy-hitter estimation from a 16 KiB mergeable sketch instead of a full
+    token shuffle. Estimate = min over depth rows of the probed register —
+    integer-only, so the DuckDB oracle reproduces it bit-for-bit (CMS
+    one-sided error: estimate ≥ true count, verified in pytest)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    regs = cms_registers(docs)
+    lut = {
+        (int(r), int(b)): int(c)
+        for r, b, c in zip(regs["row"], regs["bucket"], regs["cnt"])
+    }
+
+    probe_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b[b["doc_id"] % probe_every == 0], batch_format="pandas"
+    )
+    norm = probe_docs.to_pandas()["text"].fillna("").str.replace(r"\s+", " ", regex=True)
+    probes = sorted(set(norm.str.split(" ").explode()))
+    ests = []
+    for t in probes:
+        est = min(
+            lut.get((j, int(_cms_hash(pd.Series([t]), j)[0])), 0)
+            for j in range(CMS_DEPTH)
+        )
+        ests.append(est)
+    return pd.DataFrame({"token": probes, "est_count": pd.Series(ests, dtype="int64")})
+
+
+def cms_oracle_sql(table: str = "documents", probe_every: int = 100) -> str:
+    """DuckDB SQL computing the identical registers and min-estimates."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS token
+  FROM {table}
+), rows_j AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS r(j)
+), regs AS (
+  SELECT j AS row,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 16))::UBIGINT
+              % {CMS_WIDTH} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks, rows_j GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT unnest(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS token
+  FROM {table} WHERE doc_id % {probe_every} = 0
+)
+SELECT p.token,
+       CAST(MIN(r.cnt) AS BIGINT) AS est_count
+FROM probes p
+JOIN rows_j ON TRUE
+JOIN regs r
+  ON r.row = rows_j.j
+ AND r.bucket = CAST(('0x' || substr(md5(CAST(rows_j.j AS VARCHAR) || ':' || p.token), 1, 16))::UBIGINT
+                     % {CMS_WIDTH} AS BIGINT)
+GROUP BY 1 ORDER BY 1
+"""

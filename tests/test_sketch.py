@@ -201,3 +201,44 @@ def test_interdoc_ngram_dup_matches_bruteforce():
         dup = sum(1 for g in ngs if totals[g] >= 2)
         assert got.loc[doc_id, "n_ngrams"] == len(ngs)
         assert got.loc[doc_id, "dup_ngrams"] == dup, doc_id
+
+
+def test_cms_one_sided_and_tight_for_heavy_hitters():
+    """CMS guarantee: est ≥ true count for every token; for the corpus's
+    heavy hitters the 4×1024 sketch should be near-exact at this scale."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.functions.sketch import cms_token_freq
+
+    got = cms_token_freq(SF, probe_every=50).set_index("token")["est_count"]
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    true = Counter()
+    for t in docs["text"]:
+        true.update(re.sub(r"\s+", " ", t or "").split(" "))
+    assert len(got) > 10
+    for tok, est in got.items():
+        assert est >= true[tok], tok  # one-sided error, always
+    heavy = [t for t, c in true.most_common(10) if t in got.index]
+    assert heavy
+    for t in heavy:
+        assert got[t] <= true[t] * 1.5 + 50  # collisions stay small
+
+
+def test_cms_partials_are_additive():
+    from sonic_etl_ray.functions.sketch import _cms_partial
+    import pandas as pd
+
+    a = pd.DataFrame({"text": ["x y x", "z"]})
+    b = pd.DataFrame({"text": ["x q"]})
+    whole = _cms_partial(pd.concat([a, b], ignore_index=True), "text")
+    merged = (
+        pd.concat([_cms_partial(a, "text"), _cms_partial(b, "text")])
+        .groupby(["row", "bucket"], as_index=False)["cnt"]
+        .sum()
+    )
+    w = whole.sort_values(["row", "bucket"]).reset_index(drop=True)
+    m = merged.sort_values(["row", "bucket"]).reset_index(drop=True)
+    assert w.equals(m)
