@@ -345,13 +345,18 @@ def cms_token_freq(sf_dir: str, probe_every: int = 100) -> pd.DataFrame:
         for r, b, c in zip(regs["row"], regs["bucket"], regs["cnt"])
     }
 
-    probe_docs = ray.data.read_parquet(
+    def probe_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["doc_id"] % probe_every == 0]
+        norm = sel["text"].fillna("").str.replace(r"\s+", " ", regex=True)
+        toks = norm.str.split(" ").explode().dropna().unique()
+        return pd.DataFrame({"token": pd.Series(toks, dtype="object")})
+
+    # probe-set extraction stays distributed: each batch ships only its
+    # DEDUPED token strings, never document text, to the driver
+    probe_rows = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
-        lambda b: b[b["doc_id"] % probe_every == 0], batch_format="pandas"
-    )
-    norm = probe_docs.to_pandas()["text"].fillna("").str.replace(r"\s+", " ", regex=True)
-    probes = sorted(set(norm.str.split(" ").explode()))
+    ).map_batches(probe_tokens, batch_format="pandas").take_all()
+    probes = sorted({r["token"] for r in probe_rows})
     ests = []
     for t in probes:
         est = min(

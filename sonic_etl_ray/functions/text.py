@@ -414,7 +414,12 @@ def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = ds.map_batches(NgramPairEmitter, batch_format="pandas", concurrency=(1, 4))
+    # pairs feed BOTH the totals groupby and the join probe side:
+    # materialize once (columnar int64 rows, object-store-spillable) instead
+    # of re-running tokenize+hash over the corpus a second time
+    pairs = ds.map_batches(
+        NgramPairEmitter, batch_format="pandas", concurrency=(1, 4)
+    ).materialize()
     totals = pairs.groupby("gh").aggregate(Sum("c", alias_name="total"))
     joined = pairs.join(
         totals.select_columns(["gh", "total"]),

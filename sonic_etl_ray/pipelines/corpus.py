@@ -75,11 +75,18 @@ def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
     mid-document, shard sizes ≈ capacity (+ at most one document's
     overhang, the standard greedy-prefix rule).
 
-    Distributed shape: ONE shuffle on the shard partition key (lang), an
-    in-group ordered cumsum — identical discipline to the per-key running
-    aggregate (O1/O2 ordering), so the SQL oracle is a plain SUM OVER
-    (PARTITION BY lang ORDER BY doc_id) window."""
+    Distributed shape — an ordered prefix-sum, NOT a per-lang map_groups
+    (lang is LOW-cardinality: one group would be a fifth of the corpus in a
+    single worker's memory): token counts → ``sort(lang, doc_id)`` (the one
+    exchange; range-partitioned ordered blocks) → per-block (lang → token
+    sum) summaries to the driver (blocks × langs tiny rows) → driver prefix
+    offsets per block → one Ray task per block assigns shard ids from its
+    offset. Custom-operator pattern (c) from the brief; the partitioning
+    assumption is the sort's global block order, which Ray Data guarantees."""
     import re
+
+    import numpy as np
+    import pyarrow as pa
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
@@ -97,22 +104,41 @@ def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
             }
         )
 
-    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable")
-        before = g["n_tokens"].cumsum().shift(fill_value=0)
-        return pd.DataFrame(
+    counts = ds.map_batches(count_tokens, batch_format="pandas").sort(
+        ["lang", "doc_id"]
+    )
+    refs = counts.to_arrow_refs()  # ordered blocks of 3-int rows
+
+    def block_sums(t: pa.Table) -> dict[str, int]:
+        df = t.to_pandas()
+        return df.groupby("lang", sort=False)["n_tokens"].sum().to_dict()
+
+    def assign(t: pa.Table, offsets: dict[str, int]) -> pa.Table:
+        df = t.to_pandas()  # already (lang, doc_id)-sorted within the block
+        before = df.groupby("lang", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        before = before + df["lang"].map(offsets).fillna(0).astype("int64")
+        return pa.table(
             {
-                "doc_id": g["doc_id"],
-                "lang": g["lang"],
-                "n_tokens": g["n_tokens"],
-                "shard_id": (before // capacity).astype("int64"),
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "lang": pa.array(df["lang"], pa.string()),
+                "n_tokens": pa.array(df["n_tokens"], pa.int64()),
+                "shard_id": pa.array(
+                    (before // capacity).to_numpy(np.int64), pa.int64()
+                ),
             }
         )
 
-    out = (
-        ds.map_batches(count_tokens, batch_format="pandas")
-        .groupby("lang")
-        .map_groups(per_lang, batch_format="pandas")
-        .to_pandas()
-    )
+    sums_task = ray.remote(num_cpus=1)(block_sums)
+    per_block = ray.get([sums_task.remote(r) for r in refs])
+    running: dict[str, int] = {}
+    offsets_per_block: list[dict[str, int]] = []
+    for s in per_block:  # driver work = blocks × langs tiny dicts
+        offsets_per_block.append(dict(running))
+        for lang, n in s.items():
+            running[lang] = running.get(lang, 0) + int(n)
+    assign_task = ray.remote(num_cpus=1)(assign)
+    out_refs = [
+        assign_task.remote(r, off) for r, off in zip(refs, offsets_per_block)
+    ]
+    out = pd.concat([ray.get(r).to_pandas() for r in out_refs], ignore_index=True)
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
