@@ -29,6 +29,8 @@ the hot-repo skew split; all lake I/O is rename-atomic on shared storage.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import os
 import tempfile
 import uuid
@@ -841,7 +843,7 @@ def repair_epoch_id(segment_basenames: list[str]) -> int:
     return REPAIR_EPOCH_BASE + int.from_bytes(digest, "big") % 9_999_999
 
 
-def run_ingest(
+def _run_ingest_impl(
     segment_files: Iterable[str],
     lake_dir: str,
     num_partitions: int = 32,
@@ -985,6 +987,43 @@ def run_ingest(
         "segments_deferred": deferred,
         "epochs_total": len(epochs),
     }
+
+
+def run_ingest(
+    segment_files: Iterable[str],
+    lake_dir: str,
+    *args: Any,
+    exclusive: bool = False,
+    lease_owner: str | None = None,
+    **kwargs: Any,
+) -> dict[str, Any]:
+    """Public ingest entry point (see :func:`_run_ingest_impl` for the full
+    semantics). ``exclusive=True`` additionally takes the lake's
+    single-writer lease for the duration of the run — the commit log's
+    exactly-once reasoning assumes one writer per lake, and the lease makes
+    a second concurrent writer fail fast (:class:`~sonic_etl_ray.state.commitlog.LeaseHeld`)
+    instead of interleaving epochs. Stale leases (dead holder, no heartbeat
+    for the TTL) are taken over automatically."""
+    if not exclusive:
+        return _run_ingest_impl(segment_files, lake_dir, *args, **kwargs)
+    token = cl.acquire_writer_lease(
+        lake_dir, owner=lease_owner or f"run_ingest:{os.getpid()}"
+    )
+    try:
+        return _run_ingest_impl(segment_files, lake_dir, *args, **kwargs)
+    finally:
+        cl.release_writer_lease(lake_dir, token)
+
+
+@contextmanager
+def writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0):
+    """Context-manager form of the single-writer lease for callers that
+    compose their own apply loops (Tailer drivers, replication jobs)."""
+    token = cl.acquire_writer_lease(lake_dir, owner, ttl_s=ttl_s)
+    try:
+        yield token
+    finally:
+        cl.release_writer_lease(lake_dir, token)
 
 
 def _tag_epoch(t: pa.Table, epoch_id: int) -> pa.Table:

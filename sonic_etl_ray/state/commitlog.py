@@ -321,3 +321,98 @@ def partition_watermark(lake_dir: str, part: int) -> int:
         return -1
     rec = read_commit(lake_dir, latest[1], part)
     return int(rec["applied_lsn"]) if rec else -1
+
+
+# --------------------------------------------------------------- writer lease
+
+LEASE_NAME = "_WRITER_LEASE.json"
+
+
+class LeaseHeld(RuntimeError):
+    """Another live writer holds the lake's lease."""
+
+
+def _lease_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, LEASE_NAME)
+
+
+def acquire_writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0) -> str:
+    """Single-writer guard: the commit log's exactly-once reasoning assumes
+    one writer per lake (the reference gets this from its single
+    coordinator, ``coordinator/publish_ranges.py``). Acquisition is an
+    O_CREAT|O_EXCL create of ``_WRITER_LEASE.json``; a holder refreshes the
+    file mtime as a heartbeat (:func:`refresh_writer_lease`), and a lease
+    whose heartbeat is older than ``ttl_s`` is STALE and taken over
+    atomically (rename-away + exclusive re-create, so two concurrent
+    claimants cannot both win). Returns an opaque token the holder must
+    present to refresh/release.
+
+    Scope: node-local filesystems / POSIX semantics (this sandbox). On a
+    real cluster the same protocol runs against any store with atomic
+    create/rename (the lease file is deliberately tiny and single-key)."""
+    import json
+    import time
+    import uuid
+
+    os.makedirs(lake_dir, exist_ok=True)
+    path = _lease_path(lake_dir)
+    token = uuid.uuid4().hex
+    payload = json.dumps(
+        {"owner": owner, "pid": os.getpid(), "token": token}
+    ).encode()
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            return token
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(path).st_mtime
+            except FileNotFoundError:
+                continue  # released between our create and stat — retry
+            if age <= ttl_s:
+                with open(path) as f:
+                    holder = json.load(f)
+                raise LeaseHeld(
+                    f"writer lease on {lake_dir} held by "
+                    f"{holder.get('owner')!r} (pid {holder.get('pid')}, "
+                    f"heartbeat {age:.1f}s ago, ttl {ttl_s}s)"
+                )
+            # stale: move the corpse aside (atomic — only one claimant's
+            # rename succeeds) and retry the exclusive create
+            try:
+                os.replace(path, path + ".stale")
+            except FileNotFoundError:
+                pass
+
+
+def refresh_writer_lease(lake_dir: str, token: str) -> None:
+    """Heartbeat: bump the lease mtime. Raises if the caller no longer
+    holds it (fenced out after a stale takeover)."""
+    import json
+
+    path = _lease_path(lake_dir)
+    try:
+        with open(path) as f:
+            holder = json.load(f)
+    except FileNotFoundError:
+        raise LeaseHeld(f"writer lease on {lake_dir} was lost (file gone)")
+    if holder.get("token") != token:
+        raise LeaseHeld(f"writer lease on {lake_dir} was taken over")
+    os.utime(path)
+
+
+def release_writer_lease(lake_dir: str, token: str) -> None:
+    """Release if still held by this token (a taken-over lease is left to
+    its new owner)."""
+    import json
+
+    path = _lease_path(lake_dir)
+    try:
+        with open(path) as f:
+            holder = json.load(f)
+    except FileNotFoundError:
+        return
+    if holder.get("token") == token:
+        os.remove(path)

@@ -1,0 +1,73 @@
+"""Single-writer lease: exclusion, heartbeat fencing, stale takeover."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from sonic_etl_ray.state.commitlog import (
+    LeaseHeld,
+    acquire_writer_lease,
+    refresh_writer_lease,
+    release_writer_lease,
+)
+
+
+def test_lease_excludes_second_writer(tmp_path):
+    lake = str(tmp_path / "lake")
+    tok = acquire_writer_lease(lake, "a")
+    with pytest.raises(LeaseHeld) as ei:
+        acquire_writer_lease(lake, "b")
+    assert "'a'" in str(ei.value)
+    release_writer_lease(lake, tok)
+    tok2 = acquire_writer_lease(lake, "b")  # free after release
+    release_writer_lease(lake, tok2)
+
+
+def test_stale_lease_taken_over_and_old_holder_fenced(tmp_path):
+    lake = str(tmp_path / "lake")
+    tok_dead = acquire_writer_lease(lake, "dead", ttl_s=0.2)
+    time.sleep(0.4)  # no heartbeat → stale
+    tok_new = acquire_writer_lease(lake, "new", ttl_s=0.2)
+    # the dead holder is fenced out of refresh and cannot release the
+    # new owner's lease
+    with pytest.raises(LeaseHeld):
+        refresh_writer_lease(lake, tok_dead)
+    release_writer_lease(lake, tok_dead)  # no-op: not the holder
+    refresh_writer_lease(lake, tok_new)  # still held
+    release_writer_lease(lake, tok_new)
+
+
+def test_refresh_keeps_lease_live(tmp_path):
+    lake = str(tmp_path / "lake")
+    tok = acquire_writer_lease(lake, "a", ttl_s=0.5)
+    for _ in range(3):
+        time.sleep(0.2)
+        refresh_writer_lease(lake, tok)
+    # heartbeats kept it fresh: takeover must fail
+    with pytest.raises(LeaseHeld):
+        acquire_writer_lease(lake, "b", ttl_s=0.5)
+    release_writer_lease(lake, tok)
+
+
+def test_run_ingest_exclusive(tmp_path):
+    from sonic_etl_ray.generator import StreamSpec, generate_stream
+    from sonic_etl_ray.pipelines.ingest import run_ingest
+
+    files = generate_stream(
+        str(tmp_path / "segs"),
+        StreamSpec(n_events=600, n_repos=4, seed=5, segment_size=200),
+    )
+    lake = str(tmp_path / "lake")
+    other = acquire_writer_lease(lake, "other")
+    with pytest.raises(LeaseHeld):
+        run_ingest(files, lake, num_partitions=2, exclusive=True)
+    release_writer_lease(lake, other)
+    stats = run_ingest(files, lake, num_partitions=2, exclusive=True)
+    assert stats["epochs_applied"] > 0
+    # lease released after the run: immediately reacquirable
+    tok = acquire_writer_lease(lake, "after")
+    release_writer_lease(lake, tok)
+    assert not os.path.exists(f"{lake}/_WRITER_LEASE.json")
