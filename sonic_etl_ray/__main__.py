@@ -117,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
     re_.add_argument("--lake", required=True)
     re_.add_argument("--partitions", type=int, default=None)
 
+    ex = sub.add_parser(
+        "export", help="publish the resolved final table as partitioned Parquet + manifest"
+    )
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--as-of-epoch", type=int, default=None)
+
     cc = sub.add_parser(
         "compact-commits",
         help="roll manifested epochs' commit records into one checkpoint (O(1) resume)",
@@ -228,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.ingest import replay_errors
 
             print(json.dumps(replay_errors(args.lake, num_partitions=args.partitions)))
+        elif args.cmd == "export":
+            from .pipelines.ingest import export_snapshot
+
+            print(
+                json.dumps(
+                    export_snapshot(args.lake, args.out, as_of_epoch=args.as_of_epoch)
+                )
+            )
         elif args.cmd == "set-watermark":
             from .pipelines.tail import set_watermark_override
 

@@ -45,3 +45,14 @@ def test_cli_generate_ingest_qc_vacuum(tmp_path):
 
     r = _run("vacuum", "--lake", lake, "--keep-epochs", "1")
     assert r["removed"] >= 0
+
+
+def test_cli_export_roundtrip(tmp_path):
+    segs, lake, out = str(tmp_path / "segs"), str(tmp_path / "lake"), str(tmp_path / "snap")
+    _run("generate", "--out", segs, "--events", "1500", "--segment-size", "500")
+    _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+         "--partitions", "2", "--segments-per-epoch", "1")
+    r = _run("--num-cpus", "2", "export", "--lake", lake, "--out", out)
+    assert r["partitions_written"] == 2 and r["rows"] > 0
+    manifest = json.load(open(f"{out}/SNAPSHOT.json"))
+    assert manifest["rows"] == r["rows"]
