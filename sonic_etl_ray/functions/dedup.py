@@ -40,19 +40,34 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
     group (deterministic winner; the reference keeps an arbitrary
     ``ARRAY_AGG(… LIMIT 1)`` row — we strengthen to deterministic).
     Hashing reuses the zero-copy Arrow buffer walk from the CDC transform
-    (no per-row str materialization / re-encode)."""
+    (no per-row str materialization / re-encode).
+
+    Shape: winner selection is a VECTORIZED Min aggregate over tiny
+    (hash, id) rows plus a semi-join of the winner ids back to the hashed
+    rows — not a per-group ``map_groups`` (one Python call per unique
+    document; at corpus scale that is billions of calls). The hashed
+    dataset feeds both sides, so it is materialized once (spillable)
+    rather than re-hashing the corpus."""
+    from ray.data.aggregate import Min
+
     from ..stages.transform import sha256_column
 
     def add_hash(t: pa.Table) -> pa.Table:
         return t.append_column("text_sha256", sha256_column(t.column(text_col)))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").head(1)
-
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
+    winners = (
+        hashed.select_columns(["text_sha256", id_col])
         .groupby("text_sha256")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name="__winner_id"))
+        .select_columns(["__winner_id"])
+    )
+    return hashed.join(
+        winners,
+        join_type="inner",
+        num_partitions=_auto_join_partitions(),
+        on=(id_col,),
+        right_on=("__winner_id",),
     )
 
 

@@ -82,7 +82,12 @@ def hll_registers(ds: ray.data.Dataset, group_col: str, value_col: str) -> ray.d
     is how cross-epoch / cross-shard merges compose without re-reading data."""
     return (
         ds.map_batches(
-            lambda b: _hll_partial(b, group_col, value_col), batch_format="pandas"
+            # arrow blocks into the aggregate: Ray's aggregate on pandas
+            # blocks is per-group Python, on Arrow it's vectorized
+            lambda b: pa.Table.from_pandas(
+                _hll_partial(b, group_col, value_col), preserve_index=False
+            ),
+            batch_format="pandas",
         )
         .groupby([group_col, "bucket"])
         .aggregate(Max("max_rho", alias_name="max_rho"))
@@ -323,7 +328,12 @@ def cms_registers(ds: ray.data.Dataset, text_col: str = "text") -> pd.DataFrame:
     groupby-sum merge (registers are additive — union of sketches = sum of
     their register tables, the same mergeability story as the HLL max)."""
     regs = (
-        ds.map_batches(lambda b: _cms_partial(b, text_col), batch_format="pandas")
+        ds.map_batches(
+            lambda b: pa.Table.from_pandas(
+                _cms_partial(b, text_col), preserve_index=False
+            ),
+            batch_format="pandas",
+        )
         .groupby(["row", "bucket"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()

