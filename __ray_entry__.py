@@ -272,6 +272,12 @@ def _q_embed_lsh(sf_dir: str):
     return _r(lsh_topk(sf_dir, k=10), ["cosine"])
 
 
+def _q_embed_lsh_indexed(sf_dir: str):
+    from sonic_etl_ray.functions.similarity import lsh_topk_indexed
+
+    return _r(lsh_topk_indexed(sf_dir, k=10), ["cosine"])
+
+
 def _q_embed_ivf(sf_dir: str):
     # full probe (n_probe = n_clusters) exercises the whole IVF path —
     # sampled centroid fit, distributed assignment, probe filter, rerank —
@@ -535,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_cosine": _q_embed_topk,
         "embedding_neardup_pairs": _q_embed_neardup,
         "embedding_lsh_topk": _q_embed_lsh,
+        "embedding_lsh_indexed": _q_embed_lsh_indexed,
         "embedding_ivf_topk": _q_embed_ivf,
         # multimodal: binary payloads through the actor-pool decode stage
         "media_payload_stats": _q_media_stats,
@@ -1039,6 +1046,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                  (SELECT qv FROM q)) DESC, vec_id
         LIMIT 10"""
+
+    # the read-pruned (bucket-partitioned parquet index) path returns the
+    # exact same rows as the filter path — one oracle serves both
+    sql["embedding_lsh_indexed"] = sql["embedding_lsh_topk"]
 
     # embedding_ivf_topk at full probe == exact brute-force top-k (the IVF
     # machinery — sampled fit, assignment, probe filter — still runs).

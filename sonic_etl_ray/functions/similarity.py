@@ -229,3 +229,94 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
             }
         )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ bucketed LSH index
+
+_LSH_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def build_lsh_index(
+    sf_dir: str, index_dir: str, n_planes: int = 8, seed: int = 13
+) -> str:
+    """Materialize the LSH layout as a bucket-partitioned Parquet index:
+    one pass assigns hyperplane buckets, ``write_parquet(partition_cols=
+    ["bucket"])`` lays vectors out as ``bucket=N/`` directories. Queries
+    then PRUNE THE READ to the probe buckets' directories — file-listing
+    level data skipping, not a post-read filter (the difference between
+    scanning 2^n_planes-th of a 100 TB table and scanning all of it)."""
+    import os
+
+    q0 = _query_vector(sf_dir, 0)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    bucketed = ds.map_batches(
+        HyperplaneHasher,
+        fn_constructor_args=(q0.size, n_planes, seed),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def plain(b: pd.DataFrame) -> pa.Table:
+        # persist embedding as a PLAIN list<float32> column (a pandas block
+        # of ndarrays would round-trip as Ray's tensor extension type and
+        # surprise non-Ray readers of the index)
+        return pa.table(
+            {
+                "vec_id": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(e, np.float32) for e in b["embedding"]],
+                    pa.list_(pa.float32()),
+                ),
+                "bucket": pa.array(b["bucket"].to_numpy(), pa.int64()),
+            }
+        )
+
+    bucketed.map_batches(plain, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    open(os.path.join(index_dir, "_INDEX_READY"), "w").close()
+    return index_dir
+
+
+def lsh_topk_indexed(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, n_planes: int = 8, seed: int = 13
+) -> pd.DataFrame:
+    """`lsh_topk` over the bucket-partitioned index: the probe bucket is
+    computed driver-side from the query vector, and the scan reads ONLY
+    ``bucket=<target>/`` (single-probe). Result is identical to the
+    filter-based path (same bucket assignment, same rerank); only the I/O
+    shape changes — this is the layout a 100 TB vector lake would use, with
+    the index maintained incrementally by the CDC path (each epoch's new
+    vectors append to their bucket directories)."""
+    import os
+    import tempfile
+
+    q = _query_vector(sf_dir, query_vec_id)
+    hasher = HyperplaneHasher(q.size, n_planes, seed)
+    target = int(hasher.bucket(np.atleast_2d(q))[0])
+
+    key = (os.path.abspath(sf_dir), n_planes, seed)
+    index_dir = _LSH_INDEX_CACHE.get(key)
+    if index_dir is None or not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"lsh_index_{abs(hash(key)) % (1 << 32):08x}",
+        )
+        if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+            build_lsh_index(sf_dir, index_dir, n_planes=n_planes, seed=seed)
+        _LSH_INDEX_CACHE[key] = index_dir
+
+    bucket_path = os.path.join(index_dir, f"bucket={target}")
+    if not os.path.exists(bucket_path):  # empty probe bucket
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+        )
+    qref = ray.put(q)
+    candidates = ray.data.read_parquet(bucket_path, columns=["vec_id", "embedding"])
+    scored = candidates.map_batches(
+        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
+    )
+    top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return top.to_pandas().reset_index(drop=True)

@@ -242,3 +242,26 @@ def test_cms_partials_are_additive():
     w = whole.sort_values(["row", "bucket"]).reset_index(drop=True)
     m = merged.sort_values(["row", "bucket"]).reset_index(drop=True)
     assert w.equals(m)
+
+
+def test_lsh_indexed_equals_filter_path(tmp_path):
+    import os
+
+    from sonic_etl_ray.functions.similarity import (
+        _LSH_INDEX_CACHE,
+        build_lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    idx = str(tmp_path / "lshidx")
+    build_lsh_index(SF, idx)
+    _LSH_INDEX_CACHE[(os.path.abspath(SF), 8, 13)] = idx
+    a = lsh_topk(SF)
+    b = lsh_topk_indexed(SF)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+    # the index prunes at the directory level: probe reads one bucket dir
+    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(buckets) > 1  # layout actually split the corpus
