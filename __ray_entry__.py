@@ -288,6 +288,15 @@ def _q_embed_ivf(sf_dir: str):
     return _r(ivf_topk(sf_dir, k=10, n_clusters=8, n_probe=8), ["cosine"])
 
 
+def _q_embed_ivf_indexed(sf_dir: str):
+    # same full-probe oracle trick over the cluster-partitioned index: the
+    # read-pruned path at n_probe = n_clusters reads every cluster dir and
+    # must reproduce the brute-force top-k exactly.
+    from sonic_etl_ray.functions.similarity import ivf_topk_indexed
+
+    return _r(ivf_topk_indexed(sf_dir, k=10, n_clusters=8, n_probe=8), ["cosine"])
+
+
 def _q_token_shards(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import token_shards
 
@@ -543,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_topk": _q_embed_lsh,
         "embedding_lsh_indexed": _q_embed_lsh_indexed,
         "embedding_ivf_topk": _q_embed_ivf,
+        "embedding_ivf_indexed": _q_embed_ivf_indexed,
         # multimodal: binary payloads through the actor-pool decode stage
         "media_payload_stats": _q_media_stats,
         # composed end-to-end training-data prep (filter → dedup → tokenize)
@@ -1054,5 +1064,6 @@ def oracle_sql() -> dict[str, str]:
     # embedding_ivf_topk at full probe == exact brute-force top-k (the IVF
     # machinery — sampled fit, assignment, probe filter — still runs).
     sql["embedding_ivf_topk"] = sql["embedding_topk_cosine"]
+    sql["embedding_ivf_indexed"] = sql["embedding_topk_cosine"]
 
     return sql

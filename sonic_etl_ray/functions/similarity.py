@@ -196,6 +196,88 @@ def ivf_topk(
     return top.to_pandas().reset_index(drop=True)
 
 
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
+    """Cluster-partitioned Parquet layout for IVF: one assignment pass,
+    ``cluster=N/`` directories — same read-pruning story as the LSH index,
+    with the coarse quantizer as the partitioner. The centroids ride along
+    as ``centroids.npy`` so query time needs no re-fit."""
+    import os
+
+    cents = fit_centroids(sf_dir, k=n_clusters)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    assigned = ds.map_batches(
+        IVFIndexer, fn_constructor_args=(cents,), batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def plain(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(e, np.float32) for e in b["embedding"]],
+                    pa.list_(pa.float32()),
+                ),
+                "cluster": pa.array(b["cluster"].to_numpy(), pa.int64()),
+            }
+        )
+
+    assigned.map_batches(plain, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["cluster"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    open(os.path.join(index_dir, "_INDEX_READY"), "w").close()
+    return index_dir
+
+
+def ivf_topk_indexed(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, n_clusters: int = 8, n_probe: int = 2
+) -> pd.DataFrame:
+    """`ivf_topk` over the cluster-partitioned index: read ONLY the
+    ``n_probe`` nearest clusters' directories. Identical results to the
+    filter path (same quantizer, same rerank)."""
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), n_clusters)
+    index_dir = _IVF_INDEX_CACHE.get(key)
+    if index_dir is None or not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"ivf_index_{abs(hash(key)) % (1 << 32):08x}"
+        )
+        if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+            build_ivf_index(sf_dir, index_dir, n_clusters=n_clusters)
+        _IVF_INDEX_CACHE[key] = index_dir
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    import glob
+
+    # read_parquet accepts a single directory but a LIST must be files:
+    # expand each probed cluster dir to its parquet files
+    paths = [
+        f
+        for c in sorted(probe)
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+        )
+    qref = ray.put(q)
+    scored = ray.data.read_parquet(paths, columns=["vec_id", "embedding"]).map_batches(
+        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
+    )
+    top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+    return top.to_pandas().reset_index(drop=True)
+
+
 def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) within same-label
     blocks: groupby(label) → per-group normalized gram matrix. Blocking

@@ -265,3 +265,25 @@ def test_lsh_indexed_equals_filter_path(tmp_path):
     # the index prunes at the directory level: probe reads one bucket dir
     buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
     assert len(buckets) > 1  # layout actually split the corpus
+
+
+def test_ivf_indexed_equals_filter_path(tmp_path):
+    import os
+
+    from sonic_etl_ray.functions.similarity import (
+        _IVF_INDEX_CACHE,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ivfidx")
+    build_ivf_index(SF, idx, n_clusters=4)
+    _IVF_INDEX_CACHE[(os.path.abspath(SF), 4)] = idx
+    a = ivf_topk(SF, n_clusters=4, n_probe=2)
+    b = ivf_topk_indexed(SF, n_clusters=4, n_probe=2)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+    clusters = [d for d in os.listdir(idx) if d.startswith("cluster=")]
+    assert len(clusters) > 1
