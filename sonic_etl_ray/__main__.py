@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--segments-per-epoch", type=int, default=8)
     i.add_argument("--on-error", choices=["abort", "route"], default="abort")
     i.add_argument(
+        "--validate", action="store_true",
+        help="footer-check segments first; quarantine corrupt files and proceed",
+    )
+    i.add_argument(
+        "--exclusive", action="store_true",
+        help="hold the lake's single-writer lease for the run",
+    )
+    i.add_argument(
         "--merge-mode", choices=["cow", "mor"], default="cow",
         help="mor = merge-on-read (per-epoch delta files; compact-states folds)",
     )
@@ -183,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
                 on_error=args.on_error,
                 finalize=not args.no_finalize,
                 merge_mode=args.merge_mode,
+                validate_inputs=args.validate,
+                exclusive=args.exclusive,
             )
             print(json.dumps(stats))
         elif args.cmd == "tail":

@@ -995,6 +995,7 @@ def run_ingest(
     *args: Any,
     exclusive: bool = False,
     lease_owner: str | None = None,
+    validate_inputs: bool = False,
     **kwargs: Any,
 ) -> dict[str, Any]:
     """Public ingest entry point (see :func:`_run_ingest_impl` for the full
@@ -1003,16 +1004,70 @@ def run_ingest(
     exactly-once reasoning assumes one writer per lake, and the lease makes
     a second concurrent writer fail fast (:class:`~sonic_etl_ray.state.commitlog.LeaseHeld`)
     instead of interleaving epochs. Stale leases (dead holder, no heartbeat
-    for the TTL) are taken over automatically."""
+    for the TTL) are taken over automatically.
+
+    ``validate_inputs=True`` footer-checks every segment first: corrupt /
+    truncated files are QUARANTINED (recorded under ``_QUARANTINE/``, never
+    silently dropped) and the run proceeds on the readable rest. Stable
+    epoch numbering makes the repair replayable: re-running with the fixed
+    file applies it to the epoch it always belonged to (or a repair epoch
+    if that epoch already closed)."""
+    quarantined: list[dict] = []
+    if validate_inputs:
+        from ..sources.planner import validate_segments
+
+        good, quarantined = validate_segments(sorted(segment_files))
+        if quarantined:
+            _write_quarantine(lake_dir, quarantined)
+        segment_files = good
+
+    def _finish(stats: dict[str, Any]) -> dict[str, Any]:
+        stats["segments_quarantined"] = len(quarantined)
+        return stats
+
     if not exclusive:
-        return _run_ingest_impl(segment_files, lake_dir, *args, **kwargs)
+        return _finish(_run_ingest_impl(segment_files, lake_dir, *args, **kwargs))
     token = cl.acquire_writer_lease(
         lake_dir, owner=lease_owner or f"run_ingest:{os.getpid()}"
     )
     try:
-        return _run_ingest_impl(segment_files, lake_dir, *args, **kwargs)
+        return _finish(_run_ingest_impl(segment_files, lake_dir, *args, **kwargs))
     finally:
         cl.release_writer_lease(lake_dir, token)
+
+
+def _write_quarantine(lake_dir: str, entries: list[dict]) -> str:
+    """Persist quarantine records idempotently: the file name is a content
+    hash of the quarantined paths, so a re-run quarantining the same files
+    rewrites the same record instead of accumulating duplicates."""
+    import hashlib
+    import json
+
+    qdir = os.path.join(lake_dir, "_QUARANTINE")
+    os.makedirs(qdir, exist_ok=True)
+    tag = hashlib.sha256(
+        "\n".join(sorted(e["file"] for e in entries)).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(qdir, f"q-{tag}.jsonl")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def read_quarantine(lake_dir: str) -> list[dict]:
+    """All quarantine records for a lake (ops surface for the repair loop:
+    fix or re-upload the files, re-run ingest, delete the record)."""
+    import glob as _glob
+    import json
+
+    out: list[dict] = []
+    for p in sorted(_glob.glob(os.path.join(lake_dir, "_QUARANTINE", "q-*.jsonl"))):
+        with open(p) as f:
+            out.extend(json.loads(line) for line in f if line.strip())
+    return out
 
 
 @contextmanager

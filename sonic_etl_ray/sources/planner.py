@@ -73,3 +73,30 @@ def read_lsn_list_csv(path: str) -> list[int]:
 def discover_segments(seg_dir: str, pattern: str = "segment_*.parquet") -> list[str]:
     """Sorted segment files (name order == ascending LSN spans)."""
     return sorted(glob.glob(os.path.join(seg_dir, pattern)))
+
+
+def validate_segments(files: list[str]) -> tuple[list[str], list[dict]]:
+    """Footer-validate segment files before planning: a corrupt or truncated
+    Parquet file in the stream (partial upload, bad disk) must not abort the
+    whole epoch loop NOR be silently dropped. Returns (readable, quarantined)
+    where each quarantine entry records path, size, and the footer error —
+    callers persist it so the repair path (re-ingesting the fixed file maps
+    to the same stable epoch, or a repair epoch if already manifested) stays
+    replayable. Footer reads are O(KB) per file, no data scan."""
+    import pyarrow.parquet as pq
+
+    good: list[str] = []
+    bad: list[dict] = []
+    for f in files:
+        try:
+            pq.read_schema(f)
+            good.append(f)
+        except Exception as ex:  # corrupt footer / truncated / not parquet
+            bad.append(
+                {
+                    "file": f,
+                    "size_bytes": os.path.getsize(f) if os.path.exists(f) else -1,
+                    "error": f"{type(ex).__name__}: {ex}",
+                }
+            )
+    return good, bad

@@ -38,7 +38,7 @@ def test_compact_then_resume_skips_everything(tmp_path):
     stats = run_ingest(files, lake, num_partitions=4, segments_per_epoch=2)
     assert stats == {
         "epochs_applied": 0, "epochs_skipped": 4, "epochs_repaired": 0,
-        "segments_deferred": 0, "epochs_total": 4,
+        "segments_deferred": 0, "epochs_total": 4, "segments_quarantined": 0,
     }
     assert_state_equal(lake_final_table(lake), before)
     # lineage and watermarks survive compaction unchanged

@@ -71,3 +71,44 @@ def test_run_ingest_exclusive(tmp_path):
     tok = acquire_writer_lease(lake, "after")
     release_writer_lease(lake, tok)
     assert not os.path.exists(f"{lake}/_WRITER_LEASE.json")
+
+
+def test_corrupt_segment_quarantine_and_repair(tmp_path):
+    from sonic_etl_ray.generator import StreamSpec, generate_stream
+    from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
+    from sonic_etl_ray.pipelines.ingest import (
+        lake_final_table,
+        read_quarantine,
+        run_ingest,
+    )
+
+    files = generate_stream(
+        str(tmp_path / "segs"),
+        StreamSpec(n_events=800, n_repos=4, seed=9, segment_size=200),
+    )
+    good_bytes = open(files[1], "rb").read()
+    with open(files[1], "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+    lake = str(tmp_path / "lake")
+
+    stats = run_ingest(
+        files, lake, num_partitions=2, segments_per_epoch=1, validate_inputs=True
+    )
+    assert stats["segments_quarantined"] == 1
+    assert stats["epochs_applied"] == 3
+    q = read_quarantine(lake)
+    assert len(q) == 1 and q[0]["file"] == files[1] and "error" in q[0]
+    # idempotent record: re-run doesn't duplicate quarantine entries
+    run_ingest(files, lake, num_partitions=2, segments_per_epoch=1, validate_inputs=True)
+    assert len(read_quarantine(lake)) == 1
+
+    # repair: restore the file, re-run — stable epoch numbering applies it
+    # to the epoch it always belonged to; final state == full oracle replay
+    with open(files[1], "wb") as f:
+        f.write(good_bytes)
+    stats2 = run_ingest(
+        files, lake, num_partitions=2, segments_per_epoch=1, validate_inputs=True
+    )
+    assert stats2["segments_quarantined"] == 0
+    assert stats2["epochs_applied"] == 1 and stats2["epochs_skipped"] == 3
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
