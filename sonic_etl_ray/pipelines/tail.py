@@ -123,17 +123,33 @@ class Tailer:
         poll_interval_s: float = 1.0,
         max_ticks: int | None = None,
         on_tick: Callable[[dict[str, Any]], None] | None = None,
+        exclusive: bool = False,
     ) -> dict[str, Any]:
-        ticks = 0
-        last: dict[str, Any] = {}
-        while not self._stop and (max_ticks is None or ticks < max_ticks):
-            last = self.tick()
-            if on_tick:
-                on_tick(last)
-            ticks += 1
-            if not self._stop and (max_ticks is None or ticks < max_ticks):
-                time.sleep(poll_interval_s)
-        return {"ticks": ticks, **last}
+        """``exclusive=True`` holds the lake's single-writer lease for the
+        whole tail loop, heartbeating each tick — a second tailer on the
+        same lake fails fast instead of interleaving epochs."""
+        token = None
+        if exclusive:
+            token = cl.acquire_writer_lease(
+                self.lake_dir, owner=f"tailer:{self.seg_dir}",
+                ttl_s=max(60.0, 4 * poll_interval_s),
+            )
+        try:
+            ticks = 0
+            last: dict[str, Any] = {}
+            while not self._stop and (max_ticks is None or ticks < max_ticks):
+                last = self.tick()
+                if token is not None:
+                    cl.refresh_writer_lease(self.lake_dir, token)
+                if on_tick:
+                    on_tick(last)
+                ticks += 1
+                if not self._stop and (max_ticks is None or ticks < max_ticks):
+                    time.sleep(poll_interval_s)
+            return {"ticks": ticks, **last}
+        finally:
+            if token is not None:
+                cl.release_writer_lease(self.lake_dir, token)
 
 
 def set_watermark_override(lake_dir: str, epoch: int) -> None:

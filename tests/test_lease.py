@@ -112,3 +112,30 @@ def test_corrupt_segment_quarantine_and_repair(tmp_path):
     assert stats2["segments_quarantined"] == 0
     assert stats2["epochs_applied"] == 1 and stats2["epochs_skipped"] == 3
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
+def test_tailer_exclusive_holds_and_releases(tmp_path):
+    from sonic_etl_ray.generator import StreamSpec, generate_stream
+    from sonic_etl_ray.pipelines.tail import Tailer
+
+    segs = str(tmp_path / "segs")
+    generate_stream(segs, StreamSpec(n_events=400, n_repos=3, seed=3, segment_size=100))
+    lake = str(tmp_path / "lake")
+
+    held_during: list[bool] = []
+
+    def probe(_tick):
+        try:
+            tok = acquire_writer_lease(lake, "intruder")
+        except LeaseHeld:
+            held_during.append(True)
+        else:  # pragma: no cover - would mean the lease failed
+            release_writer_lease(lake, tok)
+            held_during.append(False)
+
+    t = Tailer(segs, lake, num_partitions=2, segments_per_epoch=2)
+    res = t.run(poll_interval_s=0.01, max_ticks=2, on_tick=probe, exclusive=True)
+    assert res["ticks"] == 2
+    assert held_during and all(held_during)  # lease held across the loop
+    tok = acquire_writer_lease(lake, "after")  # released at loop exit
+    release_writer_lease(lake, tok)
