@@ -297,6 +297,24 @@ def _q_embed_ivf_indexed(sf_dir: str):
     return _r(ivf_topk_indexed(sf_dir, k=10, n_clusters=8, n_probe=8), ["cosine"])
 
 
+def _q_pivot(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import pivot_orders_by_priority
+
+    return pivot_orders_by_priority(sf_dir)
+
+
+def _q_moments(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import balance_moments
+
+    return balance_moments(sf_dir)
+
+
+def _q_normalize_text(sf_dir: str):
+    from sonic_etl_ray.functions.text import normalize_text
+
+    return normalize_text(sf_dir)
+
+
 def _q_token_shards(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import token_shards
 
@@ -525,6 +543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": _q_running_value,
         "attribution_range_join": _q_range_join,
         "rollup_revenue": _q_rollup,
+        "pivot_orders_by_priority": _q_pivot,
+        "balance_moments": _q_moments,
         "sessionize_events": _q_sessionize,
         "multitable_fanout_stats": _q_multitable,
         # training-data ops
@@ -534,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         "contamination_check": _q_contamination,
         "lang_id": _q_lang_id,
+        "normalize_text": _q_normalize_text,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "split_assign": _q_split,
@@ -690,6 +711,35 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY 1 ORDER BY 1"""
+
+    sql["pivot_orders_by_priority"] = """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+               CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+               CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+               CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+               CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+               CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        FROM orders GROUP BY 1 ORDER BY 1"""
+
+    sql["balance_moments"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                        * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
+        FROM customer GROUP BY 1 ORDER BY 1"""
+
+    sql["normalize_text"] = r"""
+        WITH n AS (
+          SELECT doc_id,
+                 length(COALESCE(text, '')) AS raw_len,
+                 lower(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g'))) AS clean_text
+          FROM documents
+        )
+        SELECT doc_id, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS n_chars,
+               CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
+        FROM n ORDER BY doc_id"""
 
     sql["token_shards"] = r"""
         WITH t AS (

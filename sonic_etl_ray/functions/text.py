@@ -463,3 +463,32 @@ def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
     out["n_ngrams"] = out["n_ngrams"].astype("int64")
     out["dup_ngrams"] = out["dup_ngrams"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class TextNormalizer:
+    """Unicode-light text normalization for training prep: lowercase,
+    collapse all whitespace runs to single spaces, strip leading/trailing
+    space — fully vectorized pandas ``.str`` kernels, exact SQL parity
+    (``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``). Reports the
+    character delta so quality filters can gate on how much cleanup a doc
+    needed."""
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        raw = b["text"].fillna("")
+        clean = (
+            raw.str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": clean,
+                "n_chars": clean.str.len().astype("int64"),
+                "chars_removed": (raw.str.len() - clean.str.len()).astype("int64"),
+            }
+        )
+
+
+def normalize_text(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextNormalizer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

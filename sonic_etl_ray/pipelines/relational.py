@@ -629,3 +629,77 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     return out.sort_values(["c_mktsegment", "o_orderpriority"]).reset_index(drop=True)
+
+
+def pivot_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long → wide): order counts per (year, priority) as one row per
+    year with a column per priority. The distributed part is the ordinary
+    finest-level aggregate (batch partials → one small groupby); the pivot
+    itself is a driver-side reshape of that ≤ |years|×|priorities| result —
+    the correct split whenever the pivoted column set is known and small
+    (SQL's static PIVOT has the same constraint)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t["o_orderdate"])
+        t2 = pa.table({"year": pc.cast(year, pa.int64()), "prio": t["o_orderpriority"]})
+        out = t2.group_by(["year", "prio"]).aggregate([("prio", "count")])
+        return out.rename_columns(["year", "prio", "n"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "prio"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    prios = sorted(fine["prio"].unique())
+    wide = fine.pivot_table(index="year", columns="prio", values="n", fill_value=0)
+    wide = wide.reindex(columns=prios, fill_value=0).reset_index()
+    # stable, SQL-friendly column names: p1_urgent … p5_low
+    wide.columns = ["year"] + [
+        "p" + p.split("-")[0].strip() + "_" + p.split("-")[1].strip().lower().replace(" ", "_")
+        for p in prios
+    ]
+    for c in wide.columns:
+        wide[c] = wide[c].astype("int64")
+    return wide.sort_values("year").reset_index(drop=True)
+
+
+def balance_moments(sf_dir: str) -> pd.DataFrame:
+    """Mergeable second-moment aggregate: per-nation account-balance count,
+    sum and sum-of-squares as EXACT scaled integers (cents / cents²) — the
+    (n, Σx, Σx²) triple is the canonical mergeable summary behind
+    mean/variance, and with 2-decimal inputs it is integer-exact, so the
+    oracle compares bit-for-bit with no float-order sensitivity. Mean and
+    population variance are derivable downstream; the engine ships only the
+    merge-safe triple (same discipline as the sketches)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {"c_nationkey": b["c_nationkey"].to_numpy(), "s": cents, "s2": cents * cents}
+        )
+        out = df.groupby("c_nationkey", as_index=False).agg(
+            n=("s", "size"), sum_cents=("s", "sum"), sumsq_cents=("s2", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_cents", "sumsq_cents"):
+        out[c] = out[c].astype("int64")
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)

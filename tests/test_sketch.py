@@ -287,3 +287,52 @@ def test_ivf_indexed_equals_filter_path(tmp_path):
     )
     clusters = [d for d in os.listdir(idx) if d.startswith("cluster=")]
     assert len(clusters) > 1
+
+
+def test_pivot_matches_duckdb_and_is_dense():
+    from sonic_etl_ray.pipelines.relational import pivot_orders_by_priority
+
+    got = pivot_orders_by_priority(SF)
+    want = duckdb.sql(
+        f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+               COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+        FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got["year"].tolist() == want["year"].tolist()
+    assert got["p1_urgent"].tolist() == want["p1_urgent"].tolist()
+    assert got["p5_low"].tolist() == want["p5_low"].tolist()
+    # wide shape: every (year, priority) cell present, zero-filled
+    assert got.shape[1] == 6 and not got.isna().any().any()
+
+
+def test_balance_moments_mergeable_and_exact():
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.pipelines.relational import balance_moments
+
+    got = balance_moments(SF).set_index("c_nationkey")
+    df = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    ).to_pandas()
+    cents = np.round(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    df = df.assign(c=cents, c2=cents * cents)
+    ref = df.groupby("c_nationkey").agg(n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
+    for k, row in ref.iterrows():
+        assert got.loc[k, "n"] == row["n"]
+        assert got.loc[k, "sum_cents"] == row["s"]
+        assert got.loc[k, "sumsq_cents"] == row["s2"]
+        # variance derivable downstream from the exact triple
+        var = row["s2"] / row["n"] - (row["s"] / row["n"]) ** 2
+        assert var >= 0
+
+
+def test_normalize_text_semantics():
+    from sonic_etl_ray.functions.text import normalize_text
+
+    out = normalize_text(SF)
+    assert (out["clean_text"].str.contains("  ", regex=False) == False).all()  # noqa: E712
+    assert (out["clean_text"] == out["clean_text"].str.lower()).all()
+    assert (out["chars_removed"] >= 0).all()
+    assert (out["n_chars"] == out["clean_text"].str.len()).all()
