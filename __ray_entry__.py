@@ -345,6 +345,12 @@ def _q_cdc_blocklist(sf_dir: str):
     return cdc_apply_blocklisted(sf_dir)
 
 
+def _q_cdc_range_scan(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_range_scan
+
+    return cdc_range_scan(sf_dir)
+
+
 def _q_cdc_export(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_export_snapshot
 
@@ -509,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_export_snapshot": _q_cdc_export,
         "cdc_apply_mor": _q_cdc_mor,
         "cdc_point_lookup": _q_cdc_lookup,
+        "cdc_range_scan": _q_cdc_range_scan,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_split_decoded_tables": _q_cdc_split_decoded,
         "cdc_apply_blocklisted": _q_cdc_blocklist,

@@ -113,6 +113,39 @@ def cdc_export_snapshot(sf_dir: str) -> pa.Table:
     return tbl.select(FINAL_COLUMNS)
 
 
+def cdc_range_scan(sf_dir: str) -> pd.DataFrame:
+    """Predicate-pushdown lake scan: live rows for a repo RANGE read through
+    ``read_lake(filter=...)`` — the pyarrow expression pushes into the
+    Parquet scan (state files are (repo, path)-sorted, so row-group stats
+    prune within files; tombstones filter at the same level). Returns the
+    per-repo count/bytes aggregate over the pruned read only."""
+    lake = scratch_lake_dir("cdcrange")
+    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    from ..pipelines.ingest import read_lake
+
+    flt = (pc.field("repo") >= "r1") & (pc.field("repo") < "r4")
+    ds = read_lake(lake, columns=["repo", "size_bytes"], filter=flt)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("repo").aggregate([("size_bytes", "sum"), ("repo", "count")])
+        return out.rename_columns(["repo", "total_bytes", "n_files"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("n_files", alias_name="n_files"),
+        )
+        .to_pandas()
+    )
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    out["n_files"] = out["n_files"].astype("int64")
+    return out.sort_values("repo").reset_index(drop=True)
+
+
 def cdc_incremental_repo_stats(sf_dir: str) -> pd.DataFrame:
     """The incrementally-maintained per-repo aggregate view: read from the
     merge-time sidecars only (no lake rescan) — must equal the recomputed
@@ -773,6 +806,13 @@ ORACLES: dict[str, str] = {
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # a published snapshot is a faithful copy of the logical table
     "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # pruned range read == full-table aggregate restricted to the range
+    "cdc_range_scan": ORACLE_SRC + """
+    SELECT repo,
+           CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM final WHERE repo >= 'r1' AND repo < 'r4'
+    GROUP BY 1 ORDER BY 1""",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_split_decoded_tables": ORACLE_SRC + """
