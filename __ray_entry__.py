@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_scrub_text(sf_dir: str):
+    from sonic_etl_ray.functions.text import scrub_text
+
+    return scrub_text(sf_dir)
+
+
 def _q_token_shards(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import token_shards
 
@@ -562,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": _q_contamination,
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
+        "scrub_text": _q_scrub_text,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "split_assign": _q_split,
@@ -747,6 +754,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["scrub_text"] = r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(COALESCE(text,''),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                 '\b(?:customer|spark)\b', '[TERM]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(COALESCE(text,''),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  + len(regexp_extract_all(COALESCE(text,''),
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                  + len(regexp_extract_all(COALESCE(text,''),
+                      '\b(?:customer|spark)\b')) AS BIGINT) AS n_redactions
+        FROM documents ORDER BY doc_id"""
 
     sql["token_shards"] = r"""
         WITH t AS (

@@ -492,3 +492,58 @@ def normalize_text(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(TextNormalizer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PII / deny-list scrubbing
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) in application order. Each pattern is plain RE2-safe
+# syntax so the DuckDB oracle can run the identical strings through
+# regexp_replace(..., 'g'). Deny-list terms stand in for canary strings /
+# known-bad phrases a production scrub would carry.
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b(?:customer|spark)\b", "[TERM]"),
+)
+
+
+class Scrubber:
+    """PII / deny-list redaction for training prep (the DataTrove/Dolma
+    `PIIFormatter` shape): replace every match of each pattern, in a fixed
+    order, and report how many spans were redacted per document.
+
+    ST1 actor-pool discipline: patterns compiled once per actor in
+    ``__init__``; ``__call__`` is all vectorized pandas ``.str`` kernels.
+    Match counts are measured against the ORIGINAL text (the cascade cannot
+    re-create an earlier pattern from these replacement literals), which is
+    what the SQL oracle mirrors with len(regexp_extract_all(text, p))."""
+
+    def __init__(self, patterns: tuple[tuple[str, str], ...] = SCRUB_PATTERNS):
+        self.compiled = [(re.compile(p), repl) for p, repl in patterns]
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("")
+        n_red = np.zeros(len(b), dtype=np.int64)
+        clean = text
+        for pat, repl in self.compiled:
+            n_red += text.str.count(pat).to_numpy(np.int64)
+            clean = clean.str.replace(pat, repl, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": clean,
+                "n_redactions": n_red,
+            }
+        )
+
+
+def scrub_text(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide scrub: embarrassingly parallel map_batches, no shuffle;
+    at 100 TB this runs at read bandwidth with the actor pool sized to the
+    cluster and output written back per-block (here collected only because
+    the gate compares full results)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(Scrubber, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -331,3 +331,29 @@ def test_contamination_checker_exact_substring():
     )
     out = ContaminationChecker(ray.put(snippets))(docs)
     assert out["contaminated"].tolist() == [True, True, False, False]
+
+
+def test_scrubber_redacts_pii_and_denylist():
+    from sonic_etl_ray.functions.text import Scrubber
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail me at a.b+c@ex-ample.org today",
+                "node 10.0.255.3 and 192.168.1.1 up",
+                "the customer ran spark jobs; customers kept sparking",
+                None,
+            ],
+        }
+    )
+    out = Scrubber()(b)
+    assert out["clean_text"].tolist() == [
+        "mail me at [EMAIL] today",
+        "node [IP] and [IP] up",
+        "the [TERM] ran [TERM] jobs; customers kept sparking",
+        "",
+    ]
+    # counts measured on the original text; word-boundary keeps plurals intact
+    assert out["n_redactions"].tolist() == [1, 2, 2, 0]
+    assert out["n_redactions"].dtype == np.int64
