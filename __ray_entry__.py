@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import dedup_incremental
+
+    return dedup_incremental(sf_dir)
+
+
 def _q_scrub_text(sf_dir: str):
     from sonic_etl_ray.functions.text import scrub_text
 
@@ -571,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_text": _q_scrub_text,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
+        "dedup_incremental": _q_dedup_incremental,
         "split_assign": _q_split,
         "stratified_sample": _q_stratified,
         "vocab_topk": _q_vocab,
@@ -754,6 +761,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["dedup_incremental"] = r"""
+        WITH cut AS (SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS c FROM documents)
+        SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d, cut
+        WHERE d.doc_id >= cut.c AND NOT EXISTS (
+          SELECT 1 FROM documents l, cut
+          WHERE l.doc_id < cut.c
+            AND substr(COALESCE(l.text,''),1,40) = substr(COALESCE(d.text,''),1,40))
+        ORDER BY d.doc_id"""
 
     sql["scrub_text"] = r"""
         SELECT doc_id,

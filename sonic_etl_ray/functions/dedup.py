@@ -24,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .text import TOKEN_RE, _doc_bounds, hash_token, md5_u64
@@ -494,4 +495,101 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Exact dedup over documents; returns surviving (doc_id, text_sha256)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(ds).to_pandas()[["doc_id", "text_sha256"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: incoming batch vs existing lake (CDC-shaped)
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    sf_dir: str, split_frac: float = 0.8, prefix_len: int = 40
+) -> pd.DataFrame:
+    """Admit only incoming documents whose prefix fingerprint
+    (``substr(text, 1, prefix_len)`` — the URL/boilerplate-prefix blocking
+    key) does not already exist in the lake. The CDC-native dedup shape: the
+    lake side is the accumulated corpus, the incoming side is one ingest
+    batch (here a deterministic 80/20 doc_id split of `documents`).
+
+    Scale shape (the Bloom-pruned anti-join):
+      1. lake → per-block 16 KiB Bloom partials over the md5-64 of the
+         fingerprint, OR-reduced on the driver (traffic = blocks × 16 KiB,
+         never rows) and broadcast once via ``ray.put``;
+      2. incoming → Bloom test per batch: negatives are PROVABLY new (zero
+         false negatives) and pass without any join;
+      3. only Bloom-positive candidates — |true dups| + |false positives|
+         rows — are confirmed against the lake with an exact hash join on
+         the fingerprint string, so exchange volume tracks the dup rate,
+         not the corpus size. Confirmed-dup ids are tiny and broadcast into
+         one final filter pass.
+    At 10^10 lake keys a single 16 KiB filter saturates; swap in a
+    hash-partitioned Bloom (one filter per key range, same OR-reduce) —
+    the candidate-confirm join is already key-partitioned and unchanged.
+    """
+    import ray
+
+    from .sketch import _bloom_positions, bloom_build
+    from .text import md5_u64
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    cut = int(split_frac * ds.count())
+
+    # Arrow blocks end-to-end: range filters zero out most blocks, and empty
+    # pandas object columns trip Ray's size estimator (similarity.py:108).
+    def add_fp(t: pa.Table) -> pa.Table:
+        fp = pc.utf8_slice_codeunits(
+            pc.fill_null(t.column("text"), ""), 0, prefix_len
+        )
+        keys = md5_u64(fp.to_pylist()).view(np.int64)
+        return t.append_column("fp", fp).append_column(
+            "fp_key", pa.array(keys, pa.int64())
+        )
+
+    lake = ds.filter(expr=f"doc_id < {cut}").map_batches(add_fp, batch_format="pyarrow")
+    incoming = ds.filter(expr=f"doc_id >= {cut}").map_batches(
+        add_fp, batch_format="pyarrow"
+    )
+
+    bitmap_ref = ray.put(bloom_build(lake.select_columns(["fp_key"]), "fp_key"))
+
+    class ArrowBloomPrune:
+        def __init__(self, ref):
+            self.bits = np.unpackbits(ray.get(ref)).astype(bool)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            pos = _bloom_positions(t.column("fp_key").to_numpy())
+            return t.filter(pa.array(self.bits[pos].all(axis=0)))
+
+    candidates = incoming.map_batches(
+        ArrowBloomPrune,
+        fn_constructor_args=(bitmap_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    confirmed = candidates.select_columns(["doc_id", "fp"]).join(
+        lake.select_columns(["fp"]),
+        join_type="inner",
+        num_partitions=4,
+        on=("fp",),
+    )
+    dup_ids = set(r["doc_id"] for r in confirmed.select_columns(["doc_id"]).take_all())
+    dup_ref = ray.put(np.fromiter(dup_ids, dtype=np.int64, count=len(dup_ids)))
+
+    class DropDups:
+        def __init__(self, ref):
+            self.dup = pa.array(ray.get(ref), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=self.dup))
+            return t.filter(keep).select(["doc_id", "lang", "source", "n_chars"])
+
+    out = incoming.map_batches(
+        DropDups, fn_constructor_args=(dup_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -357,3 +357,27 @@ def test_scrubber_redacts_pii_and_denylist():
     # counts measured on the original text; word-boundary keeps plurals intact
     assert out["n_redactions"].tolist() == [1, 2, 2, 0]
     assert out["n_redactions"].dtype == np.int64
+
+
+def test_dedup_incremental_bloom_anti_join():
+    """Incoming docs sharing a 40-char text prefix with any lake doc are
+    dropped; everything else survives (zero false negatives by Bloom
+    construction + exact confirm join)."""
+    import duckdb
+
+    from sonic_etl_ray.functions.dedup import dedup_incremental
+
+    out = dedup_incremental(SF)
+    ora = duckdb.connect().execute(f"""
+        WITH cut AS (SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS c
+                     FROM read_parquet('{SF}/documents.parquet'))
+        SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM read_parquet('{SF}/documents.parquet') d, cut
+        WHERE d.doc_id >= cut.c AND NOT EXISTS (
+          SELECT 1 FROM read_parquet('{SF}/documents.parquet') l, cut
+          WHERE l.doc_id < cut.c
+            AND substr(COALESCE(l.text,''),1,40) = substr(COALESCE(d.text,''),1,40))
+        ORDER BY d.doc_id""").fetchdf()
+    assert out.reset_index(drop=True).equals(ora.reset_index(drop=True))
+    n_incoming = len(_docs()) - int(0.8 * len(_docs()))
+    assert 0 < len(out) <= n_incoming
