@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_distinctive_terms(sf_dir: str):
+    from sonic_etl_ray.functions.text import distinctive_terms
+
+    return distinctive_terms(sf_dir)
+
+
 def _q_dedup_incremental(sf_dir: str):
     from sonic_etl_ray.functions.dedup import dedup_incremental
 
@@ -575,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "normalize_text": _q_normalize_text,
         "scrub_text": _q_scrub_text,
+        "distinctive_terms": _q_distinctive_terms,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -761,6 +768,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["distinctive_terms"] = r"""
+        WITH pairs AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS term
+                FROM documents)
+          GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY 1
+        ), ranked AS (
+          SELECT p.doc_id, p.term, p.tf, d.df,
+                 row_number() OVER (PARTITION BY p.doc_id
+                    ORDER BY (CAST(p.tf AS DOUBLE) / d.df) DESC, d.df ASC, p.term ASC) AS rank
+          FROM pairs p JOIN dfreq d USING (term)
+        )
+        SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""
 
     sql["dedup_incremental"] = r"""
         WITH cut AS (SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS c FROM documents)

@@ -547,3 +547,100 @@ def scrub_text(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(Scrubber, batch_format="pandas", concurrency=(1, 4)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-doc distinctive terms (tf × 1/df — the tf-idf family, SQL-exact)
+# ---------------------------------------------------------------------------
+
+
+class DocTermCounter:
+    """Per-batch (doc_id, term, tf) pairs — tf is complete because a doc
+    never spans batches (one row per doc). Vectorized explode + value_counts;
+    emits ARROW blocks (the aggregate after this is per-group Python on
+    pandas blocks — see SCALE.md)."""
+
+    def __call__(self, b: pd.DataFrame) -> "pa.Table":  # noqa: F821
+        import pyarrow as pa
+
+        if not len(b):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        toks = b["text"].fillna("").str.findall(TOKEN_RE)
+        n = toks.str.len().to_numpy(np.int64)
+        doc_ids = np.repeat(b["doc_id"].to_numpy(np.int64), n)
+        flat = pd.Series(doc_ids).to_frame("doc_id")
+        flat["term"] = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        vc = flat.value_counts(["doc_id", "term"], sort=False)
+        idx = vc.index.to_frame(index=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(idx["doc_id"].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(idx["term"].astype(str), pa.string()),
+                "tf": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def distinctive_terms(sf_dir: str, k: int = 5, num_buckets: int = 64) -> pd.DataFrame:
+    """Top-k most distinctive terms per document, weighted tf × 1/df (the
+    tf-idf family with a rational idf so ordering is bit-deterministic:
+    score = tf/df in IEEE double, identical in numpy and DuckDB; ties break
+    (df ASC, term ASC)).
+
+    Scale shape: per-batch (doc,term,tf) combiner → ONE groupby(term) for
+    document frequencies → hash join pairs⋈df on the 8-byte-ish term key →
+    bucket-keyed exchange (doc_id % num_buckets) with the per-doc top-k
+    computed VECTORIZED inside each bucket (sort + cumcount over the whole
+    bucket frame — per-bucket Python, never per-doc, so group-invocation
+    overhead is bounded by num_buckets, not corpus size)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ds.map_batches(
+        DocTermCounter, batch_format="pandas", concurrency=(1, 4)
+    ).materialize()
+    dfreq = pairs.groupby("term").aggregate(Count(alias_name="df"))
+    joined = pairs.join(
+        dfreq.select_columns(["term", "df"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("term",),
+    )
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "__bucket",
+            pc.cast(pc.bit_wise_and(t.column("doc_id"), num_buckets - 1), pa.int64()),
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g["df"].astype("int64")
+        g["score"] = g["tf"].to_numpy(np.float64) / g["df"].to_numpy(np.float64)
+        g = g.sort_values(
+            ["doc_id", "score", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        g["rank"] = g.groupby("doc_id").cumcount().astype("int64") + 1
+        out = g[g["rank"] <= k]
+        return out[["doc_id", "term", "tf", "df", "rank"]]
+
+    out = (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "tf", "df", "rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)

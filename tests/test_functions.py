@@ -381,3 +381,28 @@ def test_dedup_incremental_bloom_anti_join():
     assert out.reset_index(drop=True).equals(ora.reset_index(drop=True))
     n_incoming = len(_docs()) - int(0.8 * len(_docs()))
     assert 0 < len(out) <= n_incoming
+
+
+def test_distinctive_terms_definition():
+    """Rank within a doc is by tf/df descending with (df, term) tie-break,
+    checked against a brute-force recomputation from the raw pairs."""
+    from sonic_etl_ray.functions.text import distinctive_terms
+
+    out = distinctive_terms(SF, k=5)
+    docs = _docs()
+    # brute force df over the whole corpus
+    from collections import Counter
+
+    per_doc = {r.doc_id: Counter(re.findall(r"\S+", r.text or "")) for r in docs.itertuples()}
+    df_counter = Counter()
+    for c in per_doc.values():
+        df_counter.update(c.keys())
+    for doc_id in list(per_doc)[:25]:
+        tf = per_doc[doc_id]
+        ranked = sorted(
+            tf.items(), key=lambda kv: (-kv[1] / df_counter[kv[0]], df_counter[kv[0]], kv[0])
+        )[:5]
+        got = out[out.doc_id == doc_id].sort_values("rank")
+        assert got["term"].tolist() == [t for t, _ in ranked]
+        assert got["tf"].tolist() == [c for _, c in ranked]
+        assert got["df"].tolist() == [df_counter[t] for t, _ in ranked]
