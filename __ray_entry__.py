@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_decode_props(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import decode_props_rollup
+
+    return decode_props_rollup(sf_dir)
+
+
 def _q_distinctive_terms(sf_dir: str):
     from sonic_etl_ray.functions.text import distinctive_terms
 
@@ -582,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "scrub_text": _q_scrub_text,
         "distinctive_terms": _q_distinctive_terms,
+        "decode_props_rollup": _q_decode_props,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -768,6 +775,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["decode_props_rollup"] = r"""
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""
 
     sql["distinctive_terms"] = r"""
         WITH pairs AS (

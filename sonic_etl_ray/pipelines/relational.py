@@ -11,6 +11,7 @@ shuffle, ``ray.put`` broadcast for dimension tables.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -703,3 +704,65 @@ def balance_moments(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     out["c_nationkey"] = out["c_nationkey"].astype("int64")
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def decode_props_partial(b: pd.DataFrame) -> pa.Table:
+    """Vectorized JSON decode of the semi-structured ``props`` column (the
+    generic-payload analog of the catalog decode in ``stages/decode.py`` —
+    reference ``events/generic.rs:76-135`` — but over arbitrary JSON instead
+    of a selector catalog). polars ``str.json_path_match`` is a real JSON
+    parser running columnar in Rust; undecodable payloads yield null and are
+    silently skipped (the ``GetEventBySigErr::NotFound`` outcome; the abort
+    path is exercised by the catalog decoder). Stateless → task pool, not an
+    actor pool (no catalog to load; actor ramp would dominate small inputs).
+
+    Emits a per-batch COMBINED partial (one row per distinct key per batch),
+    so the global groupby shuffles |keys| rows per batch, not |events|."""
+    import polars as pl
+
+    if not len(b):
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value_cents": pa.array([], pa.int64()),
+            }
+        )
+    cents = np.round(b["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    pf = pl.DataFrame({"props": b["props"].astype(str), "cents": cents})
+    agg = (
+        pf.with_columns(
+            pl.col("props").str.json_path_match("$.k").cast(pl.Int64).alias("k")
+        )
+        .drop_nulls("k")
+        .group_by("k")
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("cents").sum().alias("sum_value_cents"),
+        )
+    )
+    return agg.to_arrow().cast(
+        pa.schema(
+            [("k", pa.int64()), ("n_events", pa.int64()), ("sum_value_cents", pa.int64())]
+        )
+    )
+
+
+def decode_props_rollup(sf_dir: str) -> pd.DataFrame:
+    """Decode the JSON ``props`` payload of every event and roll up event
+    count + exact cent-sum per extracted key: read → vectorized JSON decode
+    + in-batch combine → ONE small groupby. Money is order-independent
+    scaled int64 (same discipline as q1)."""
+    ds = _read(sf_dir, "events", ["props", "value"])
+    out = (
+        ds.map_batches(decode_props_partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("k", "n_events", "sum_value_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("k").reset_index(drop=True)

@@ -406,3 +406,20 @@ def test_distinctive_terms_definition():
         assert got["term"].tolist() == [t for t, _ in ranked]
         assert got["tf"].tolist() == [c for _, c in ranked]
         assert got["df"].tolist() == [df_counter[t] for t, _ in ranked]
+
+
+def test_decode_props_partial_silent_skip():
+    """Undecodable / missing-key JSON rows are silently skipped; decoded
+    keys aggregate exact scaled-int64 cents."""
+    from sonic_etl_ray.pipelines.relational import decode_props_partial
+
+    b = pd.DataFrame(
+        {
+            "props": ['{"k": 7}', '{"k": 7}', "not json", '{"other": 1}', '{"k": 9}'],
+            "value": [1.25, 2.50, 99.0, 99.0, 0.10],
+        }
+    )
+    t = decode_props_partial(b).to_pandas().sort_values("k").reset_index(drop=True)
+    assert t["k"].tolist() == [7, 9]
+    assert t["n_events"].tolist() == [2, 1]
+    assert t["sum_value_cents"].tolist() == [375, 10]
