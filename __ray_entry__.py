@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_sliding_window(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import sliding_user_window
+
+    return sliding_user_window(sf_dir)
+
+
 def _q_decode_props(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import decode_props_rollup
 
@@ -589,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_text": _q_scrub_text,
         "distinctive_terms": _q_distinctive_terms,
         "decode_props_rollup": _q_decode_props,
+        "sliding_user_window": _q_sliding_window,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -775,6 +782,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["sliding_user_window"] = r"""
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 SUM(CAST(ROUND(value*100) AS BIGINT)) AS day_cents
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day, CAST(day_cents AS BIGINT) AS day_cents,
+               CAST(SUM(day_cents) OVER w AS BIGINT) AS w_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS w_days
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, day"""
 
     sql["decode_props_rollup"] = r"""
         SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,

@@ -766,3 +766,74 @@ def decode_props_rollup(sf_dir: str) -> pd.DataFrame:
     for c in ("k", "n_events", "sum_value_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("k").reset_index(drop=True)
+
+
+def sliding_user_window(
+    sf_dir: str, window_days: int = 7, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Sliding event-time window per key: for each user's active day, the
+    exact cent-sum and active-day count over the trailing ``window_days``
+    (SQL ``RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW``) — the
+    hopping-window complement to the tumbling ``windowed_user_daily``.
+
+    Scale shape: per-batch (user, epoch-day) combiner → ONE groupby to daily
+    grain (output rows = active user-days, ≪ events) → bucket-keyed exchange
+    with the window computed VECTORIZED per bucket: rows sorted by
+    (user, day) get a composite int64 key ``user_rank * 2^24 + epoch_day``,
+    the trailing-window start is one ``np.searchsorted`` over the whole
+    bucket (the composite key floor clamps the search to the row's own
+    user), and the windowed sum is a prefix-sum difference. No per-user
+    Python, no per-row loop."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def daily_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+                      86_400_000_000),
+            pa.int64(),
+        )
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        t2 = pa.table({"user_id": t["user_id"], "day": day, "cents": cents})
+        part = t2.group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        return part.rename_columns(["user_id", "day", "day_cents"])
+
+    daily = (
+        ds.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("day_cents", alias_name="day_cents"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket",
+            pc.cast(pc.bit_wise_and(t.column("user_id"), num_buckets - 1), pa.int64()),
+        )
+
+    def bucket_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="stable").reset_index(drop=True)
+        day = g["day"].to_numpy(np.int64)
+        cents = g["day_cents"].to_numpy(np.int64)
+        user_rank = pd.factorize(g["user_id"].to_numpy())[0].astype(np.int64)
+        comp = user_rank * (1 << 24) + day  # epoch-days < 2^24 by construction
+        left = np.searchsorted(comp, user_rank * (1 << 24) + day - (window_days - 1))
+        prefix = np.concatenate([[0], np.cumsum(cents)])
+        idx = np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "day": pd.to_datetime(day * 86_400, unit="s").astype("datetime64[us]"),
+                "day_cents": cents,
+                "w_cents": prefix[idx + 1] - prefix[left],
+                "w_days": idx + 1 - left,
+            }
+        )
+
+    out = (
+        daily.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_window, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("user_id", "day_cents", "w_cents", "w_days"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)

@@ -423,3 +423,24 @@ def test_decode_props_partial_silent_skip():
     assert t["k"].tolist() == [7, 9]
     assert t["n_events"].tolist() == [2, 1]
     assert t["sum_value_cents"].tolist() == [375, 10]
+
+
+def test_sliding_user_window_vs_bruteforce():
+    """Trailing 7-day (cents, active-day) window per user matches a per-user
+    brute-force recomputation from the daily grain."""
+    from sonic_etl_ray.pipelines.relational import sliding_user_window
+
+    out = sliding_user_window(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    daily = ev.groupby(["user_id", "day"], as_index=False)["cents"].sum()
+    for uid in daily["user_id"].unique()[:20]:
+        g = daily[daily.user_id == uid].sort_values("day")
+        got = out[out.user_id == uid].sort_values("day")
+        assert got["day_cents"].tolist() == g["cents"].tolist()
+        for _, row in got.iterrows():
+            lo = row["day"] - pd.Timedelta(days=6)
+            win = g[(g["day"] >= lo) & (g["day"] <= row["day"])]
+            assert row["w_cents"] == win["cents"].sum()
+            assert row["w_days"] == len(win)
