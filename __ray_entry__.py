@@ -315,6 +315,18 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_grouped_percentiles(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import grouped_price_percentiles
+
+    return grouped_price_percentiles(sf_dir)
+
+
+def _q_churned(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import churned_customers
+
+    return churned_customers(sf_dir)
+
+
 def _q_sliding_window(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import sliding_user_window
 
@@ -596,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms": _q_distinctive_terms,
         "decode_props_rollup": _q_decode_props,
         "sliding_user_window": _q_sliding_window,
+        "grouped_price_percentiles": _q_grouped_percentiles,
+        "churned_customers": _q_churned,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -782,6 +796,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["grouped_price_percentiles"] = (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT o_orderpriority, {q} AS q, quantile_disc(o_totalprice, {q}) AS price"
+            " FROM orders GROUP BY 1"
+            for q in (0.25, 0.5, 0.75, 0.95)
+        )
+        + ") ORDER BY o_orderpriority, q"
+    )
+
+    sql["churned_customers"] = """
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= DATE '2000-01-01')
+        ORDER BY 1"""
 
     sql["sliding_user_window"] = r"""
         WITH daily AS (

@@ -837,3 +837,154 @@ def sliding_user_window(
     for c in ("user_id", "day_cents", "w_cents", "w_days"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def grouped_price_percentiles(sf_dir: str, n_buckets: int = 1 << 14) -> pd.DataFrame:
+    """EXACT per-group quantiles (``quantile_disc`` rule) of ``o_totalprice``
+    by order priority — the grouped extension of :func:`price_percentiles`:
+    no per-group sort of the fact table, no skew exposure when one group
+    dominates.
+
+    Pass 1: per-batch (group, fixed-width bucket) counts → one small groupby
+    → a ≤ |groups|·16k-row histogram on the driver (bounded regardless of
+    input cardinality). Per group, the cumulative histogram locates the
+    bucket holding each rank ceil(q·n)−1. Pass 2: collect ONLY candidate
+    (group, bucket) values (≈ n/n_buckets rows per hit), sort exactly,
+    select. Both passes are full scans, neither shuffles more than the tiny
+    histogram."""
+    import math
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    col, grp = "o_totalprice", "o_orderpriority"
+    ds = _read(sf_dir, "orders", [grp, col])
+    bounds = _footer_bounds(f"{sf_dir}/orders.parquet", col)
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        agg = ds.aggregate(Min(col), Max(col))
+        lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        tt = pa.table({grp: t[grp], "bucket": pa.array(b, pa.int64())})
+        part = tt.group_by([grp, "bucket"]).aggregate([("bucket", "count")])
+        return part.rename_columns([grp, "bucket", "n"])
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby([grp, "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values([grp, "bucket"])
+        .reset_index(drop=True)
+    )
+
+    # per-group rank → (bucket, local offset); collect the wanted pairs
+    groups = list(hist[grp].unique())
+    code = {g: i for i, g in enumerate(sorted(groups))}
+    plan: dict[tuple[str, int], list[tuple[float, int]]] = {}
+    for g in groups:
+        h = hist[hist[grp] == g]
+        cum = h["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            k = math.ceil(q * n) - 1
+            i = int(np.searchsorted(cum, k + 1, side="left"))
+            before = int(cum[i - 1]) if i else 0
+            plan.setdefault((g, int(h["bucket"].iloc[i])), []).append((q, k - before))
+    wanted = np.array(
+        sorted(code[g] * n_buckets + b for g, b in plan), dtype=np.int64
+    )
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        comp = pd.Series(t[grp].to_pylist()).map(code).to_numpy(np.int64) * n_buckets + b
+        mask = np.isin(comp, wanted)
+        return pa.table(
+            {
+                "comp": pa.array(comp[mask], pa.int64()),
+                "v": pa.array(v[mask], pa.float64()),
+            }
+        )
+
+    refs = ds.map_batches(in_buckets, batch_format="pyarrow").to_arrow_refs()
+    cand = pa.concat_tables([t for t in ray.get(refs) if t.num_rows]).to_pandas()
+    rows = []
+    for (g, b), wants in sorted(plan.items()):
+        vals = np.sort(cand.loc[cand["comp"] == code[g] * n_buckets + b, "v"].to_numpy())
+        for q, off in wants:
+            rows.append((g, q, float(vals[off])))
+    out = pd.DataFrame(rows, columns=[grp, "q", "price"])
+    return out.sort_values([grp, "q"]).reset_index(drop=True)
+
+
+def churned_customers(sf_dir: str, since: str = "2000-01-01") -> pd.DataFrame:
+    """Distributed anti-join: customers with no order since ``since``
+    (churn detection). The fact side is filtered at the read (predicate on
+    ``o_orderdate`` — row groups outside the range never leave storage) and
+    reduced FIRST (per-batch distinct-key combiner → one groupby of
+    ≤ |active customers| keys), then a native left-outer hash join against
+    the dim marks matches and the null filter keeps the rest — no NOT-IN
+    broadcast of a fact-scale key set."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pa.scalar(pd.Timestamp(since)),
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["o_custkey"])
+        return pa.table({"o_custkey": u, "m": pa.array(np.ones(len(u), np.int64))})
+
+    okeys = (
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("m", alias_name="m"))
+    ).materialize()  # bounded by |active customers|; also guards the
+    # no-active-keys edge below (an all-empty join side breaks the shuffle)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    if okeys.count() == 0:  # nobody active since the cutoff: all churned
+
+        def project_all(t: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_mktsegment": t["c_mktsegment"],
+                    "acctbal_cents": cents,
+                }
+            )
+
+        out = cust.map_batches(project_all, batch_format="pyarrow").to_pandas()
+        return out.sort_values("c_custkey").reset_index(drop=True)
+    j = cust.join(
+        okeys, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["m"]))
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "acctbal_cents": cents,
+            }
+        )
+
+    out = j.map_batches(keep_unmatched, batch_format="pyarrow").to_pandas()
+    if out.empty:  # all-empty blocks can lose the schema through to_pandas
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_mktsegment": pd.Series(dtype=object),
+                "acctbal_cents": pd.Series(dtype="int64"),
+            }
+        )
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -444,3 +444,33 @@ def test_sliding_user_window_vs_bruteforce():
             win = g[(g["day"] >= lo) & (g["day"] <= row["day"])]
             assert row["w_cents"] == win["cents"].sum()
             assert row["w_days"] == len(win)
+
+
+def test_grouped_percentiles_vs_numpy():
+    """Per-group exact quantile_disc rule: value at rank ceil(q*n)-1 of the
+    group's sorted column."""
+    import math
+
+    from sonic_etl_ray.pipelines.relational import grouped_price_percentiles
+
+    out = grouped_price_percentiles(SF)
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]).to_pandas()
+    for g, gdf in orders.groupby("o_orderpriority"):
+        v = np.sort(gdf["o_totalprice"].to_numpy())
+        for q in (0.25, 0.5, 0.75, 0.95):
+            expect = v[math.ceil(q * len(v)) - 1]
+            got = out[(out.o_orderpriority == g) & (out.q == q)]["price"].iloc[0]
+            assert got == expect, (g, q, got, expect)
+
+
+def test_churned_customers_empty_safe():
+    """A cutoff past the data's max date marks every customer churned; a
+    cutoff at the minimum leaves none (empty result keeps its schema)."""
+    from sonic_etl_ray.pipelines.relational import churned_customers
+
+    allc = churned_customers(SF, since="2030-01-01")
+    none = churned_customers(SF, since="1990-01-01")
+    cust = pq.read_table(f"{SF}/customer.parquet").num_rows
+    assert len(allc) == cust
+    assert len(none) == 0
+    assert list(none.columns) == ["c_custkey", "c_mktsegment", "acctbal_cents"]
