@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_pack_sequences(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def _q_grouped_percentiles(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import grouped_price_percentiles
 
@@ -610,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_user_window": _q_sliding_window,
         "grouped_price_percentiles": _q_grouped_percentiles,
         "churned_customers": _q_churned,
+        "pack_sequences": _q_pack_sequences,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -796,6 +803,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    # greedy packing is a true sequential recursion: the oracle steps every
+    # (lang, shard) in lock-step over row_number with a recursive CTE,
+    # carrying (fill, seq) exactly as the engine's per-shard loop does
+    # (including the fill>0 guard so an oversized-or-empty corner matches)
+    sql["pack_sequences"] = r"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), sharded AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      // 2000 AS shard_id
+          FROM t
+        ), numbered AS (
+          SELECT *, row_number() OVER (PARTITION BY lang, shard_id ORDER BY doc_id) AS rn
+          FROM sharded
+        ), pack AS (
+          SELECT lang, shard_id, doc_id, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+          FROM numbered WHERE rn = 1
+          UNION ALL
+          SELECT n.lang, n.shard_id, n.doc_id, n.n_tokens, n.rn,
+                 CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 256
+                      THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.fill > 0 AND p.fill + n.n_tokens > 256
+                      THEN n.n_tokens ELSE p.fill + n.n_tokens END
+          FROM pack p JOIN numbered n
+            ON n.lang = p.lang AND n.shard_id = p.shard_id AND n.rn = p.rn + 1
+        )
+        SELECT doc_id, lang, n_tokens, shard_id, seq_id
+        FROM pack ORDER BY lang, doc_id"""
 
     sql["grouped_price_percentiles"] = (
         "SELECT * FROM ("

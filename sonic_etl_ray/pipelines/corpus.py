@@ -144,3 +144,117 @@ def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
     ]
     out = pd.concat([ray.get(r).to_pandas() for r in out_refs], ignore_index=True)
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def pack_sequences(
+    sf_dir: str,
+    seq_capacity: int = 256,
+    shard_capacity: int = 2_000,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Greedy sequence packing for training: within each language stream,
+    documents in doc_id order fill fixed-budget training sequences — a doc
+    that would overflow the current sequence starts a new one (no document
+    is ever split). The op every LLM pretraining pipeline runs between
+    tokenization and shard writing.
+
+    Greedy packing is inherently sequential (each decision depends on the
+    carry), so it CANNOT be a global prefix-sum like ``token_shards``.
+    Distributed shape: the exact prefix-sum shard assignment first (ordered
+    blocks → per-block offsets, same machinery as ``token_shards``) bounds
+    every shard to ~``shard_capacity`` tokens; the sequential recursion then
+    runs only WITHIN a shard, shards packed in parallel inside bucket-keyed
+    groups. The per-shard inner loop is honest per-doc Python bounded by
+    shard size (tens of docs); in a real pipeline this loop is fused into
+    the tokenizer/shard-writer task, which dominates it. Sequence ids are
+    (shard-local seq) — globally unique as (lang, shard_id, seq_id)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.text import TOKEN_RE
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    tok_re = re.compile(TOKEN_RE)
+
+    def count_tokens(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(b["lang"].astype(str), pa.string()),
+                "n_tokens": pa.array(
+                    b["text"].map(lambda t: len(tok_re.findall(t or ""))).to_numpy(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counts = ds.map_batches(count_tokens, batch_format="pandas").sort(
+        ["lang", "doc_id"]
+    )
+    refs = counts.to_arrow_refs()
+
+    def block_sums(t: pa.Table) -> dict[str, int]:
+        df = t.to_pandas()
+        return df.groupby("lang", sort=False)["n_tokens"].sum().to_dict()
+
+    def assign(t: pa.Table, offsets: dict[str, int]) -> pa.Table:
+        df = t.to_pandas()
+        before = df.groupby("lang", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        before = before + df["lang"].map(offsets).fillna(0).astype("int64")
+        shard = (before // shard_capacity).to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "lang": pa.array(df["lang"], pa.string()),
+                "n_tokens": pa.array(df["n_tokens"], pa.int64()),
+                "shard_id": pa.array(shard, pa.int64()),
+                "__bucket": pa.array(shard % num_buckets, pa.int64()),
+            }
+        )
+
+    sums_task = ray.remote(num_cpus=1)(block_sums)
+    per_block = ray.get([sums_task.remote(r) for r in refs])
+    running: dict[str, int] = {}
+    offsets_per_block: list[dict[str, int]] = []
+    for s in per_block:
+        offsets_per_block.append(dict(running))
+        for lang, n in s.items():
+            running[lang] = running.get(lang, 0) + int(n)
+    assign_task = ray.remote(num_cpus=1)(assign)
+    sharded = ray.data.from_arrow_refs(
+        [assign_task.remote(r, off) for r, off in zip(refs, offsets_per_block)]
+    )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "shard_id", "doc_id"], kind="stable").reset_index(
+            drop=True
+        )
+        seq = np.empty(len(g), dtype=np.int64)
+        key_prev, fill, cur = None, 0, 0
+        for i, (lang, shard, n) in enumerate(
+            zip(g["lang"].to_numpy(), g["shard_id"].to_numpy(), g["n_tokens"].to_numpy())
+        ):
+            key = (lang, shard)
+            if key != key_prev:
+                key_prev, cur, fill = key, 0, 0
+            if fill + n > seq_capacity and fill > 0:
+                cur += 1
+                fill = 0
+            fill += n
+            seq[i] = cur
+        out = g[["doc_id", "lang", "n_tokens", "shard_id"]].copy()
+        out["seq_id"] = seq
+        return out
+
+    out = (
+        sharded.groupby("__bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "n_tokens", "shard_id", "seq_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)

@@ -474,3 +474,29 @@ def test_churned_customers_empty_safe():
     assert len(allc) == cust
     assert len(none) == 0
     assert list(none.columns) == ["c_custkey", "c_mktsegment", "acctbal_cents"]
+
+
+def test_pack_sequences_invariants():
+    """No sequence exceeds the budget unless it holds a single oversized
+    doc; packing is greedy (a doc never starts a new sequence it would have
+    fit in); ids are dense per (lang, shard)."""
+    from sonic_etl_ray.pipelines.corpus import pack_sequences
+
+    cap = 256
+    out = pack_sequences(SF, seq_capacity=cap)
+    for (lang, shard, seq), g in out.groupby(["lang", "shard_id", "seq_id"]):
+        total = g["n_tokens"].sum()
+        assert total <= cap or len(g) == 1, (lang, shard, seq, total)
+    for (lang, shard), g in out.groupby(["lang", "shard_id"]):
+        g = g.sort_values("doc_id")
+        seqs = g["seq_id"].to_numpy()
+        assert seqs[0] == 0
+        assert ((np.diff(seqs) == 0) | (np.diff(seqs) == 1)).all()
+        # greedy: replay the carry and demand identical assignments
+        fill, cur = 0, 0
+        for n, s in zip(g["n_tokens"].to_numpy(), seqs):
+            if fill > 0 and fill + n > cap:
+                cur += 1
+                fill = 0
+            assert s == cur
+            fill += n
