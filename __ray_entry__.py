@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_quantize(sf_dir: str):
+    from sonic_etl_ray.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(sf_dir)
+
+
 def _q_pack_sequences(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import pack_sequences
 
@@ -617,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_price_percentiles": _q_grouped_percentiles,
         "churned_customers": _q_churned,
         "pack_sequences": _q_pack_sequences,
+        "quantize_embeddings": _q_quantize,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -803,6 +810,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["quantize_embeddings"] = """
+        WITH m AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                      THEN 1.0
+                      ELSE list_max(list_transform(embedding, x -> abs(x))) END AS mx
+          FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(ROUND(127.0 * unnest(embedding) / mx) AS BIGINT) AS qval
+        FROM m ORDER BY vec_id, pos"""
 
     # greedy packing is a true sequential recursion: the oracle steps every
     # (lang, shard) in lock-step over row_number with a recursive CTE,

@@ -402,3 +402,143 @@ def lsh_topk_indexed(
     )
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (vector compression for storage/serving)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(127 · x / max|x|)
+    — the storage/serving compression step of an embedding pipeline (4×
+    smaller than float32, recall loss ≪ ANN error). Shuffle-free map; the
+    exploded (vec_id, pos, qval) integer output is hash-exact against the
+    SQL oracle (floats never leave the kernel; every float32 is exactly
+    representable in the float64 both engines compute in)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def q(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "qval": pa.array([], pa.int64()),
+                }
+            )
+        col = t.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        n = len(col)
+        d = len(col[0])
+        v = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v.reshape(n, d)
+        m = np.abs(v).max(axis=1)
+        m = np.where(m == 0.0, 1.0, m)
+        qv = np.round(127.0 * v / m[:, None]).astype(np.int64)
+        vec_ids = t.column("vec_id").to_numpy()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vec_ids, d), pa.int64()),
+                "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n), pa.int64()),
+                "qval": pa.array(qv.ravel(), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(q, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over the embedding column — the iterative-algorithm shape
+# ---------------------------------------------------------------------------
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 3
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Distributed Lloyd iterations with deterministic init (the first k
+    vectors by vec_id). Each iteration is ONE streaming pass: centroids
+    broadcast via ``ray.put``, every batch emits a FIXED-SIZE partial
+    (k × d sums + k counts as (cluster, dim, s, n) rows), one small groupby
+    reduces them, the driver divides once — the mergeable-moments
+    discipline, never raw vectors to the driver. Iterative algorithms have
+    no SQL analog (the driver gate is rows-only for this class); pytest
+    pins assignments against an in-memory replay of the identical
+    algorithm. Returns (centroids, per-cluster sizes)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    t0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    order = np.argsort(t0.column("vec_id").to_numpy())[:k]
+    cent = np.stack(
+        [np.asarray(t0.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+
+    class AssignPartial:
+        def __init__(self, cent_ref):
+            self.c = ray.get(cent_ref)  # (k, d), broadcast once per actor
+
+        def __call__(self, b: pd.DataFrame) -> pa.Table:
+            kk, d = self.c.shape
+            if not len(b):
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            v = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((v[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            sums = np.zeros((kk, d))
+            counts = np.zeros(kk, dtype=np.int64)
+            np.add.at(sums, a, v)
+            np.add.at(counts, a, 1)
+            live = counts > 0
+            idx = np.nonzero(live)[0]
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(idx, d), pa.int64()),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(idx)), pa.int64()),
+                    "s": pa.array(sums[idx].ravel(), pa.float64()),
+                    "n": pa.array(np.repeat(counts[idx], d), pa.int64()),
+                }
+            )
+
+    d = cent.shape[1]
+    sizes = None
+    for _ in range(iters):
+        cref = ray.put(cent)
+        agg = (
+            ds.map_batches(
+                AssignPartial,
+                fn_constructor_args=(cref,),
+                batch_format="pandas",
+                concurrency=(1, 4),
+            )
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+            .sort_values(["cluster", "dim"])
+        )
+        new = cent.copy()  # empty clusters keep their centroid
+        for c, g in agg.groupby("cluster"):
+            new[int(c)] = g["s"].to_numpy() / g["n"].iloc[0]
+        cent = new
+        sizes = (
+            agg[agg["dim"] == 0][["cluster", "n"]]
+            .astype({"cluster": "int64", "n": "int64"})
+            .reset_index(drop=True)
+        )
+    return cent, sizes

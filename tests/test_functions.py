@@ -500,3 +500,46 @@ def test_pack_sequences_invariants():
                 fill = 0
             assert s == cur
             fill += n
+
+
+def test_quantize_embeddings_roundtrip():
+    """int8 range respected; dequantized vectors approximate the originals;
+    the max-|x| element quantizes to exactly ±127."""
+    from sonic_etl_ray.functions.similarity import quantize_embeddings
+
+    out = quantize_embeddings(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    d = len(emb["embedding"].iloc[0])
+    assert len(out) == len(emb) * d
+    assert out["qval"].abs().max() <= 127
+    first = emb.sort_values("vec_id").iloc[0]
+    v = np.asarray(first["embedding"], dtype=np.float64)
+    got = out[out.vec_id == first["vec_id"]].sort_values("pos")["qval"].to_numpy()
+    m = np.abs(v).max()
+    assert np.abs(got).max() == 127
+    deq = got * m / 127.0
+    assert np.abs(deq - v).max() <= m / 127.0  # half-step quantization error
+
+
+def test_kmeans_matches_inmemory_replay():
+    """Distributed Lloyd (broadcast centroids, fixed-size partials, one
+    groupby per iter) produces the same assignments and centroids as an
+    in-memory replay of the identical algorithm."""
+    from sonic_etl_ray.functions.similarity import kmeans_embeddings
+
+    k, iters = 8, 3
+    cent, sizes = kmeans_embeddings(SF, k=k, iters=iters)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    c = v[:k].copy()
+    for _ in range(iters):
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                c[j] = v[a == j].mean(axis=0)
+    assert np.allclose(cent, c, atol=1e-9)
+    ref_sizes = pd.Series(a).value_counts().sort_index()
+    got = sizes.set_index("cluster")["n"]
+    for j, n in ref_sizes.items():
+        assert got[j] == n
