@@ -794,6 +794,18 @@ FROM s{n - 1} WHERE NOT deleted ORDER BY repo, path""")
 
 ORACLES: dict[str, str] = {
     "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # SCD2: LEAD over the per-key ordered stream closes each version; the
+    # -1 sentinel keeps valid_to_lsn int64 on both sides
+    "cdc_scd2_history": ORACLE_SRC + """
+    SELECT repo, path, "commit", lang,
+           lsn AS valid_from_lsn,
+           CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_lsn,
+           CAST(nxt IS NULL AS BIGINT) AS is_current
+    FROM (SELECT src.*,
+                 LEAD(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS nxt
+          FROM src)
+    WHERE op <> 'delete'
+    ORDER BY repo, path, valid_from_lsn""",
     "cdc_apply_blocklisted": ORACLE_SRC
     + "SELECT * FROM final WHERE repo NOT IN ('r0', 'r3') ORDER BY repo, path",
     "cdc_schema_evolution": ORACLE_SRC
@@ -941,3 +953,56 @@ ORACLES: dict[str, str] = {
     SELECT missing_lsn FROM expected
     WHERE missing_lsn NOT IN (SELECT lsn FROM present) ORDER BY missing_lsn""",
 }
+
+
+def cdc_scd2_history(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """SCD2 temporal history from the change stream (the warehouse
+    history-table pattern the reference's daily MERGE never keeps): every
+    non-delete event opens a version valid [lsn, next-event-lsn); a later
+    event of ANY op closes it; a trailing non-delete version is current
+    (``valid_to_lsn = -1`` sentinel so the schema stays all-int64).
+
+    Shape: one bucket-keyed exchange on hash(repo, path); inside each bucket
+    the close-LSN is a vectorized shift over (repo, path, lsn)-sorted rows —
+    per-bucket Python, never per-key."""
+    import numpy as np
+
+    from ..functions.text import md5_u64
+
+    ds = _events_as_cdc(sf_dir)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        key = (b["repo"].astype(str) + "\x00" + b["path"].astype(str)).tolist()
+        b["__bucket"] = md5_u64(key).view(np.int64) % num_buckets
+        return b
+
+    def scd2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path", "lsn"], kind="stable").reset_index(drop=True)
+        same_next = (g["repo"].shift(-1) == g["repo"]) & (g["path"].shift(-1) == g["path"])
+        nxt = np.where(
+            same_next.to_numpy(), g["lsn"].shift(-1).fillna(-1).to_numpy(), -1
+        ).astype(np.int64)
+        keep = (g["op"] != "delete").to_numpy()
+        out = pd.DataFrame(
+            {
+                "repo": g["repo"],
+                "path": g["path"],
+                "commit": g["commit"],
+                "lang": g["lang"],
+                "valid_from_lsn": g["lsn"].astype("int64"),
+                "valid_to_lsn": nxt,
+                "is_current": (nxt == -1).astype("int64"),
+            }
+        )
+        return out[keep]
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(scd2_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)

