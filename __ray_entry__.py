@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_frame_sample(sf_dir: str):
+    from sonic_etl_ray.functions.multimodal import media_frame_sample
+
+    return media_frame_sample(sf_dir)
+
+
 def _q_quantize(sf_dir: str):
     from sonic_etl_ray.functions.similarity import quantize_embeddings
 
@@ -631,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers": _q_churned,
         "pack_sequences": _q_pack_sequences,
         "quantize_embeddings": _q_quantize,
+        "media_frame_sample": _q_frame_sample,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -817,6 +824,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["media_frame_sample"] = """
+        WITH f AS (
+          SELECT doc_id,
+                 COALESCE(text, '') AS p,
+                 CAST(ceil(length(COALESCE(text, ''))/16.0) AS BIGINT) AS n_frames
+          FROM documents
+        )
+        SELECT doc_id AS media_id, n_frames,
+               CAST(len(range(0, n_frames, 4)) AS BIGINT) AS n_sampled,
+               CAST(length(COALESCE(list_aggregate(
+                     list_transform(range(0, n_frames, 4),
+                                    i -> substr(p, CAST(i*16+1 AS BIGINT), 16)),
+                     'string_agg', ''), '')) AS BIGINT) AS sampled_bytes,
+               sha256(COALESCE(list_aggregate(
+                     list_transform(range(0, n_frames, 4),
+                                    i -> substr(p, CAST(i*16+1 AS BIGINT), 16)),
+                     'string_agg', ''), '')) AS sample_sha256
+        FROM f ORDER BY media_id"""
 
     sql["quantize_embeddings"] = """
         WITH m AS (

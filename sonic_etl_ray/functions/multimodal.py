@@ -159,3 +159,78 @@ def media_payload_stats(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
         .to_pandas()
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: treat each opaque payload as
+    fixed-``frame_bytes`` windows and keep every ``stride``-th (deterministic
+    temporal subsampling — the video frame-sample analog that needs no codec:
+    real decoders replace the windowing, the Ray plumbing is identical).
+    Emits per item the frame count, sampled count/bytes, and the sha256 of
+    the concatenated sample for integrity. Per-item slicing is inherent to
+    the media class (payload-proportional work in an actor pool, small
+    batches — same sizing discipline as DecodeStub)."""
+
+    def __init__(self, frame_bytes: int = 16, stride: int = 4):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        fb, st = self.frame_bytes, self.stride
+        ids, n_frames, n_sampled, s_bytes, digests = [], [], [], [], []
+        payloads = t.column("payload").to_pylist()
+        for mid, p in zip(t.column("media_id").to_pylist(), payloads):
+            p = p or b""
+            nf = (len(p) + fb - 1) // fb
+            h = hashlib.sha256()
+            ns = sb = 0
+            for i in range(0, nf, st):
+                fr = p[i * fb : i * fb + fb]
+                h.update(fr)
+                ns += 1
+                sb += len(fr)
+            ids.append(mid)
+            n_frames.append(nf)
+            n_sampled.append(ns)
+            s_bytes.append(sb)
+            digests.append(h.hexdigest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "n_sampled": pa.array(n_sampled, pa.int64()),
+                "sampled_bytes": pa.array(s_bytes, pa.int64()),
+                "sample_sha256": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def media_frame_sample(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
+    """Frame-sample every document payload (utf-8 bytes standing in for
+    opaque media — ASCII corpus, so the SQL oracle's codeunit windows are
+    the same bytes) through the actor-pool sampler; shuffle-free."""
+    import pandas as pd
+    import pyarrow.compute as pc2
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pc2.cast(t["text"], pa.binary()),
+            }
+        )
+
+    out = (
+        ds.map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        )
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)

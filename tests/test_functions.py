@@ -543,3 +543,22 @@ def test_kmeans_matches_inmemory_replay():
     got = sizes.set_index("cluster")["n"]
     for j, n in ref_sizes.items():
         assert got[j] == n
+
+
+def test_frame_sampler_windows():
+    """Every stride-th fixed-size byte window is kept in order; the sample
+    hash matches a direct recomputation, including the ragged tail frame."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.multimodal import FrameSampler
+
+    payload = bytes(range(100))  # 7 frames of 16 (last ragged: 4 bytes)
+    t = pa.table({"media_id": pa.array([1], pa.int64()), "payload": pa.array([payload], pa.binary())})
+    out = FrameSampler(frame_bytes=16, stride=4)(t).to_pandas().iloc[0]
+    assert out["n_frames"] == 7
+    assert out["n_sampled"] == 2  # frames 0 and 4
+    sample = payload[0:16] + payload[64:80]
+    assert out["sampled_bytes"] == len(sample)
+    assert out["sample_sha256"] == hashlib.sha256(sample).hexdigest()
