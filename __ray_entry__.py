@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_chunk_docs(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import chunk_documents
+
+    return chunk_documents(sf_dir)
+
+
 def _q_frame_sample(sf_dir: str):
     from sonic_etl_ray.functions.multimodal import media_frame_sample
 
@@ -638,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "quantize_embeddings": _q_quantize,
         "media_frame_sample": _q_frame_sample,
+        "chunk_documents": _q_chunk_docs,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -824,6 +831,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["chunk_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(COALESCE(text,''), '\S+') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id"""
 
     sql["media_frame_sample"] = """
         WITH f AS (

@@ -258,3 +258,47 @@ def pack_sequences(
     for c in ("doc_id", "n_tokens", "shard_id", "seq_id"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def chunk_documents(
+    sf_dir: str, window: int = 64, stride: int = 48
+) -> pd.DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window prep op —
+    packing's complement: it SPLITS long documents instead of merging short
+    ones): chunk c covers tokens [c·stride, c·stride + window); the last
+    chunks are ragged; token-less docs emit nothing. Chunk text is the
+    window joined with single spaces (whitespace-normalized), identical to
+    the oracle's array_to_string(list_slice(...)).
+
+    Shuffle-free map — chunk assembly is per-item work proportional to the
+    document (the decode-class pattern); output rows ≈ n_tokens/stride per
+    doc stream straight to the sink."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    tok_re = re.compile(TOKEN_RE)
+
+    def chunks(b: pd.DataFrame) -> pa.Table:
+        ids, cids, ntoks, texts = [], [], [], []
+        for doc_id, text in zip(b["doc_id"].to_numpy(), b["text"]):
+            toks = tok_re.findall(text or "")
+            for ci, s in enumerate(range(0, len(toks), stride)):
+                w = toks[s : s + window]
+                ids.append(doc_id)
+                cids.append(ci)
+                ntoks.append(len(w))
+                texts.append(" ".join(w))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "chunk_id": pa.array(np.asarray(cids, np.int64), pa.int64()),
+                "n_tokens": pa.array(np.asarray(ntoks, np.int64), pa.int64()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(chunks, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)

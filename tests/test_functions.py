@@ -562,3 +562,19 @@ def test_frame_sampler_windows():
     sample = payload[0:16] + payload[64:80]
     assert out["sampled_bytes"] == len(sample)
     assert out["sample_sha256"] == hashlib.sha256(sample).hexdigest()
+
+
+def test_chunk_documents_windows():
+    """Chunks tile each doc at stride spacing with window-sized bodies;
+    reassembling chunk 0's text equals the normalized head of the doc."""
+    from sonic_etl_ray.pipelines.corpus import chunk_documents
+
+    out = chunk_documents(SF, window=64, stride=48)
+    docs = _docs()
+    for row in docs.head(20).itertuples():
+        toks = re.findall(r"\S+", row.text or "")
+        g = out[out.doc_id == row.doc_id].sort_values("chunk_id")
+        want_chunks = list(range(0, len(toks), 48))
+        assert len(g) == len(want_chunks)
+        assert g["chunk_text"].iloc[0] == " ".join(toks[:64])
+        assert g["n_tokens"].iloc[-1] == min(len(toks) - want_chunks[-1], 64)
