@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_lm_proxy(sf_dir: str):
+    from sonic_etl_ray.functions.text import lm_quality_proxy
+
+    return lm_quality_proxy(sf_dir)
+
+
 def _q_chunk_docs(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import chunk_documents
 
@@ -645,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": _q_quantize,
         "media_frame_sample": _q_frame_sample,
         "chunk_documents": _q_chunk_docs,
+        "lm_quality_proxy": _q_lm_proxy,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -831,6 +838,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["lm_quality_proxy"] = r"""
+        WITH pairs AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS term
+                FROM documents)
+          GROUP BY 1, 2
+        ), totals AS (
+          SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+        )
+        SELECT p.doc_id,
+               CAST(SUM(p.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(p.tf * (strlen(bin(t.cnt)) - 1)) AS BIGINT) AS lm_score
+        FROM pairs p JOIN totals t USING (term)
+        GROUP BY 1 ORDER BY 1"""
 
     sql["chunk_documents"] = r"""
         WITH t AS (

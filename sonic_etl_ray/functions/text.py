@@ -644,3 +644,99 @@ def distinctive_terms(sf_dir: str, k: int = 5, num_buckets: int = 64) -> pd.Data
     for c in ("doc_id", "tf", "df", "rank"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality proxy (integer-quantized log-likelihood)
+# ---------------------------------------------------------------------------
+
+
+def lm_quality_proxy(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style language-model quality signal without a model: per doc,
+    the sum over token occurrences of floor(log2(corpus frequency)) — docs
+    made of common tokens score high, rare-token noise scores low. The log
+    is integer-quantized via bit length, so BOTH engines compute exact
+    integers (no float log, no accumulation-order sensitivity) and the
+    oracle is hash-exact.
+
+    Shape (same exchanges as :func:`distinctive_terms`): (doc, token, tf)
+    per-batch combiner → ONE groupby(token) for corpus counts → hash join →
+    per-doc groupby-sum. floor_log2 via ``np.frexp`` (exact for int64
+    counts), mirrored in SQL as ``strlen(bin(cnt)) - 1``."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ds.map_batches(
+        DocTermCounter, batch_format="pandas", concurrency=(1, 4)
+    ).materialize()
+    totals = pairs.groupby("term").aggregate(Sum("tf", alias_name="cnt"))
+    joined = pairs.join(
+        totals.select_columns(["term", "cnt"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("term",),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy().astype(np.int64)
+        flog2 = (np.frexp(cnt.astype(np.float64))[1] - 1).astype(np.int64)
+        tf = t.column("tf").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(tf, pa.int64()),
+                "score": pa.array(tf * flog2, pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"), Sum("score", alias_name="lm_score")
+        )
+        .to_pandas()
+    )
+    for c in ("n_tokens", "lm_score"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib; no SQL analog → pytest-verified)
+# ---------------------------------------------------------------------------
+
+
+class CompressionScorer:
+    """Gopher-style compressibility filter: highly repetitive documents
+    compress far below typical prose; ratio = deflate(text)/len(text).
+    Per-item C-speed zlib in the batch kernel (decode-class work); level
+    fixed for determinism. No SQL analog — verified by pytest invariants."""
+
+    def __init__(self, level: int = 6):
+        self.level = level
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        lvl = self.level
+        raw = [t.encode("utf-8") if t else b"" for t in b["text"]]
+        comp = np.array([len(zlib.compress(r, lvl)) for r in raw], dtype=np.int64)
+        n = np.array([len(r) for r in raw], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_bytes": n,
+                "compressed_bytes": comp,
+                "compression_ratio": comp / np.maximum(n, 1),
+            }
+        )
+
+
+def compression_scores(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        CompressionScorer, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

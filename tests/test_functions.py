@@ -578,3 +578,41 @@ def test_chunk_documents_windows():
         assert len(g) == len(want_chunks)
         assert g["chunk_text"].iloc[0] == " ".join(toks[:64])
         assert g["n_tokens"].iloc[-1] == min(len(toks) - want_chunks[-1], 64)
+
+
+def test_lm_quality_proxy_bitlength_quantization():
+    """lm_score = Σ tf · floor(log2(corpus_freq)): recomputed brute-force
+    with Python bignum bit_length (exact)."""
+    from collections import Counter
+
+    from sonic_etl_ray.functions.text import lm_quality_proxy
+
+    out = lm_quality_proxy(SF).set_index("doc_id")
+    docs = _docs()
+    corpus = Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        c = Counter(re.findall(r"\S+", r.text or ""))
+        per_doc[r.doc_id] = c
+        corpus.update(c)
+    for doc_id in list(per_doc)[:25]:
+        want = sum(tf * (corpus[t].bit_length() - 1) for t, tf in per_doc[doc_id].items())
+        assert out.loc[doc_id, "lm_score"] == want
+
+
+def test_compression_scores_repetitive_vs_random():
+    """A highly repetitive doc compresses far better than the corpus norm;
+    ratio is deterministic across runs."""
+    from sonic_etl_ray.functions.text import CompressionScorer
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["spam " * 200, " ".join(f"t{i}q{i * 7919 % 1000}" for i in range(200))],
+        }
+    )
+    out = CompressionScorer()(b)
+    assert out["compression_ratio"].iloc[0] < 0.05
+    assert out["compression_ratio"].iloc[1] > out["compression_ratio"].iloc[0] * 3
+    out2 = CompressionScorer()(b)
+    assert (out["compressed_bytes"] == out2["compressed_bytes"]).all()
