@@ -417,6 +417,12 @@ def _q_cdc_blocklist(sf_dir: str):
     return cdc_apply_blocklisted(sf_dir)
 
 
+def _q_cdc_scd2_feed(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_scd2_from_feed
+
+    return cdc_scd2_from_feed(sf_dir)
+
+
 def _q_cdc_scd2(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_scd2_history
 
@@ -595,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
         "cdc_scd2_history": _q_cdc_scd2,
+        "cdc_scd2_from_feed": _q_cdc_scd2_feed,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_split_decoded_tables": _q_cdc_split_decoded,
         "cdc_apply_blocklisted": _q_cdc_blocklist,

@@ -794,6 +794,36 @@ FROM s{n - 1} WHERE NOT deleted ORDER BY repo, path""")
 
 ORACLES: dict[str, str] = {
     "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # SCD2 from the change feed, restated over the event stream: the per-key
+    # per-epoch winner opens a version (unless delete), the key's next
+    # winner-epoch closes it — equivalent to the CDF fold because a feed row
+    # exists iff state changed (see cdc_scd2_from_feed docstring)
+    "cdc_scd2_from_feed": """
+    WITH src AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 20 THEN 'delete' ELSE 'insert' END AS op,
+             'r' || CAST(user_id % 5 AS VARCHAR) AS repo,
+             'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS path,
+             sha256(CAST(event_id AS VARCHAR)) AS "commit"
+      FROM events
+    ),
+    bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) - MIN(lsn) + 1 AS span FROM src),
+    wins AS (
+      SELECT repo, path, "commit", (op = 'delete') AS deleted,
+             CAST(((lsn - lo) * 4) // span AS BIGINT) AS epoch
+      FROM src, bounds
+      QUALIFY row_number() OVER (
+        PARTITION BY repo, path, ((lsn - lo) * 4) // span ORDER BY lsn DESC) = 1
+    ),
+    led AS (
+      SELECT *, LEAD(epoch) OVER (PARTITION BY repo, path ORDER BY epoch) AS nxt
+      FROM wins
+    )
+    SELECT repo, path, "commit", epoch AS valid_from_epoch,
+           CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_epoch,
+           CAST(nxt IS NULL AS BIGINT) AS is_current
+    FROM led WHERE NOT deleted
+    ORDER BY repo, path, valid_from_epoch""",
     # SCD2: LEAD over the per-key ordered stream closes each version; the
     # -1 sentinel keeps valid_to_lsn int64 on both sides
     "cdc_scd2_history": ORACLE_SRC + """
@@ -1006,3 +1036,73 @@ def cdc_scd2_history(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)
+
+
+def cdc_scd2_from_feed(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Epoch-grain SCD2 dimension built by CONSUMING the change-data feed —
+    the lakehouse pattern of maintaining a history table from CDF instead of
+    reprocessing the source (each insert/update feed row opens a version at
+    its epoch; the key's next feed row of any type closes it; deletes close
+    but never appear). Divergence-safety vs the event-stream definition: a
+    feed row exists iff state changed, and with suppression off the only
+    winner that changes no state is a delete of a dead key — which can never
+    be the first event after a LIVE version, so both definitions close every
+    version at the same epoch (the oracle is the event-stream LEAD form).
+
+    Shape: per-epoch feeds are partition-parallel diffs (zero shuffle),
+    union → ONE bucket-keyed exchange → vectorized per-bucket shift."""
+    import numpy as np
+
+    from ..functions.text import md5_u64
+    from ..pipelines.ingest import read_change_feed
+
+    lake, _lo, _span = _replay_quartile_epochs(sf_dir, "scd2cdf")
+
+    tagged = None
+    for e in range(N_FEED_EPOCHS):
+
+        def tag(t: pa.Table, e: int = e) -> pa.Table:
+            t = t.select(["change_type", "repo", "path", "commit"])
+            return t.append_column(
+                "epoch", pa.array(np.full(t.num_rows, e, np.int64), pa.int64())
+            )
+
+        f = read_change_feed(lake, epoch=e).map_batches(tag, batch_format="pyarrow")
+        tagged = f if tagged is None else tagged.union(f)
+
+    def add_bucket(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        key = (b["repo"].astype(str) + "\x00" + b["path"].astype(str)).tolist()
+        b["__bucket"] = md5_u64(key).view(np.int64) % num_buckets
+        return b
+
+    def scd2_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["repo", "path", "epoch"], kind="stable").reset_index(
+            drop=True
+        )
+        same_next = (g["repo"].shift(-1) == g["repo"]) & (g["path"].shift(-1) == g["path"])
+        nxt = np.where(
+            same_next.to_numpy(), g["epoch"].shift(-1).fillna(-1).to_numpy(), -1
+        ).astype(np.int64)
+        keep = (g["change_type"] != "delete").to_numpy()
+        out = pd.DataFrame(
+            {
+                "repo": g["repo"],
+                "path": g["path"],
+                "commit": g["commit"],
+                "valid_from_epoch": g["epoch"].astype("int64"),
+                "valid_to_epoch": nxt,
+                "is_current": (nxt == -1).astype("int64"),
+            }
+        )
+        return out[keep]
+
+    out = (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(scd2_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("valid_from_epoch", "valid_to_epoch", "is_current"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["repo", "path", "valid_from_epoch"]).reset_index(drop=True)

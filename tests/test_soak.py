@@ -110,3 +110,43 @@ def test_scd2_history_semantics():
         closes = g["valid_to_lsn"].to_numpy()[:-1]
         opens = g["valid_from_lsn"].to_numpy()[1:]
         assert ((closes == -1) | (closes <= opens)).all()
+
+
+def test_scd2_from_feed_matches_event_stream_fold():
+    """The CDF-consumer SCD2 equals an independent epoch-grain fold computed
+    straight from the projected event stream (winner per (key, epoch), LEAD
+    closes) — the two definitions coincide because a feed row exists iff
+    state changed."""
+    import duckdb
+
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_scd2_from_feed
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_scd2_from_feed(sf)
+    ora = duckdb.connect().execute(f"""
+    WITH src AS (
+      SELECT event_id AS lsn,
+             CASE WHEN value < 20 THEN 'delete' ELSE 'insert' END AS op,
+             'r' || CAST(user_id % 5 AS VARCHAR) AS repo,
+             'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS path,
+             sha256(CAST(event_id AS VARCHAR)) AS "commit"
+      FROM read_parquet('{sf}/events.parquet')
+    ),
+    bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) - MIN(lsn) + 1 AS span FROM src),
+    wins AS (
+      SELECT repo, path, "commit", (op = 'delete') AS deleted,
+             CAST(((lsn - lo) * 4) // span AS BIGINT) AS epoch
+      FROM src, bounds
+      QUALIFY row_number() OVER (
+        PARTITION BY repo, path, ((lsn - lo) * 4) // span ORDER BY lsn DESC) = 1
+    ),
+    led AS (
+      SELECT *, LEAD(epoch) OVER (PARTITION BY repo, path ORDER BY epoch) AS nxt
+      FROM wins
+    )
+    SELECT repo, path, "commit", epoch AS valid_from_epoch,
+           CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_epoch,
+           CAST(nxt IS NULL AS BIGINT) AS is_current
+    FROM led WHERE NOT deleted
+    ORDER BY repo, path, valid_from_epoch""").fetchdf()
+    assert out.reset_index(drop=True).equals(ora.reset_index(drop=True))
