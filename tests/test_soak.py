@@ -150,3 +150,30 @@ def test_scd2_from_feed_matches_event_stream_fold():
     FROM led WHERE NOT deleted
     ORDER BY repo, path, valid_from_epoch""").fetchdf()
     assert out.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_wide_content_ingest_block_splitting(tmp_path):
+    """Wide content rows (~20 KB mean, periodic ~100x outliers) through the
+    full ingest with a 4 MiB block-size cap, forcing Ray to split blocks by
+    bytes rather than rows (SURVEY risk: large-string content at scale) —
+    final state must still be bit-equal to the oracle replay."""
+    from ray.data import DataContext
+
+    from sonic_etl_ray.pipelines.ingest import run_ingest
+
+    spec = StreamSpec(
+        n_events=3000, n_repos=6, seed=91, segment_size=500,
+        mean_len=1_000, wide_row_every=100,  # wide rows ~100 KB (pool-bounded)
+    )
+    seg = str(tmp_path / "wsegs")
+    files = write_segments(generate_events(spec), seg, spec)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 * 1024 * 1024
+    try:
+        lake = str(tmp_path / "wlake")
+        stats = run_ingest(files, lake, num_partitions=4, segments_per_epoch=3)
+        assert stats["epochs_applied"] == 2
+        assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+    finally:
+        ctx.target_max_block_size = old
