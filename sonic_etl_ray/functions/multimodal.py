@@ -234,3 +234,67 @@ def media_frame_sample(sf_dir: str) -> "pd.DataFrame":  # noqa: F821
         .to_pandas()
     )
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+class ResizeStub:
+    """Actor-pool image/frame resize stage (signature is production-real:
+    target dims in ``__init__`` — the per-actor state — small batches, Arrow
+    in/out, metadata pass-through).
+
+    With ``fake=False`` (default): raises NotImplementedError — the imaging
+    libraries (PIL/opencv) are not in this container. With ``fake=True``:
+    deterministic byte-grid subsample standing in for the interpolation —
+    the payload is treated as a ``height × width`` byte grid (row-major,
+    padded) and sampled at ``target_h × target_w`` nearest-neighbor
+    positions, so output payload size, dims metadata, and plumbing are
+    exactly what a real resize produces."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, fake: bool = False):
+        self.tw, self.th, self.fake = target_w, target_h, fake
+
+    def _resize(self, payload: bytes, w: int, h: int) -> bytes:
+        grid = np.frombuffer(payload, dtype=np.uint8)
+        need = w * h
+        if len(grid) < need:
+            grid = np.pad(grid, (0, need - len(grid)))
+        grid = grid[:need].reshape(h, w)
+        ys = (np.arange(self.th) * h) // self.th
+        xs = (np.arange(self.tw) * w) // self.tw
+        return grid[np.ix_(ys, xs)].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "media resize requires imaging libraries not present in this "
+                "container; construct ResizeStub(fake=True) for the "
+                "deterministic test path"
+            )
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        out = [self._resize(p, int(w), int(h)) for p, w, h in zip(payloads, ws, hs)]
+        cols = {
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(out, pa.binary()),
+            "width": pa.array([self.tw] * len(out), pa.int32()),
+            "height": pa.array([self.th] * len(out), pa.int32()),
+        }
+        for name in batch.schema.names:
+            if name not in cols:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+
+def resize_media(
+    ds: ray.data.Dataset, target_w: int = 32, target_h: int = 32,
+    fake: bool = True, batch_size: int = 16,
+) -> ray.data.Dataset:
+    """Resize every media row to (target_w, target_h): actor pool, small
+    byte-heavy batches — same sizing discipline as extract_features."""
+    return ds.map_batches(
+        ResizeStub,
+        fn_constructor_args=(target_w, target_h, fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )

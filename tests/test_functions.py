@@ -616,3 +616,22 @@ def test_compression_scores_repetitive_vs_random():
     assert out["compression_ratio"].iloc[1] > out["compression_ratio"].iloc[0] * 3
     out2 = CompressionScorer()(b)
     assert (out["compressed_bytes"] == out2["compressed_bytes"]).all()
+
+
+def test_resize_stub_plumbing():
+    import ray.data
+
+    from sonic_etl_ray.functions.multimodal import ResizeStub, resize_media, synth_media_table
+
+    tbl = synth_media_table(24, seed=3)
+    out = resize_media(ray.data.from_arrow(tbl), target_w=8, target_h=8, fake=True).to_pandas()
+    assert len(out) == 24
+    assert all(len(p) == 64 for p in out["payload"])  # 8x8 bytes
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    assert {"kind", "mime", "duration_ms"} <= set(out.columns)  # metadata rides along
+    # deterministic nearest-neighbor: corner byte survives
+    row = tbl.to_pandas().iloc[0]
+    got = out[out.media_id == row["media_id"]]["payload"].iloc[0]
+    assert got[0] == row["payload"][0]
+    with pytest.raises(NotImplementedError):
+        ResizeStub(fake=False)(tbl.slice(0, 2))
