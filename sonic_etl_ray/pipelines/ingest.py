@@ -1270,10 +1270,20 @@ def lineage(lake_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def committed_frontier(lake_dir: str) -> int | None:
+    """Newest FULLY-applied epoch (one with a driver manifest) — the
+    cross-partition consistent read point. Per-partition commits of a later
+    in-flight epoch are invisible behind this frontier."""
+    es = cl.committed_epochs(lake_dir)
+    return es[-1] if es else None
+
+
 def read_lake(
     lake_dir: str,
     columns: list[str] | None = None,
     filter: Any | None = None,
+    as_of_epoch: int | None = None,
+    consistent: bool = False,
 ) -> ray.data.Dataset:
     """The lake's current state as a Dataset (one block per partition file).
 
@@ -1281,10 +1291,22 @@ def read_lake(
     ``pc.field("repo") == "org0/repo0"``) push down to the Parquet read so
     only the needed columns/row groups leave storage.
 
+    Isolation: the default read takes each partition's newest committed
+    frontier independently — per-KEY consistency (keys never cross
+    partitions) but a concurrent apply can leave different partitions at
+    different epochs within one scan. ``consistent=True`` pins the scan to
+    :func:`committed_frontier` (the newest fully-manifested epoch), giving a
+    cross-partition snapshot-isolated view while a writer is mid-epoch;
+    ``as_of_epoch`` pins any older frontier (time travel).
+
     Merge-on-read partitions (frontier is a delta) are resolved by one Ray
     task each — base ∪ deltas LWW — and unioned with the zero-copy scan of
     the clean partitions; filter/columns apply to the resolved blocks too."""
-    clean_files, dirty_parts = lake_read_plan(lake_dir)
+    if consistent and as_of_epoch is None:
+        as_of_epoch = committed_frontier(lake_dir)
+        if as_of_epoch is None:
+            return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
+    clean_files, dirty_parts = lake_read_plan(lake_dir, as_of_epoch=as_of_epoch)
     if not clean_files and not dirty_parts:
         return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
     # tombstones (deleted keys) are physical rows but not part of the logical
@@ -1297,7 +1319,8 @@ def read_lake(
     if dirty_parts:
         resolve = ray.remote(num_cpus=1)(_resolved_live_block)
         refs = [
-            resolve.remote(lake_dir, p, columns, filter) for p in dirty_parts
+            resolve.remote(lake_dir, p, columns, filter, as_of_epoch)
+            for p in dirty_parts
         ]
         parts_ds = ray.data.from_arrow_refs(refs)
     # partitioning=None: the lake's part=N dirs are PHYSICAL layout, not a
@@ -1318,12 +1341,18 @@ def read_lake(
 
 
 def _resolved_live_block(
-    lake_dir: str, part: int, columns: list[str] | None, filter: Any | None
+    lake_dir: str,
+    part: int,
+    columns: list[str] | None,
+    filter: Any | None,
+    as_of_epoch: int | None = None,
 ) -> pa.Table:
     """Resolve one merge-on-read partition to its LIVE rows (tombstones and
     the 'deleted' flag dropped), with column/filter applied post-resolve —
     the per-partition read task behind read_lake's dirty path."""
-    tbl = _drop_tombstones(resolve_partition_state(lake_dir, part))
+    tbl = _drop_tombstones(
+        resolve_partition_state(lake_dir, part, as_of_epoch=as_of_epoch)
+    )
     if filter is not None:
         import pyarrow.dataset as pads
 

@@ -177,3 +177,52 @@ def test_wide_content_ingest_block_splitting(tmp_path):
         assert_state_equal(lake_final_table(lake), oracle_final_state(files))
     finally:
         ctx.target_max_block_size = old
+
+
+def test_consistent_read_pins_manifest_frontier(tmp_path):
+    """While a writer is mid-epoch (some partitions committed, no manifest),
+    the default read sees a mixed frontier (per-key consistent only) but
+    ``read_lake(consistent=True)`` pins the newest fully-manifested epoch —
+    a cross-partition snapshot — and matches the epoch-0 oracle exactly."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from sonic_etl_ray.pipelines.ingest import (
+        committed_frontier,
+        lake_final_table,
+        read_lake,
+        run_ingest,
+    )
+
+    spec = StreamSpec(n_events=4000, n_repos=8, seed=55, segment_size=500)
+    seg = str(tmp_path / "csegs")
+    files = write_segments(generate_events(spec), seg, spec)
+    lake = str(tmp_path / "clake")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=4)  # epochs 0,1
+    epoch0 = lake_final_table(lake, as_of_epoch=0)
+
+    # surgical mid-apply crash image: roll epoch 1 back for partitions 2,3
+    # and remove its manifest (partitions 0,1 keep their epoch-1 commits)
+    for part in (2, 3):
+        for f in _glob.glob(f"{lake}/part={part:05d}/*-epoch=00000001.parquet"):
+            os.remove(f)
+        cp = f"{lake}/_commits/epoch=00000001/part-{part:05d}.json"
+        if os.path.exists(cp):
+            os.remove(cp)
+    os.remove(f"{lake}/_commits/epoch=00000001.MANIFEST.json")
+
+    assert committed_frontier(lake) == 0
+    cons = read_lake(lake, consistent=True).to_pandas()
+    live0 = epoch0.to_pandas()  # lake_final_table is already tombstone-free
+    key = ["repo", "path"]
+    pd.testing.assert_frame_equal(
+        cons.sort_values(key).reset_index(drop=True)[sorted(cons.columns)],
+        live0.sort_values(key).reset_index(drop=True)[sorted(cons.columns)],
+    )
+    # the default read is torn: epoch-1 frontier on parts 0,1 — so it must
+    # differ from the consistent epoch-0 snapshot
+    dflt = read_lake(lake).to_pandas()
+    assert not dflt.sort_values(key).reset_index(drop=True)[sorted(cons.columns)].equals(
+        cons.sort_values(key).reset_index(drop=True)[sorted(cons.columns)]
+    )
