@@ -417,6 +417,12 @@ def _q_cdc_blocklist(sf_dir: str):
     return cdc_apply_blocklisted(sf_dir)
 
 
+def _q_cdc_schema_log(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_schema_log
+
+    return cdc_schema_log(sf_dir)
+
+
 def _q_cdc_scd2_feed(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_scd2_from_feed
 
@@ -602,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_range_scan": _q_cdc_range_scan,
         "cdc_scd2_history": _q_cdc_scd2,
         "cdc_scd2_from_feed": _q_cdc_scd2_feed,
+        "cdc_schema_log": _q_cdc_schema_log,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_split_decoded_tables": _q_cdc_split_decoded,
         "cdc_apply_blocklisted": _q_cdc_blocklist,

@@ -794,6 +794,20 @@ FROM s{n - 1} WHERE NOT deleted ORDER BY repo, path""")
 
 ORACLES: dict[str, str] = {
     "cdc_apply_upserts": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # schema-evolution audit log: the engine reads it from commit records;
+    # the oracle derives the expected log from the stream (epoch 0 = the 9
+    # base state columns iff any early event exists; epoch 1 adds size_hint
+    # iff any late-LSN event exists — the same split cdc_schema_evolution
+    # replays)
+    "cdc_schema_log": """
+    SELECT CAST(0 AS BIGINT) AS epoch,
+           'applied_lsn,commit,content,content_sha256,deleted,lang,path,repo,size_bytes' AS added,
+           '' AS retyped, CAST(9 AS BIGINT) AS n_columns
+    WHERE EXISTS (SELECT 1 FROM events WHERE event_id < 500)
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'size_hint', '', CAST(10 AS BIGINT)
+    WHERE EXISTS (SELECT 1 FROM events WHERE event_id >= 500)
+    ORDER BY epoch""",
     # SCD2 from the change feed, restated over the event stream: the per-key
     # per-epoch winner opens a version (unless delete), the key's next
     # winner-epoch closes it — equivalent to the CDF fold because a feed row
@@ -1106,3 +1120,41 @@ def cdc_scd2_from_feed(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     for c in ("valid_from_epoch", "valid_to_epoch", "is_current"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["repo", "path", "valid_from_epoch"]).reset_index(drop=True)
+
+
+def cdc_schema_log(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution audit: replay the evolving two-segment stream (early
+    segments lack ``size_hint`` entirely) and read the per-epoch schema log
+    from the commit records — epoch 0 introduces the 9 base state columns,
+    epoch 1 introduces ``size_hint`` iff any late-LSN event exists. The log
+    is a pure commit-log read (survives vacuum and checkpoint compaction)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.ingest import run_ingest, schema_history
+
+    events = _events_as_cdc(sf_dir).take_all()
+    tbl = pa.Table.from_pylist(events)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("lsn", "ascending")]))
+    hint = pc.if_else(
+        pc.is_valid(tbl["content"]),
+        pc.cast(pc.binary_length(tbl["content"]), pa.int64()),
+        pa.scalar(None, pa.int64()),
+    )
+    tbl = tbl.append_column("size_hint", hint)
+    early = tbl.filter(pc.less(tbl["lsn"], EVOLVE_AT)).drop_columns(["size_hint"])
+    late = tbl.filter(pc.greater_equal(tbl["lsn"], EVOLVE_AT))
+
+    seg_dir = tempfile.mkdtemp(prefix="sonic_etl_ray_schlog_")
+    pq.write_table(early, os.path.join(seg_dir, "segment_000000.parquet"))
+    pq.write_table(late, os.path.join(seg_dir, "segment_000001.parquet"))
+    lake = scratch_lake_dir("cdcschlog")
+    run_ingest(
+        [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir))],
+        lake,
+        num_partitions=8,
+        segments_per_epoch=1,
+    )
+    return schema_history(lake)

@@ -2171,3 +2171,43 @@ def read_errors(lake_dir: str, pending_only: bool = False) -> pa.Table:
 def scratch_lake_dir(tag: str = "lake") -> str:
     """A fresh scratch lake directory under /tmp."""
     return tempfile.mkdtemp(prefix=f"sonic_etl_ray_{tag}_")
+
+
+def schema_history(lake_dir: str) -> "pd.DataFrame":  # noqa: F821
+    """Schema-evolution audit log from the commit log alone (no data reads):
+    per manifested epoch, the state columns first observed (``added``) and
+    columns whose Arrow type changed (``retyped`` — the int32→int64 widen
+    path) relative to the running union over all prior epochs' per-partition
+    commit schemas. Commit records already carry the post-merge schema map,
+    so the log survives checkpoint compaction and vacuum (it never touches
+    data files); driver cost is the same small JSON set resume planning
+    reads."""
+    import pandas as pd
+
+    seen: dict[str, str] = {}
+    rows = []
+    for e in cl.committed_epochs(lake_dir):
+        m = cl.read_manifest(lake_dir, e) or {}
+        added: set[str] = set()
+        retyped: set[str] = set()
+        for p in m.get("parts", []):
+            rec = cl.read_commit(lake_dir, e, int(p)) or {}
+            for name, typ in (rec.get("schema") or {}).items():
+                if name not in seen:
+                    seen[name] = typ
+                    added.add(name)
+                elif seen[name] != typ:
+                    seen[name] = typ
+                    retyped.add(name)
+        rows.append(
+            {
+                "epoch": e,
+                "added": ",".join(sorted(added)),
+                "retyped": ",".join(sorted(retyped)),
+                "n_columns": len(seen),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["epoch", "added", "retyped", "n_columns"])
+    out["epoch"] = out["epoch"].astype("int64")
+    out["n_columns"] = out["n_columns"].astype("int64")
+    return out

@@ -226,3 +226,50 @@ def test_consistent_read_pins_manifest_frontier(tmp_path):
     assert not dflt.sort_values(key).reset_index(drop=True)[sorted(cons.columns)].equals(
         cons.sort_values(key).reset_index(drop=True)[sorted(cons.columns)]
     )
+
+
+def test_schema_history_survives_compaction_and_vacuum(tmp_path):
+    """The schema log derives from commit records only: identical before and
+    after commit-log checkpoint compaction and vacuum, and it records the
+    int32→int64 widen as a retype."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from sonic_etl_ray.pipelines.ingest import run_ingest, schema_history, vacuum
+    from sonic_etl_ray.state.commitlog import compact_commits
+
+    # three hand-built segments: base schema → +size_hint:int32 → widen int64
+    def seg(path, lsns, extra=None):
+        n = len(lsns)
+        cols = {
+            "lsn": pa_.array(lsns, pa_.int64()),
+            "op": pa_.array(["insert"] * n),
+            "repo": pa_.array([f"r{i % 2}" for i in range(n)]),
+            "path": pa_.array([f"p{i}" for i in range(n)]),
+            "commit": pa_.array([f"c{v}" for v in lsns]),
+            "lang": pa_.array(["x"] * n),
+            "content": pa_.array([f"body{v}" for v in lsns]),
+        }
+        if extra is not None:
+            cols["size_hint"] = extra
+        pq_.write_table(pa_.table(cols), path)
+
+    seg_dir = tmp_path / "ssegs"
+    os.makedirs(seg_dir)
+    seg(str(seg_dir / "segment_000000.parquet"), [0, 1, 2])
+    seg(str(seg_dir / "segment_000001.parquet"), [3, 4], pa_.array([5, 5], pa_.int32()))
+    seg(str(seg_dir / "segment_000002.parquet"), [5, 6], pa_.array([7, 7], pa_.int64()))
+    lake = str(tmp_path / "slake")
+    files = sorted(str(p) for p in seg_dir.iterdir())
+    run_ingest(files, lake, num_partitions=2, segments_per_epoch=1)
+
+    log = schema_history(lake)
+    assert log["epoch"].tolist() == [0, 1, 2]
+    assert "size_hint" in log["added"].iloc[1]
+    assert log["retyped"].iloc[2] == "size_hint"  # int32 → int64 widen
+    assert log["n_columns"].tolist() == [9, 10, 10]
+
+    compact_commits(lake)
+    vacuum(lake, keep_epochs=1)
+    log2 = schema_history(lake)
+    assert log2.equals(log)
