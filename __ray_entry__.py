@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_median_filter(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import filter_by_median_length
+
+    return filter_by_median_length(sf_dir)
+
+
 def _q_lm_proxy(sf_dir: str):
     from sonic_etl_ray.functions.text import lm_quality_proxy
 
@@ -666,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _q_frame_sample,
         "chunk_documents": _q_chunk_docs,
         "lm_quality_proxy": _q_lm_proxy,
+        "filter_by_median_length": _q_median_filter,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -852,6 +859,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["filter_by_median_length"] = """
+        WITH thr AS (SELECT quantile_disc(n_chars, 0.5) AS t FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents, thr WHERE n_chars >= thr.t
+        GROUP BY 1 ORDER BY 1"""
 
     sql["lm_quality_proxy"] = r"""
         WITH pairs AS (

@@ -302,3 +302,92 @@ def chunk_documents(
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(chunks, batch_format="pandas").to_pandas()
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def filter_by_median_length(
+    sf_dir: str, q: float = 0.5, n_buckets: int = 1 << 14
+) -> pd.DataFrame:
+    """Global-statistic quality gate: keep documents whose ``n_chars`` is at
+    least the EXACT corpus q-quantile (``quantile_disc`` rule), then
+    aggregate survivors per language — the composition every corpus-prep run
+    needs (threshold computed FROM the data, then applied AS a pushdown).
+
+    Pass 1 computes the exact threshold with the bounded histogram selection
+    (driver state O(n_buckets), candidate collection ≈ n/n_buckets rows —
+    never the whole column; bounds free from the Parquet footer). Pass 2 is
+    a fresh read with ``n_chars >= threshold`` pushed into the scan, so at
+    100 TB the survivors' pass prunes row groups at storage."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .relational import _footer_bounds
+
+    path = f"{sf_dir}/documents.parquet"
+    col = "n_chars"
+    ds = ray.data.read_parquet(path, columns=[col])
+    bounds = _footer_bounds(path, col)
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        agg = ds.aggregate(Min(col), Max(col))
+        lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    k = math.ceil(q * n) - 1  # 0-based quantile_disc rank
+    i = int(np.searchsorted(cum, k + 1, side="left"))
+    before = int(cum[i - 1]) if i else 0
+    b_target = int(hist["bucket"].iloc[i])
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), n_buckets - 1)
+        return pa.table({"v": pa.array(v[b == b_target], pa.float64())})
+
+    import ray as _ray
+
+    cand = pa.concat_tables(
+        [t for t in _ray.get(ds.map_batches(in_bucket, batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    )
+    vals = np.sort(np.asarray(cand["v"], dtype=np.float64))
+    threshold = int(vals[k - before])
+
+    survivors = ray.data.read_parquet(
+        path, columns=["lang", col], filter=pc.field(col) >= pa.scalar(threshold)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("lang").aggregate([(col, "sum"), ("lang", "count")])
+        return out.rename_columns(["lang", "total_chars", "n_docs"])
+
+    out = (
+        survivors.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["lang", "n_docs", "total_chars"]].sort_values("lang").reset_index(drop=True)

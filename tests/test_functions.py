@@ -635,3 +635,22 @@ def test_resize_stub_plumbing():
     assert got[0] == row["payload"][0]
     with pytest.raises(NotImplementedError):
         ResizeStub(fake=False)(tbl.slice(0, 2))
+
+
+def test_filter_by_median_length_threshold():
+    """The gate keeps exactly the docs at or above the exact corpus median
+    (quantile_disc rule), aggregated per language."""
+    import math
+
+    from sonic_etl_ray.pipelines.corpus import filter_by_median_length
+
+    out = filter_by_median_length(SF)
+    docs = _docs()
+    v = np.sort(docs["n_chars"].to_numpy())
+    thr = v[math.ceil(0.5 * len(v)) - 1]
+    keep = docs[docs["n_chars"] >= thr]
+    want = keep.groupby("lang").agg(n_docs=("n_chars", "count"), total_chars=("n_chars", "sum"))
+    for lang, row in want.iterrows():
+        got = out[out.lang == lang].iloc[0]
+        assert got["n_docs"] == row["n_docs"]
+        assert got["total_chars"] == row["total_chars"]
