@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_funnel(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import funnel_conversion
+
+    return funnel_conversion(sf_dir)
+
+
 def _q_median_filter(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import filter_by_median_length
 
@@ -673,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_docs,
         "lm_quality_proxy": _q_lm_proxy,
         "filter_by_median_length": _q_median_filter,
+        "funnel_conversion": _q_funnel,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -859,6 +866,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["funnel_conversion"] = """
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                     WHERE event_type = 'signup') AS BIGINT) AS n_signup_users,
+               CAST((SELECT COUNT(DISTINCT s.user_id)
+                     FROM events s JOIN events p
+                       ON p.user_id = s.user_id AND s.event_type = 'signup'
+                      AND p.event_type = 'purchase'
+                      AND p.ts >= s.ts
+                      AND p.ts <= s.ts + INTERVAL 12 HOURS) AS BIGINT) AS n_converted"""
 
     sql["filter_by_median_length"] = """
         WITH thr AS (SELECT quantile_disc(n_chars, 0.5) AS t FROM documents)

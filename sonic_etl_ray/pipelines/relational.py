@@ -988,3 +988,71 @@ def churned_customers(sf_dir: str, since: str = "2000-01-01") -> pd.DataFrame:
     out["c_custkey"] = out["c_custkey"].astype("int64")
     out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def funnel_conversion(
+    sf_dir: str, within_hours: int = 12, num_buckets: int = 64
+) -> pd.DataFrame:
+    """Funnel conversion: of the users who ever signed up, how many made a
+    purchase within ``within_hours`` after (any of) their signups — the
+    classic two-step funnel over an ordered event log.
+
+    Shape: ONE bucket-keyed exchange on hash(user_id) (users never straddle
+    buckets), then a vectorized per-bucket ``merge_asof`` (forward, by-user,
+    toleranced) matches each signup to its next purchase; per-bucket
+    partials (signup users, converted users) sum to the final pair. No
+    driver-side row processing."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["signup", "purchase"])
+        )
+        t = t.filter(keep)
+        return t.append_column(
+            "__bucket",
+            pc.cast(pc.bit_wise_and(t.column("user_id"), num_buckets - 1), pa.int64()),
+        )
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g[g.event_type == "signup"][["user_id", "ts"]]
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        p = (
+            g[g.event_type == "purchase"][["user_id", "ts"]]
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        n_signup_users = s["user_id"].nunique()
+        if s.empty or p.empty:
+            return pd.DataFrame(
+                {"n_signup_users": [int(n_signup_users)], "n_converted": [0]}
+            )
+        m = pd.merge_asof(
+            s,
+            p.rename(columns={"ts": "p_ts"}),
+            left_on="ts",
+            right_on="p_ts",
+            by="user_id",
+            direction="forward",
+            tolerance=pd.Timedelta(hours=within_hours),
+        )
+        converted = m.loc[m["p_ts"].notna(), "user_id"].nunique()
+        return pd.DataFrame(
+            {"n_signup_users": [int(n_signup_users)], "n_converted": [int(converted)]}
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_signup_users": [int(out["n_signup_users"].sum())],
+            "n_converted": [int(out["n_converted"].sum())],
+        }
+    )

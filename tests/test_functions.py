@@ -654,3 +654,26 @@ def test_filter_by_median_length_threshold():
         got = out[out.lang == lang].iloc[0]
         assert got["n_docs"] == row["n_docs"]
         assert got["total_chars"] == row["total_chars"]
+
+
+def test_funnel_conversion_vs_bruteforce():
+    """Converted user = any (signup, purchase) pair of theirs with
+    0 <= purchase_ts - signup_ts <= 12h; recomputed brute-force."""
+    from sonic_etl_ray.pipelines.relational import funnel_conversion
+
+    out = funnel_conversion(SF)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]).to_pandas()
+    s = ev[ev.event_type == "signup"]
+    p = ev[ev.event_type == "purchase"]
+    signup_users = set(s.user_id)
+    converted = set()
+    tol = pd.Timedelta(hours=12)
+    for uid in signup_users:
+        sts = s[s.user_id == uid]["ts"]
+        pts = p[p.user_id == uid]["ts"].to_numpy()
+        for t0 in sts:
+            if ((pts >= np.datetime64(t0)) & (pts <= np.datetime64(t0 + tol))).any():
+                converted.add(uid)
+                break
+    assert out["n_signup_users"].iloc[0] == len(signup_users)
+    assert out["n_converted"].iloc[0] == len(converted)
