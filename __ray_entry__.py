@@ -315,6 +315,18 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_distinct_cust(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import distinct_customers_per_priority
+
+    return distinct_customers_per_priority(sf_dir)
+
+
+def _q_above_avg(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import orders_above_customer_avg
+
+    return orders_above_customer_avg(sf_dir)
+
+
 def _q_funnel(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import funnel_conversion
 
@@ -680,6 +692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_proxy": _q_lm_proxy,
         "filter_by_median_length": _q_median_filter,
         "funnel_conversion": _q_funnel,
+        "distinct_customers_per_priority": _q_distinct_cust,
+        "orders_above_customer_avg": _q_above_avg,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -866,6 +880,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["distinct_customers_per_priority"] = """
+        SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders GROUP BY 1 ORDER BY 1"""
+
+    sql["orders_above_customer_avg"] = """
+        WITH c AS (SELECT o_custkey,
+                          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_cents,
+                          COUNT(*) AS n
+                   FROM orders GROUP BY 1)
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN c USING (o_custkey)
+        WHERE CAST(ROUND(o.o_totalprice*100) AS BIGINT) * c.n > c.sum_cents
+        GROUP BY 1 ORDER BY 1"""
 
     sql["funnel_conversion"] = """
         SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events

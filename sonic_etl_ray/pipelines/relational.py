@@ -1056,3 +1056,81 @@ def funnel_conversion(
             "n_converted": [int(out["n_converted"].sum())],
         }
     )
+
+
+def distinct_customers_per_priority(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped count-distinct (the HLL sketch's exact counterpart):
+    two-level shape — per-batch unique (priority, custkey) pairs (combiner)
+    → groupby on the PAIR dedupes globally → per-batch pair counts →
+    groupby(priority) sums. Shuffle volume is unique pairs, never rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
+        return out
+
+    deduped = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_custkey"])
+        .aggregate(Count(alias_name="__n"))
+    )
+    out = (
+        deduped.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery shape: orders priced STRICTLY above their own
+    customer's average order price, counted per priority. Exact under
+    distributed execution: per-customer (sum_cents, n) moments are
+    order-independent int64s, and the comparison price > sum/n is the
+    integer cross-multiplication price_cents · n > sum_cents — no float
+    division anywhere, so ties at the mean are decided identically to the
+    oracle. One groupby for the moments, one hash join back, one count."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": cents,
+            }
+        )
+
+    orders = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    moments = orders.groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="sum_cents"), Count(alias_name="n")
+    )
+    j = orders.join(
+        moments.select_columns(["o_custkey", "sum_cents", "n"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["cents"], pc.cast(t["n"], pa.int64()))
+        keep = pc.greater(lhs, t["sum_cents"])
+        return pa.table({"o_orderpriority": t.filter(keep)["o_orderpriority"]})
+
+    from ray.data.aggregate import Count as _Count
+
+    out = (
+        j.map_batches(above, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(_Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -677,3 +677,27 @@ def test_funnel_conversion_vs_bruteforce():
                 break
     assert out["n_signup_users"].iloc[0] == len(signup_users)
     assert out["n_converted"].iloc[0] == len(converted)
+
+
+def test_exact_grouped_distinct_and_above_avg():
+    """Exact grouped count-distinct equals pandas nunique; the above-average
+    filter uses integer cross-multiplication so mean ties are excluded."""
+    from sonic_etl_ray.pipelines.relational import (
+        distinct_customers_per_priority,
+        orders_above_customer_avg,
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    d = distinct_customers_per_priority(SF).set_index("o_orderpriority")["n_customers"]
+    want = orders.groupby("o_orderpriority")["o_custkey"].nunique()
+    for k, v in want.items():
+        assert d[k] == v
+    a = orders_above_customer_avg(SF).set_index("o_orderpriority")["n_orders"]
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    orders = orders.assign(cents=cents)
+    g = orders.groupby("o_custkey")["cents"].agg(["sum", "count"])
+    j = orders.merge(g, left_on="o_custkey", right_index=True)
+    above = j[j["cents"] * j["count"] > j["sum"]]
+    want2 = above.groupby("o_orderpriority").size()
+    for k, v in want2.items():
+        assert a[k] == v
