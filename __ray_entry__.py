@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_langs_per_source(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import langs_per_source
+
+    return langs_per_source(sf_dir)
+
+
 def _q_distinct_cust(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import distinct_customers_per_priority
 
@@ -694,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": _q_funnel,
         "distinct_customers_per_priority": _q_distinct_cust,
         "orders_above_customer_avg": _q_above_avg,
+        "langs_per_source": _q_langs_per_source,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -880,6 +887,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["langs_per_source"] = """
+        SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY 1 ORDER BY 1"""
 
     sql["distinct_customers_per_priority"] = """
         SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers

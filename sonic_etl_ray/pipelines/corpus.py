@@ -391,3 +391,33 @@ def filter_by_median_length(
     out["total_chars"] = out["total_chars"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
     return out[["lang", "n_docs", "total_chars"]].sort_values("lang").reset_index(drop=True)
+
+
+def langs_per_source(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation: the distinct languages each source
+    publishes, as a deterministic comma-joined list (``string_agg DISTINCT
+    … ORDER BY``). Shape: per-batch unique (source, lang) pairs (combiner)
+    → one pair-keyed groupby dedupes globally → the ≤ |sources|·|langs|
+    result is formatted driver-side (same tiny-result discipline as the
+    pivot reshape)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "lang"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="__n"))
+        .to_pandas()
+    )
+    out = (
+        pairs.sort_values(["source", "lang"])
+        .groupby("source", as_index=False)
+        .agg(langs=("lang", lambda s: ",".join(s)), n_langs=("lang", "count"))
+    )
+    out["n_langs"] = out["n_langs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
