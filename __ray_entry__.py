@@ -315,6 +315,12 @@ def _q_normalize_text(sf_dir: str):
     return normalize_text(sf_dir)
 
 
+def _q_retention(sf_dir: str):
+    from sonic_etl_ray.pipelines.relational import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _q_langs_per_source(sf_dir: str):
     from sonic_etl_ray.pipelines.corpus import langs_per_source
 
@@ -701,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_customers_per_priority": _q_distinct_cust,
         "orders_above_customer_avg": _q_above_avg,
         "langs_per_source": _q_langs_per_source,
+        "retention_cohorts": _q_retention,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -887,6 +894,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean_text) AS BIGINT) AS n_chars,
                CAST(raw_len - length(clean_text) AS BIGINT) AS chars_removed
         FROM n ORDER BY doc_id"""
+
+    sql["retention_cohorts"] = """
+        WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT c.cohort_week, uw.week, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""
 
     sql["langs_per_source"] = """
         SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,

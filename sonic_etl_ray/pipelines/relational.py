@@ -1134,3 +1134,45 @@ def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week, and
+    for every later week, how many of that cohort were active — the
+    standard product-analytics triangle. Shape: per-batch unique (user,
+    week) pairs (combiner) → pair groupby dedupes globally → per-user MIN
+    week (one small groupby) → hash join pairs⋈cohorts on user → one count
+    groupby. Every exchange is key-partitioned; active-pair volume bounds
+    everything."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        week = pc.cast(pc.floor_temporal(t["ts"], unit="week"), pa.int64())
+        tt = pa.table({"user_id": t["user_id"], "week": week})
+        return tt.group_by(["user_id", "week"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["user_id", "week"])
+        .materialize()
+    )
+    cohorts = pairs.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    j = pairs.join(
+        cohorts.select_columns(["user_id", "cohort_week"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id",),
+    )
+    out = (
+        j.groupby(["cohort_week", "week"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["cohort_week"] = pd.to_datetime(out["cohort_week"], unit="us").astype("datetime64[us]")
+    out["week"] = pd.to_datetime(out["week"], unit="us").astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week"]).reset_index(drop=True)
