@@ -701,3 +701,34 @@ def test_exact_grouped_distinct_and_above_avg():
     want2 = above.groupby("o_orderpriority").size()
     for k, v in want2.items():
         assert a[k] == v
+
+
+def test_langs_per_source_and_retention_bruteforce():
+    """Ordered lang lists per source and the cohort triangle match pandas
+    recomputations."""
+    from sonic_etl_ray.pipelines.corpus import langs_per_source
+    from sonic_etl_ray.pipelines.relational import retention_cohorts
+
+    docs = _docs()
+    out = langs_per_source(SF).set_index("source")
+    for src, g in docs.groupby("source"):
+        langs = sorted(g["lang"].unique())
+        assert out.loc[src, "langs"] == ",".join(langs)
+        assert out.loc[src, "n_langs"] == len(langs)
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    ev["week"] = ev["ts"].dt.to_period("W-SUN").dt.start_time  # ISO Monday start
+    uw = ev[["user_id", "week"]].drop_duplicates()
+    cohort = uw.groupby("user_id")["week"].min().rename("cohort_week")
+    tri = (
+        uw.merge(cohort, on="user_id")
+        .groupby(["cohort_week", "week"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+    )
+    got = retention_cohorts(SF)
+    assert len(got) == len(tri)
+    m = got.merge(tri, on=["cohort_week", "week"], suffixes=("", "_want"))
+    assert len(m) == len(tri)
+    assert (m["n_users"] == m["n_users_want"]).all()
