@@ -25,9 +25,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_pylist().index(vec_id)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    """Point-lookup of one query vector: a filtered Parquet read — the
+    predicate prunes row groups via vec_id min/max statistics, so query
+    setup reads O(row-group), never the whole vector lake."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    if t.num_rows == 0:
+        raise KeyError(f"vec_id {vec_id} not found in {sf_dir}/embeddings.parquet")
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 class CosineScorer:

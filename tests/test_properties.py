@@ -91,6 +91,40 @@ def test_partitioning_is_deterministic_and_in_range(pairs):
     assert single == p1[0]
 
 
+@given(st.lists(st.text(min_size=0, max_size=48), min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_stable_hash64_matches_pandas_siphash(strings):
+    """The vectorized Arrow-buffer SipHash-2-4 is bit-identical to
+    ``pd.util.hash_array(obj, categorize=False)`` — the round-2 partition
+    routing is preserved exactly (lakes written before the vectorization
+    resume onto identical partition assignments)."""
+    import numpy as np
+    import pandas as pd
+
+    from sonic_etl_ray.stages.keys import _hash_via_pandas
+
+    arr = pa.array(strings, pa.string())
+    got = stable_hash64(arr)
+    want = _hash_via_pandas(arr)
+    assert got.dtype == np.uint64
+    assert (got == want).all()
+    # sliced (non-zero offset) arrays hash the same values
+    if len(arr) > 2:
+        assert (stable_hash64(arr.slice(1, len(arr) - 2)) == want[1:-1]).all()
+
+
+def test_stable_hash64_pinned_values():
+    """Frozen reference values: partition assignment must never drift
+    across engine versions (a lake's directory layout depends on it)."""
+    arr = pa.array(["", "a", "abcdefgh", "repo_1\x00src/main.py"])
+    assert stable_hash64(arr).tolist() == [
+        1760245841805064774,
+        13950350942979735504,
+        14134741551282487882,
+        9337737889895578018,
+    ]
+
+
 @given(st.lists(st.integers(0, 10**45), min_size=1, max_size=30))
 @settings(max_examples=50, deadline=None)
 def test_cap_bignumeric_properties(vals):

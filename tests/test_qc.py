@@ -30,6 +30,34 @@ def test_gaps_to_ranges():
     assert gaps_to_ranges([]) == []
 
 
+def test_detect_gap_ranges_sparse_huge_span():
+    """A 10^8-wide span with 3 present runs: the ranges API returns the 2
+    gap ranges without ever materializing the span (the old dense
+    ``np.arange`` path would allocate ~800 MB here; O(gaps) summaries must
+    stay tiny). Runs split across blocks to exercise the seam merge."""
+    import numpy as np
+
+    from sonic_etl_ray.pipelines.qc import detect_gap_ranges
+
+    lsns = np.concatenate(
+        [
+            np.arange(0, 3_000, dtype=np.int64),
+            np.arange(40_000_000, 40_002_000, dtype=np.int64),
+            np.arange(99_999_000, 100_000_001, dtype=np.int64),
+        ]
+    )
+    rng = np.random.default_rng(7)
+    rng.shuffle(lsns)  # arbitrary arrival order, arbitrary block boundaries
+    ds = ray.data.from_arrow(pa.table({"lsn": lsns})).repartition(8)
+    assert detect_gap_ranges(ds) == [
+        (3_000, 39_999_999),
+        (40_002_000, 99_998_999),
+    ]
+    # dense path still exact on small spans
+    small = ray.data.from_arrow(pa.table({"lsn": [0, 1, 5, 6, 9]}))
+    assert detect_gaps(small) == [2, 3, 4, 7, 8]
+
+
 def test_backfill_plan_and_repair(tmp_path):
     """Ingest with two segments withheld; the backfill planner selects
     exactly those, and replaying them repairs the lake to the full oracle

@@ -82,24 +82,30 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_ok = n_bad = 0
+    import time as _time
+
+    t_start = _time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         try:
             got = to_pandas(fn(sf_dir))
+            t_ray = _time.perf_counter() - t0
             if name in oracles:
                 want = con.sql(oracles[name]).df()
                 verdict = compare(name, got, want)
             else:
                 verdict = f"ROWS-ONLY n={len(got)}"
-            print(f"{name:28s} {verdict}")
+            t_all = _time.perf_counter() - t0
+            print(f"{name:34s} {t_ray:6.2f}s ray {t_all - t_ray:6.2f}s oracle  {verdict}")
             n_bad += verdict.split()[0] not in ("OK", "ROWS-ONLY")
             n_ok += verdict.split()[0] in ("OK", "ROWS-ONLY")
         except Exception:
-            print(f"{name:28s} EXCEPTION")
+            print(f"{name:34s} EXCEPTION")
             traceback.print_exc(limit=4)
             n_bad += 1
-    print(f"== {n_ok} ok, {n_bad} bad")
+    print(f"== {n_ok} ok, {n_bad} bad, total {_time.perf_counter() - t_start:.1f}s")
     ray.shutdown()
     sys.exit(1 if n_bad else 0)
 
