@@ -760,20 +760,39 @@ def _shingle_sql(k: int) -> str:
     )
 
 
-def _brute_jaccard_sql(k: int, threshold: float, block: str | None = None) -> str:
-    """All-pairs (or blocked) exact Jaccard ≥ threshold over k-gram sets."""
+def _brute_jaccard_pairs_cte(k: int, block: str | None = None) -> str:
+    """CTE prefix computing exact-Jaccard candidate pairs SPARSELY: explode
+    each doc's distinct k-gram set to (doc_id, shingle) rows, self-join on
+    shingle and count — identical pair set and jaccard values as the naive
+    all-pairs ``list_intersect`` formulation, but cost scales with shared
+    shingles instead of |docs|² × |set| (measured at sf0.01: the all-pairs
+    oracle took 96 s in DuckDB; this form runs in <1 s). Pairs with zero
+    overlap never appear, which is fine for any threshold > 0."""
     cols = ", source" if block else ""
     join_on = "a.source = b.source AND a.doc_id < b.doc_id" if block else "a.doc_id < b.doc_id"
     return f"""
-        WITH s AS (SELECT doc_id{cols}, {_shingle_sql(k)} AS sh FROM documents),
-        p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.sh, b.sh)) AS inter,
-                 len(a.sh) AS la, len(b.sh) AS lb
-          FROM s a JOIN s b ON {join_on}
-        )
-        SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
-        FROM p WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= {threshold}
+        WITH sets AS (SELECT doc_id{cols}, {_shingle_sql(k)} AS sh FROM documents),
+        s AS (SELECT doc_id{cols}, unnest(sh) AS g FROM sets),
+        sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM s a JOIN s b ON a.g = b.g AND {join_on}
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT doc_a, doc_b,
+                 CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+        )"""
+
+
+def _brute_jaccard_sql(k: int, threshold: float, block: str | None = None) -> str:
+    """All-pairs (or blocked) exact Jaccard ≥ threshold over k-gram sets."""
+    return f"""{_brute_jaccard_pairs_cte(k, block)}
+        SELECT doc_a, doc_b, jaccard FROM jac
+        WHERE jaccard >= {threshold}
         ORDER BY doc_a, doc_b"""
 
 
@@ -1437,13 +1456,9 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_lsh_dedup"] = _brute_jaccard_sql(k=_MH["k"], threshold=_MH["threshold"])
 
     sql["near_dup_clusters"] = f"""
-        WITH RECURSIVE s AS (SELECT doc_id, {_shingle_sql(_MH["k"])} AS sh FROM documents),
+        {_brute_jaccard_pairs_cte(_MH["k"]).replace("WITH sets", "WITH RECURSIVE sets")},
         p AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM s a JOIN s b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                >= {_MH["threshold"]}
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_MH["threshold"]}
         ),
         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
               UNION ALL SELECT doc_b, doc_a FROM p),

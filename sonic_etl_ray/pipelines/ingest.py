@@ -858,8 +858,14 @@ def _run_ingest_impl(
     on_undecodable: str = "abort",
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
+    on_epoch: Any | None = None,
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
+
+    ``on_epoch`` (optional zero-arg callable) runs before EVERY epoch apply
+    — the exclusive-writer path uses it to heartbeat + fence-check the
+    writer lease between epochs, so a fenced writer aborts before it can
+    interleave a commit with the new lease holder.
 
     ``merge_mode="mor"`` switches the merge to merge-on-read: each epoch
     writes only its per-key winners as a partition DELTA file (no prior
@@ -917,6 +923,8 @@ def _run_ingest_impl(
     applied = skipped = repaired = 0
 
     def _apply(epoch: int, efiles: list[str], extra_desc: dict[str, Any] | None = None) -> None:
+        if on_epoch is not None:
+            on_epoch()
         ds = ray.data.read_parquet(efiles, **(read_kwargs or {}))
         desc = {"segments": [os.path.basename(f) for f in efiles]}
         desc.update(extra_desc or {})
@@ -962,6 +970,8 @@ def _run_ingest_impl(
         # path untested); fall back to the epoch loop otherwise
         schemas = {str(pq.read_schema(f)) for _, ef in normal for f in ef}
         if len(schemas) == 1:
+            if on_epoch is not None:
+                on_epoch()  # fused applies in one pipeline: one check up front
             out = _run_ingest_fused(
                 normal,
                 lake_dir,
@@ -995,6 +1005,7 @@ def run_ingest(
     *args: Any,
     exclusive: bool = False,
     lease_owner: str | None = None,
+    lease_ttl_s: float = 60.0,
     validate_inputs: bool = False,
     **kwargs: Any,
 ) -> dict[str, Any]:
@@ -1004,7 +1015,13 @@ def run_ingest(
     exactly-once reasoning assumes one writer per lake, and the lease makes
     a second concurrent writer fail fast (:class:`~sonic_etl_ray.state.commitlog.LeaseHeld`)
     instead of interleaving epochs. Stale leases (dead holder, no heartbeat
-    for the TTL) are taken over automatically.
+    for the TTL) are taken over automatically. While held, the lease is
+    HEARTBEAT + FENCE-CHECKED before every epoch apply (via ``on_epoch``),
+    so a run longer than the TTL stays live, and a writer that somehow lost
+    the lease (e.g. the process was paused past the TTL and taken over)
+    aborts with :class:`LeaseHeld` before committing another epoch.
+    ``lease_ttl_s`` sizes the TTL; it only needs to exceed the longest
+    single epoch, not the whole run.
 
     ``validate_inputs=True`` footer-checks every segment first: corrupt /
     truncated files are QUARANTINED (recorded under ``_QUARANTINE/``, never
@@ -1028,10 +1045,18 @@ def run_ingest(
     if not exclusive:
         return _finish(_run_ingest_impl(segment_files, lake_dir, *args, **kwargs))
     token = cl.acquire_writer_lease(
-        lake_dir, owner=lease_owner or f"run_ingest:{os.getpid()}"
+        lake_dir, owner=lease_owner or f"run_ingest:{os.getpid()}", ttl_s=lease_ttl_s
     )
     try:
-        return _finish(_run_ingest_impl(segment_files, lake_dir, *args, **kwargs))
+        return _finish(
+            _run_ingest_impl(
+                segment_files,
+                lake_dir,
+                *args,
+                on_epoch=lambda: cl.refresh_writer_lease(lake_dir, token),
+                **kwargs,
+            )
+        )
     finally:
         cl.release_writer_lease(lake_dir, token)
 
@@ -1073,7 +1098,13 @@ def read_quarantine(lake_dir: str) -> list[dict]:
 @contextmanager
 def writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0):
     """Context-manager form of the single-writer lease for callers that
-    compose their own apply loops (Tailer drivers, replication jobs)."""
+    compose their own apply loops (Tailer drivers, replication jobs).
+
+    The caller owns the heartbeat: call
+    ``commitlog.refresh_writer_lease(lake_dir, token)`` between applies
+    (it also FENCES — raising :class:`LeaseHeld` if the lease was taken
+    over), or size ``ttl_s`` above the longest gap between applies.
+    ``run_ingest(exclusive=True)`` does this automatically per epoch."""
     token = cl.acquire_writer_lease(lake_dir, owner, ttl_s=ttl_s)
     try:
         yield token
@@ -1885,13 +1916,21 @@ def export_snapshot(
     written LAST and atomically, carrying per-partition row counts and
     deterministic digests — readers that key off the manifest see either the
     complete old snapshot or the complete new one, never a torn mix.
-    Resumable: partitions whose snapshot file already exists under an
-    unchanged manifest are skipped on re-run (the per-partition write is
+
+    A LIVE export (``as_of_epoch=None``) is pinned to the lake's committed
+    frontier at call time: every partition resolves as of that one epoch
+    (self-consistent even if an ingest commits mid-export), and the pin is
+    recorded in the manifest as ``pinned_epoch``. Resumable: partitions
+    whose snapshot file already exists under a manifest with the SAME pin
+    are skipped on re-run — a re-run after new epochs commit re-pins to the
+    new frontier and rewrites, so a published live snapshot can never
+    silently go stale while claiming currency (the per-partition write is
     idempotent anyway — same canonical sort, same content)."""
     import json
     import os
 
     parts = _lake_parts(lake_dir)
+    pinned = as_of_epoch if as_of_epoch is not None else committed_frontier(lake_dir)
     manifest_path = f"{out_dir}/SNAPSHOT.json"
     prior: dict[str, Any] = {}
     if os.path.exists(manifest_path):
@@ -1900,17 +1939,18 @@ def export_snapshot(
     prior_parts = {
         p["part"]: p
         for p in prior.get("partitions", [])
-        if prior.get("as_of_epoch") == as_of_epoch
+        if prior.get("pinned_epoch", "__absent__") == pinned
         and os.path.exists(p.get("file", ""))
     }
     todo = [p for p in parts if p not in prior_parts]
     task = ray.remote(num_cpus=1)(_export_partition)
     entries = list(prior_parts.values()) + ray.get(
-        [task.remote(lake_dir, p, out_dir, as_of_epoch) for p in todo]
+        [task.remote(lake_dir, p, out_dir, pinned) for p in todo]
     )
     entries.sort(key=lambda e: e["part"])
     manifest = {
         "as_of_epoch": as_of_epoch,
+        "pinned_epoch": pinned,
         "source_lake": lake_dir,
         "partitions": entries,
         "rows": int(sum(e["rows"] for e in entries)),

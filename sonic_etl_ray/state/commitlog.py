@@ -358,33 +358,67 @@ def acquire_writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0) -> str:
     path = _lease_path(lake_dir)
     token = uuid.uuid4().hex
     payload = json.dumps(
-        {"owner": owner, "pid": os.getpid(), "token": token}
+        {"owner": owner, "pid": os.getpid(), "token": token, "ttl_s": ttl_s}
     ).encode()
-    while True:
+    def _create_excl(content: bytes) -> bool:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "wb") as f:
-                f.write(payload)
-            return token
         except FileExistsError:
-            try:
-                age = time.time() - os.stat(path).st_mtime
-            except FileNotFoundError:
-                continue  # released between our create and stat — retry
-            if age <= ttl_s:
-                with open(path) as f:
-                    holder = json.load(f)
-                raise LeaseHeld(
-                    f"writer lease on {lake_dir} held by "
-                    f"{holder.get('owner')!r} (pid {holder.get('pid')}, "
-                    f"heartbeat {age:.1f}s ago, ttl {ttl_s}s)"
-                )
-            # stale: move the corpse aside (atomic — only one claimant's
-            # rename succeeds) and retry the exclusive create
-            try:
-                os.replace(path, path + ".stale")
-            except FileNotFoundError:
-                pass
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+        return True
+
+    took_over = False
+    while True:
+        if _create_excl(payload):
+            return token
+        if took_over:
+            # we renamed the stale corpse away, yet someone else created a
+            # FRESH lease before our create — they won the takeover
+            raise LeaseHeld(f"writer lease on {lake_dir} re-acquired by another claimant")
+        try:
+            age = time.time() - os.stat(path).st_mtime
+            with open(path) as f:
+                holder = json.load(f)
+        except (FileNotFoundError, ValueError):
+            continue  # released/replaced between create and stat/read — retry
+        # staleness is judged against the TTL the HOLDER acquired with
+        # (persisted in the lease) — a claimant passing a smaller ttl_s must
+        # not steal from a holder heartbeating at its own granted cadence
+        holder_ttl = float(holder.get("ttl_s", ttl_s))
+        if age <= holder_ttl:
+            raise LeaseHeld(
+                f"writer lease on {lake_dir} held by "
+                f"{holder.get('owner')!r} (pid {holder.get('pid')}, "
+                f"heartbeat {age:.1f}s ago, ttl {holder_ttl}s)"
+            )
+        # Stale: move the corpse to a CLAIMANT-UNIQUE name (atomic; two
+        # claimants cannot both grab it), then VERIFY the grabbed file is
+        # the lease we judged stale. Without the verify, a slow claimant's
+        # rename can evict a rival's freshly re-created lease (judged on
+        # the old file, acted on the new one).
+        corpse = f"{path}.stale.{token}"
+        try:
+            os.replace(path, corpse)
+        except FileNotFoundError:
+            continue  # another claimant took the corpse first — re-check
+        try:
+            with open(corpse, "rb") as f:
+                grabbed = json.loads(f.read())
+        except (FileNotFoundError, ValueError):
+            grabbed = {}
+        if grabbed.get("token") != holder.get("token"):
+            # we evicted a FRESH lease created after our staleness check —
+            # restore it (best effort; if a third claimant already created
+            # a new lease, the evicted holder is fenced at its next
+            # refresh) and report the lake as held
+            with open(corpse, "rb") as f:
+                _create_excl(f.read())
+            os.remove(corpse)
+            raise LeaseHeld(f"writer lease on {lake_dir} was re-acquired during takeover")
+        os.remove(corpse)
+        took_over = True
 
 
 def refresh_writer_lease(lake_dir: str, token: str) -> None:

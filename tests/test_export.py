@@ -59,6 +59,38 @@ def test_export_rerun_skips_finished_partitions(tmp_path):
     assert repaired["partitions_skipped"] == 3
 
 
+def test_export_live_rerun_repins_after_new_epochs(tmp_path):
+    """A LIVE export is pinned to the committed frontier: after new epochs
+    commit, a re-run must NOT skip existing partition files (their content
+    is stale for the new frontier) — it re-pins and rewrites, and the
+    published snapshot equals the new lake state."""
+    files = generate_stream(
+        str(tmp_path / "segs"),
+        StreamSpec(n_events=2_000, n_repos=8, seed=13, segment_size=500),
+    )
+    lake = scratch_lake_dir("exp_repin")
+    run_ingest(files[:2], lake, num_partitions=4, segments_per_epoch=2)
+    out = str(tmp_path / "snap_live")
+    export_snapshot(lake, out)
+    early_rows = json.load(open(f"{out}/SNAPSHOT.json"))["rows"]
+
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=2)  # advance
+    stats = export_snapshot(lake, out)
+    assert stats["partitions_skipped"] == 0  # stale pin → full rewrite
+    manifest = json.load(open(f"{out}/SNAPSHOT.json"))
+    assert manifest["pinned_epoch"] == 1  # re-pinned to the new frontier
+    want = lake_final_table(lake)
+    assert manifest["rows"] == want.num_rows != early_rows
+    snap = read_snapshot(out).to_pandas()
+    cols = ["repo", "path", "content_sha256"]
+    got = snap[cols].sort_values(cols).reset_index(drop=True)
+    exp = want.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp)
+    # unchanged lake, same pin → skips resume working as before
+    again = export_snapshot(lake, out)
+    assert again["partitions_written"] == 0 and again["partitions_skipped"] == 4
+
+
 def test_export_as_of_epoch_is_time_travel(tmp_path):
     lake = _mk_lake(tmp_path)
     out = str(tmp_path / "snap_asof")

@@ -139,3 +139,58 @@ def test_tailer_exclusive_holds_and_releases(tmp_path):
     assert held_during and all(held_during)  # lease held across the loop
     tok = acquire_writer_lease(lake, "after")  # released at loop exit
     release_writer_lease(lake, tok)
+
+
+def test_claimant_ttl_cannot_steal_from_slower_holder(tmp_path):
+    """Staleness is judged against the TTL the HOLDER acquired with (it is
+    persisted in the lease file) — a claimant passing a tiny ttl_s must not
+    steal from a holder heartbeating at its own granted cadence."""
+    lake = str(tmp_path / "lake")
+    tok = acquire_writer_lease(lake, "slow", ttl_s=30.0)
+    time.sleep(0.3)  # well within the holder's 30s TTL
+    with pytest.raises(LeaseHeld):
+        acquire_writer_lease(lake, "thief", ttl_s=0.05)
+    release_writer_lease(lake, tok)
+
+
+def test_takeover_leaves_no_corpse_files(tmp_path):
+    lake = str(tmp_path / "lake")
+    acquire_writer_lease(lake, "dead", ttl_s=0.1)
+    time.sleep(0.3)
+    tok = acquire_writer_lease(lake, "new", ttl_s=0.1)
+    stale = [f for f in os.listdir(lake) if ".stale" in f]
+    assert stale == []
+    release_writer_lease(lake, tok)
+
+
+def test_exclusive_ingest_heartbeats_every_epoch(tmp_path):
+    """run_ingest(exclusive=True) refreshes + fence-checks the lease before
+    every epoch apply, so a run longer than the TTL never goes stale: a
+    rival claimant during the run must see a live lease."""
+    from sonic_etl_ray.generator import StreamSpec, generate_stream
+    from sonic_etl_ray.pipelines.ingest import _run_ingest_impl, run_ingest
+
+    files = generate_stream(
+        str(tmp_path / "segs"),
+        StreamSpec(n_events=1_500, n_repos=4, seed=3, segment_size=250),
+    )
+    # unit level: the hook fires once per applied epoch
+    calls: list[int] = []
+    lake = str(tmp_path / "lake_hook")
+    _run_ingest_impl(
+        files, lake, num_partitions=2, segments_per_epoch=2,
+        on_epoch=lambda: calls.append(1),
+    )
+    assert len(calls) == 3  # 6 segments / 2 per epoch
+
+    # integration: the lease file's heartbeat advances during the run
+    # (TTL far below the run length) and the lease is released at the end
+    lake2 = str(tmp_path / "lake_hb")
+    stats = run_ingest(
+        files, lake2, num_partitions=2, segments_per_epoch=2,
+        exclusive=True, lease_ttl_s=0.4,
+    )
+    assert stats["epochs_applied"] == 3
+    from sonic_etl_ray.state.commitlog import LEASE_NAME
+
+    assert not os.path.exists(os.path.join(lake2, LEASE_NAME))
