@@ -634,11 +634,69 @@ def _q_interdoc_ngram(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # COVERAGE-FIRST ORDERING: the round-2 driver gate stopped at exactly
+    # the first 50 dict entries, leaving everything after `repetition_stats`
+    # (the whole dedup/ANN/sketch/corpus surface) without a driver row. The
+    # never-yet-driver-verified queries therefore run FIRST, then the ones
+    # whose implementation changed this round, then the rows that already
+    # passed the gate twice — if the budget truncates again, it truncates
+    # into the twice-verified tail. Grouping comments mark the surfaces.
     return {
-        # CDC engine (the core): real pipeline vs SQL-window oracle
+        # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
+        "dedup_exact": _q_dedup_exact,
+        "dedup_incremental": _q_dedup_incremental,
+        "minhash_lsh_dedup": _q_minhash,
+        "near_dup_clusters": _q_neardup_clusters,
+        "simhash_fingerprints": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_pairs,
+        "doc_fingerprints": _q_fingerprints,
+        "lang_id": _q_lang_id,
+        "contamination_check": _q_contamination,
+        "normalize_text": _q_normalize_text,
+        "scrub_text": _q_scrub_text,
+        "distinctive_terms": _q_distinctive_terms,
+        "lm_quality_proxy": _q_lm_proxy,
+        "interdoc_ngram_dup": _q_interdoc_ngram,
+        "filter_by_median_length": _q_median_filter,
+        "langs_per_source": _q_langs_per_source,
+        "vocab_topk": _q_vocab,
+        "cms_token_freq": _q_cms_freq,
+        "hll_distinct_parts": _q_hll_distinct,
+        "bloom_semijoin_revenue": _q_bloom_semijoin,
+        "split_assign": _q_split,
+        "stratified_sample": _q_stratified,
+        "embedding_topk_cosine": _q_embed_topk,
+        "embedding_neardup_pairs": _q_embed_neardup,
+        "embedding_lsh_topk": _q_embed_lsh,
+        "embedding_lsh_indexed": _q_embed_lsh_indexed,
+        "embedding_ivf_topk": _q_embed_ivf,
+        "embedding_ivf_indexed": _q_embed_ivf_indexed,
+        "quantize_embeddings": _q_quantize,
+        "media_payload_stats": _q_media_stats,
+        "media_frame_sample": _q_frame_sample,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_docs,
+        "prep_corpus": _q_prep_corpus,
+        "token_shards": _q_token_shards,
+        # --- driver-unverified as of r02: relational tail
+        "decode_props_rollup": _q_decode_props,
+        "sliding_user_window": _q_sliding_window,
+        "grouped_price_percentiles": _q_grouped_percentiles,
+        "churned_customers": _q_churned,
+        "funnel_conversion": _q_funnel,
+        "distinct_customers_per_priority": _q_distinct_cust,
+        "orders_above_customer_avg": _q_above_avg,
+        "retention_cohorts": _q_retention,
+        # --- implementation changed this round (re-verify early)
+        "sessionize_events": _q_sessionize,
+        "asof_join_last_signup": _q_asof,
+        "user_running_value": _q_running_value,
+        "attribution_range_join": _q_range_join,
+        "cdc_gap_detect": _q_cdc_gaps,
+        "cdc_export_snapshot": _q_cdc_export,
+        # --- CDC engine core (green in r01 AND r02)
         "cdc_apply_upserts": _q_cdc_upserts,
         "cdc_apply_dup_replay": _q_cdc_dup,
-        "cdc_export_snapshot": _q_cdc_export,
         "cdc_apply_mor": _q_cdc_mor,
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
@@ -652,7 +710,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_row_counts": _q_cdc_counts,
         "cdc_incremental_repo_stats": _q_cdc_mv,
         "cdc_watermark_by_repo": _q_cdc_watermark,
-        "cdc_gap_detect": _q_cdc_gaps,
         "cdc_decoded_events": _q_cdc_decoded,
         "cdc_multitable_counts": _q_cdc_multitable,
         "cdc_nested_evolution": _q_cdc_nested,
@@ -663,7 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_freshness_accounting": _q_cdc_fresh,
         "cdc_feed_incremental_view": _q_cdc_feed_view,
         "cdc_time_travel": _q_cdc_timetravel,
-        # relational operator surface
+        # --- relational operator surface (green in r02)
         "q1_pricing_summary": _q_q1,
         "q6_filter_revenue": _q_q6,
         "join_orders_customers": _q_join,
@@ -673,66 +730,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_mktsegments": _q_distinct,
         "supplier_balance_stats": _q_supplier_stats,
         "windowed_user_daily": _q_window,
-        "asof_join_last_signup": _q_asof,
         "price_percentiles": _q_percentiles,
         "top_orders_per_segment": _q_top_per_segment,
-        "user_running_value": _q_running_value,
-        "attribution_range_join": _q_range_join,
         "rollup_revenue": _q_rollup,
         "pivot_orders_by_priority": _q_pivot,
         "balance_moments": _q_moments,
-        "sessionize_events": _q_sessionize,
         "multitable_fanout_stats": _q_multitable,
-        # training-data ops
+        # --- text scoring (green in r02)
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition,
-        "contamination_check": _q_contamination,
-        "lang_id": _q_lang_id,
-        "normalize_text": _q_normalize_text,
-        "scrub_text": _q_scrub_text,
-        "distinctive_terms": _q_distinctive_terms,
-        "decode_props_rollup": _q_decode_props,
-        "sliding_user_window": _q_sliding_window,
-        "grouped_price_percentiles": _q_grouped_percentiles,
-        "churned_customers": _q_churned,
-        "pack_sequences": _q_pack_sequences,
-        "quantize_embeddings": _q_quantize,
-        "media_frame_sample": _q_frame_sample,
-        "chunk_documents": _q_chunk_docs,
-        "lm_quality_proxy": _q_lm_proxy,
-        "filter_by_median_length": _q_median_filter,
-        "funnel_conversion": _q_funnel,
-        "distinct_customers_per_priority": _q_distinct_cust,
-        "orders_above_customer_avg": _q_above_avg,
-        "langs_per_source": _q_langs_per_source,
-        "retention_cohorts": _q_retention,
-        "doc_fingerprints": _q_fingerprints,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_incremental": _q_dedup_incremental,
-        "split_assign": _q_split,
-        "stratified_sample": _q_stratified,
-        "vocab_topk": _q_vocab,
-        "hll_distinct_parts": _q_hll_distinct,
-        "bloom_semijoin_revenue": _q_bloom_semijoin,
-        "interdoc_ngram_dup": _q_interdoc_ngram,
-        "cms_token_freq": _q_cms_freq,
-        "minhash_lsh_dedup": _q_minhash,
-        "near_dup_clusters": _q_neardup_clusters,
-        "simhash_fingerprints": _q_simhash,
-        "ngram_jaccard_pairs": _q_ngram_pairs,
-        "embedding_topk_cosine": _q_embed_topk,
-        "embedding_neardup_pairs": _q_embed_neardup,
-        "embedding_lsh_topk": _q_embed_lsh,
-        "embedding_lsh_indexed": _q_embed_lsh_indexed,
-        "embedding_ivf_topk": _q_embed_ivf,
-        "embedding_ivf_indexed": _q_embed_ivf_indexed,
-        # multimodal: binary payloads through the actor-pool decode stage
-        "media_payload_stats": _q_media_stats,
-        # composed end-to-end training-data prep (filter → dedup → tokenize)
-        "prep_corpus": _q_prep_corpus,
-        "token_shards": _q_token_shards,
     }
 
 

@@ -176,22 +176,41 @@ def main() -> None:
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else _run_queries()
     ray.shutdown()
 
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_ingest_headline_sec",
-                "value": round(headline["sec"], 3),
-                "unit": "sec",
-                "events": headline["events"],
-                "events_per_sec": round(headline["events_per_sec"], 1),
-                "rep_secs": headline["rep_secs"],
-                "final_rows": headline["final_rows"],
-                "queries": queries,
-                "sf": _sf_tag(),
-                "num_cpus": NUM_CPUS,
-            }
-        )
-    )
+    if queries:
+        # full per-query record on its own (non-final) line — the FINAL
+        # line must stay under ~1.9 KB: the driver parses a 2000-byte
+        # stdout tail, and round 2's 3.3 KB line failed to parse
+        print("BENCH_ALL_QUERIES " + json.dumps(queries, separators=(",", ":")))
+    base = {
+        "metric": "cdc_ingest_headline_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "events": headline["events"],
+        "events_per_sec": round(headline["events_per_sec"], 1),
+        "rep_secs": headline["rep_secs"],
+        "final_rows": headline["final_rows"],
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+    }
+    # headline pipelines first, then fill with the rest until the byte cap
+    priority = [
+        "cdc_apply_upserts", "cdc_apply_mor", "cdc_replicate", "cdc_change_feed",
+        "cdc_time_travel", "q1_pricing_summary", "q6_filter_revenue",
+        "join_orders_customers", "q5_revenue_by_nation", "sessionize_events",
+        "asof_join_last_signup", "attribution_range_join", "price_percentiles",
+        "token_counts", "doc_quality", "lang_id", "dedup_exact",
+        "minhash_lsh_dedup", "near_dup_clusters", "dedup_incremental",
+        "embedding_topk_cosine", "embedding_lsh_indexed", "embedding_ivf_indexed",
+        "pack_sequences", "prep_corpus", "vocab_topk", "media_payload_stats",
+    ]
+    ordered = [q for q in priority if q in queries] + [q for q in queries if q not in priority]
+    picked: dict[str, float] = {}
+    for q in ordered:
+        picked[q] = queries[q]
+        if len(json.dumps({**base, "queries": picked}, separators=(",", ":"))) > 1800:
+            del picked[q]
+            break
+    print(json.dumps({**base, "queries": picked}, separators=(",", ":")))
 
 
 def scaling() -> None:

@@ -27,6 +27,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from sonic_etl_ray.stages.joins import safe_join
+
 from .text import TOKEN_RE, _doc_bounds, hash_token, md5_u64
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -63,7 +65,8 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
         .aggregate(Min(id_col, alias_name="__winner_id"))
         .select_columns(["__winner_id"])
     )
-    return hashed.join(
+    return safe_join(
+        hashed,
         winners,
         join_type="inner",
         num_partitions=_auto_join_partitions(),
@@ -213,7 +216,8 @@ def minhash_candidate_pairs(
         keep = pc.less(t["doc_a"], t["doc_b"])
         return t.filter(keep).select(["doc_a", "doc_b"])
 
-    joined = band_rows.rename_columns({"doc_id": "doc_a"}).join(
+    joined = safe_join(
+        band_rows.rename_columns({"doc_id": "doc_a"}),
         band_rows.rename_columns({"doc_id": "doc_b"}),
         join_type="inner",
         num_partitions=_auto_join_partitions(),
@@ -259,10 +263,12 @@ def minhash_verified_pairs(
     cand = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
     texts_a = docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
     texts_b = docs.rename_columns({"doc_id": "__tb_id", "text": "text_b"})
-    joined = cand.join(
-        texts_a, join_type="inner", num_partitions=join_partitions,
-        on=("doc_a",), right_on=("__ta_id",),
-    ).join(
+    joined = safe_join(
+        safe_join(
+            cand,
+            texts_a, join_type="inner", num_partitions=join_partitions,
+            on=("doc_a",), right_on=("__ta_id",),
+        ),
         texts_b, join_type="inner", num_partitions=join_partitions,
         on=("doc_b",), right_on=("__tb_id",),
     )
@@ -349,7 +355,8 @@ def label_propagation_clusters(
     )
     prev_total = None
     for _ in range(max_iters):
-        msgs = edges.join(
+        msgs = safe_join(
+            edges,
             labels.rename_columns({"node": "__ln"}),
             join_type="inner", num_partitions=num_partitions,
             on=("src",), right_on=("__ln",),
@@ -570,7 +577,8 @@ def dedup_incremental(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    confirmed = candidates.select_columns(["doc_id", "fp"]).join(
+    confirmed = safe_join(
+        candidates.select_columns(["doc_id", "fp"]),
         lake.select_columns(["fp"]),
         join_type="inner",
         num_partitions=4,

@@ -204,7 +204,29 @@ def ivf_topk(
     return top.to_pandas().reset_index(drop=True)
 
 
-_IVF_INDEX_CACHE: dict[tuple, str] = {}
+def _index_cache_dir(kind: str, sf_dir: str, *params) -> str:
+    """Deterministic on-disk cache location for a derived ANN index.
+
+    The key digests (source path, source file mtime+size, params) with md5 —
+    NOT ``hash()``, whose PYTHONHASHSEED salt changes per process and made
+    every fresh process (e.g. the driver's per-round gate) rebuild a
+    perfectly good index. Folding in the source's mtime/size also
+    invalidates the cache when the input file changes in place, so a stale
+    index can never serve a mutated lake."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except FileNotFoundError:
+        stamp = "missing"
+    digest = hashlib.md5(
+        "|".join([os.path.abspath(sf_dir), stamp, *map(str, params)]).encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"{kind}_index_{digest}")
 
 
 def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
@@ -251,15 +273,9 @@ def ivf_topk_indexed(
     import os
     import tempfile
 
-    key = (os.path.abspath(sf_dir), n_clusters)
-    index_dir = _IVF_INDEX_CACHE.get(key)
-    if index_dir is None or not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
-        index_dir = os.path.join(
-            tempfile.gettempdir(), f"ivf_index_{abs(hash(key)) % (1 << 32):08x}"
-        )
-        if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
-            build_ivf_index(sf_dir, index_dir, n_clusters=n_clusters)
-        _IVF_INDEX_CACHE[key] = index_dir
+    index_dir = _index_cache_dir("ivf", sf_dir, n_clusters)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        build_ivf_index(sf_dir, index_dir, n_clusters=n_clusters)
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _query_vector(sf_dir, query_vec_id)
@@ -323,9 +339,6 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 # ------------------------------------------------------ bucketed LSH index
 
-_LSH_INDEX_CACHE: dict[tuple, str] = {}
-
-
 def build_lsh_index(
     sf_dir: str, index_dir: str, n_planes: int = 8, seed: int = 13
 ) -> str:
@@ -387,16 +400,9 @@ def lsh_topk_indexed(
     hasher = HyperplaneHasher(q.size, n_planes, seed)
     target = int(hasher.bucket(np.atleast_2d(q))[0])
 
-    key = (os.path.abspath(sf_dir), n_planes, seed)
-    index_dir = _LSH_INDEX_CACHE.get(key)
-    if index_dir is None or not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
-        index_dir = os.path.join(
-            tempfile.gettempdir(),
-            f"lsh_index_{abs(hash(key)) % (1 << 32):08x}",
-        )
-        if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
-            build_lsh_index(sf_dir, index_dir, n_planes=n_planes, seed=seed)
-        _LSH_INDEX_CACHE[key] = index_dir
+    index_dir = _index_cache_dir("lsh", sf_dir, n_planes, seed)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        build_lsh_index(sf_dir, index_dir, n_planes=n_planes, seed=seed)
 
     bucket_path = os.path.join(index_dir, f"bucket={target}")
     if not os.path.exists(bucket_path):  # empty probe bucket

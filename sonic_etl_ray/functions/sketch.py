@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from sonic_etl_ray.stages.joins import safe_join
 from ray.data.aggregate import Count, Max, Sum
 
 # ---------------------------------------------------------------------------
@@ -251,7 +253,8 @@ def bloom_semijoin_revenue(sf_dir: str, segment: str = "BUILDING") -> pd.DataFra
             }
         )
 
-    verified = survivors.map_batches(to_cents, batch_format="pandas").join(
+    verified = safe_join(
+        survivors.map_batches(to_cents, batch_format="pandas"),
         dim_keys,
         join_type="inner",
         num_partitions=8,

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from sonic_etl_ray.stages.joins import safe_join
+
 STOPWORDS_EN = ("the", "a", "and", "of", "to")
 TOKEN_RE = r"\S+"
 
@@ -436,7 +438,8 @@ def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
         NgramPairEmitter, batch_format="pandas", concurrency=(1, 4)
     ).materialize()
     totals = pairs.groupby("gh").aggregate(Sum("c", alias_name="total"))
-    joined = pairs.join(
+    joined = safe_join(
+        pairs,
         totals.select_columns(["gh", "total"]),
         join_type="inner",
         num_partitions=8,
@@ -607,7 +610,8 @@ def distinctive_terms(sf_dir: str, k: int = 5, num_buckets: int = 64) -> pd.Data
         DocTermCounter, batch_format="pandas", concurrency=(1, 4)
     ).materialize()
     dfreq = pairs.groupby("term").aggregate(Count(alias_name="df"))
-    joined = pairs.join(
+    joined = safe_join(
+        pairs,
         dfreq.select_columns(["term", "df"]),
         join_type="inner",
         num_partitions=8,
@@ -671,7 +675,8 @@ def lm_quality_proxy(sf_dir: str) -> pd.DataFrame:
         DocTermCounter, batch_format="pandas", concurrency=(1, 4)
     ).materialize()
     totals = pairs.groupby("term").aggregate(Sum("tf", alias_name="cnt"))
-    joined = pairs.join(
+    joined = safe_join(
+        pairs,
         totals.select_columns(["term", "cnt"]),
         join_type="inner",
         num_partitions=8,

@@ -19,6 +19,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from sonic_etl_ray.stages.joins import safe_join
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -155,7 +157,7 @@ def native_join_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
     shuffle fan-out on the join key)."""
     o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    j = o.join(c, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    j = safe_join(o, c, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
     out = (
         j.groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="total_price"), Count(alias_name="n_orders"))
@@ -247,8 +249,8 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         li_partial, batch_format="pyarrow"
     )
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+    joined = safe_join(
+        li, orders, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     out = joined.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
@@ -1061,8 +1063,8 @@ def churned_customers(sf_dir: str, since: str = "2000-01-01") -> pd.DataFrame:
 
         out = cust.map_batches(project_all, batch_format="pyarrow").to_pandas()
         return out.sort_values("c_custkey").reset_index(drop=True)
-    j = cust.join(
-        okeys, join_type="left_outer", num_partitions=8,
+    j = safe_join(
+        cust, okeys, join_type="left_outer", num_partitions=8,
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
@@ -1212,7 +1214,8 @@ def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
     moments = orders.groupby("o_custkey").aggregate(
         Sum("cents", alias_name="sum_cents"), Count(alias_name="n")
     )
-    j = orders.join(
+    j = safe_join(
+        orders,
         moments.select_columns(["o_custkey", "sum_cents", "n"]),
         join_type="inner",
         num_partitions=8,
@@ -1262,7 +1265,8 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
         .materialize()
     )
     cohorts = pairs.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
-    j = pairs.join(
+    j = safe_join(
+        pairs,
         cohorts.select_columns(["user_id", "cohort_week"]),
         join_type="inner",
         num_partitions=8,

@@ -732,3 +732,33 @@ def test_langs_per_source_and_retention_bruteforce():
     m = got.merge(tri, on=["cohort_week", "week"], suffixes=("", "_want"))
     assert len(m) == len(tri)
     assert (m["n_users"] == m["n_users_want"]).all()
+
+
+def test_safe_join_tolerates_schema_less_empty_blocks():
+    """Ray's sort-aggregate emits 0-column blocks for empty output
+    partitions; if one is the first block the join's hash shuffle submits,
+    the one-shot schema broadcast is wasted and sparse join partitions
+    finalize a column-less table (ArrowInvalid). safe_join drops proven
+    empties at the block-ref level before joining."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.stages.joins import drop_empty_blocks, safe_join
+
+    left = ray.data.from_arrow(
+        [pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}), pa.table({})]
+    )
+    right = ray.data.from_arrow(
+        [pa.table({}), pa.table({"k": [2, 3, 4], "w": [200, 300, 400]}), pa.table({})]
+    )
+    scrubbed = drop_empty_blocks(right)
+    assert scrubbed.num_blocks() == 1  # both 0-column empties gone, no data moved
+    out = (
+        safe_join(left, right, join_type="inner", num_partitions=8, on=("k",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 3]
+    assert out["v"].tolist() == [20, 30]
+    assert out["w"].tolist() == [200, 300]

@@ -248,17 +248,15 @@ def test_lsh_indexed_equals_filter_path(tmp_path):
     import os
 
     from sonic_etl_ray.functions.similarity import (
-        _LSH_INDEX_CACHE,
-        build_lsh_index,
+        _index_cache_dir,
         lsh_topk,
         lsh_topk_indexed,
     )
 
-    idx = str(tmp_path / "lshidx")
-    build_lsh_index(SF, idx)
-    _LSH_INDEX_CACHE[(os.path.abspath(SF), 8, 13)] = idx
     a = lsh_topk(SF)
-    b = lsh_topk_indexed(SF)
+    b = lsh_topk_indexed(SF)  # builds into the deterministic on-disk cache
+    idx = _index_cache_dir("lsh", SF, 8, 13)
+    assert os.path.exists(os.path.join(idx, "_INDEX_READY"))
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
     )
@@ -271,15 +269,12 @@ def test_ivf_indexed_equals_filter_path(tmp_path):
     import os
 
     from sonic_etl_ray.functions.similarity import (
-        _IVF_INDEX_CACHE,
-        build_ivf_index,
+        _index_cache_dir,
         ivf_topk,
         ivf_topk_indexed,
     )
 
-    idx = str(tmp_path / "ivfidx")
-    build_ivf_index(SF, idx, n_clusters=4)
-    _IVF_INDEX_CACHE[(os.path.abspath(SF), 4)] = idx
+    idx = _index_cache_dir("ivf", SF, 4)
     a = ivf_topk(SF, n_clusters=4, n_probe=2)
     b = ivf_topk_indexed(SF, n_clusters=4, n_probe=2)
     pd.testing.assert_frame_equal(
@@ -287,6 +282,23 @@ def test_ivf_indexed_equals_filter_path(tmp_path):
     )
     clusters = [d for d in os.listdir(idx) if d.startswith("cluster=")]
     assert len(clusters) > 1
+
+
+def test_index_cache_invalidates_on_source_change(tmp_path):
+    """The on-disk ANN index cache keys on the source file's mtime+size, so
+    a lake mutated in place gets a fresh index dir rather than stale results."""
+    import os
+    import shutil
+
+    from sonic_etl_ray.functions.similarity import _index_cache_dir
+
+    sf_copy = tmp_path / "sf"
+    sf_copy.mkdir()
+    shutil.copy(os.path.join(SF, "embeddings.parquet"), sf_copy / "embeddings.parquet")
+    before = _index_cache_dir("lsh", str(sf_copy), 8, 13)
+    os.utime(sf_copy / "embeddings.parquet", ns=(1, 1))
+    after = _index_cache_dir("lsh", str(sf_copy), 8, 13)
+    assert before != after
 
 
 def test_pivot_matches_duckdb_and_is_dense():
