@@ -762,3 +762,42 @@ def test_safe_join_tolerates_schema_less_empty_blocks():
     assert out["k"].tolist() == [2, 3]
     assert out["v"].tolist() == [20, 30]
     assert out["w"].tolist() == [200, 300]
+
+
+def test_safe_join_broadcast_path_matches_hash_join(monkeypatch):
+    """Small right sides take the broadcast (map-side pyarrow join) path;
+    results must be identical to the hash-shuffle join, including the
+    left_outer null-fill and the dropped right key column."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.stages import joins
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]}))
+    right = ray.data.from_arrow(pa.table({"rk": [2, 3, 3], "w": [200, 300, 301]}))
+
+    def run(join_type):
+        return (
+            joins.safe_join(
+                left, right, join_type=join_type, num_partitions=4,
+                on=("k",), right_on=("rk",),
+            )
+            .to_pandas()
+            .sort_values(["k", "w"])
+            .reset_index(drop=True)
+        )
+
+    bc_inner = run("inner")
+    bc_left = run("left_outer")
+    monkeypatch.setenv("SONIC_BROADCAST_JOIN_MAX_BYTES", "0")  # force hash join
+    hash_inner = run("inner")
+    hash_left = run("left_outer")
+    pd.testing.assert_frame_equal(bc_inner, hash_inner, check_dtype=False)
+    assert bc_inner["k"].tolist() == [2, 3, 3]
+    assert sorted(bc_left["k"].tolist()) == [1, 2, 3, 3, 4]
+    pd.testing.assert_frame_equal(
+        bc_left.sort_values(["k", "w"]).reset_index(drop=True),
+        hash_left.sort_values(["k", "w"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert "rk" not in bc_inner.columns
