@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         "--compact-states-every", type=int, default=None,
         help="fold merge-on-read deltas into bases every N closed epochs",
     )
+    t.add_argument(
+        "--metrics-port", type=int, default=None,
+        help="serve /metrics (Prometheus text) + /healthz on this loopback "
+        "port for the duration of the tail loop (0 = OS-assigned)",
+    )
 
     q = sub.add_parser("qc", help="freshness + count invariants of a lake")
     q.add_argument("--lake", required=True)
@@ -210,12 +215,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             signal.signal(signal.SIGTERM, lambda *_: tailer.stop())
             signal.signal(signal.SIGINT, lambda *_: tailer.stop())
+            if args.metrics_port is not None:
+                port = tailer.serve_metrics(port=args.metrics_port)
+                print(json.dumps({"metrics_port": port}), flush=True)
             res = tailer.run(
                 poll_interval_s=args.poll_interval,
                 max_ticks=args.ticks,
                 on_tick=lambda r: print(json.dumps(r), flush=True),
             )
-            print(json.dumps(res))
+            print(json.dumps({**res, "metrics": tailer.metrics()}))
         elif args.cmd == "qc":
             from .pipelines.qc import freshness, skew_report, verify_lake_counts
 

@@ -467,32 +467,69 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.5, k: int = 3, block_col: str = "source"
+    sf_dir: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    block_col: str = "source",
+    max_block_pairs: int = 2_000_000,
 ) -> pd.DataFrame:
     """Exact k-gram Jaccard pairs ≥ threshold within blocking groups.
 
     Blocking on ``block_col`` keeps the pairwise work per group bounded —
     the groupby is the only shuffle; pairs never cross groups.
+
+    Hot-key guardrail: a block whose all-pairs expansion would exceed
+    ``max_block_pairs`` (a single dominant ``source`` at corpus scale is
+    O(n²)) switches to block-LOCAL MinHash-LSH candidate generation —
+    signatures + banded buckets inside the group, pairs only within
+    buckets — and exact-verifies just the candidates. Same ≥-threshold
+    semantics with LSH recall instead of exhaustive scan; small blocks are
+    untouched, so the exact path (and its SQL oracle) is unchanged
+    wherever it is tractable.
     """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", block_col]
     )
 
+    def _exact_pairs(ids, shingles, cand_iter):
+        rows_a, rows_b, js = [], [], []
+        for i, j in cand_iter:
+            si, sj = shingles[i], shingles[j]
+            inter = np.intersect1d(si, sj, assume_unique=True).size
+            jac = inter / float(si.size + sj.size - inter)
+            if jac >= threshold:
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                js.append(jac)
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": js})
+
+    def _lsh_candidates(texts, num_perm: int = 64, bands: int = 16):
+        """Block-local banded LSH: indices of candidate (i, j) pairs."""
+        hasher = MinHasher(num_perm=num_perm, k=k)
+        sigs = np.stack([hasher.signature(t) for t in texts])
+        rows_per_band = num_perm // bands
+        cands: set[tuple[int, int]] = set()
+        for b in range(bands):
+            band = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            buckets: dict[bytes, list[int]] = {}
+            for i, row in enumerate(band):
+                buckets.setdefault(row.tobytes(), []).append(i)
+            for members in buckets.values():
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        cands.add((members[x], members[y]))
+        return sorted(cands)
+
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", kind="stable")
         ids = g["doc_id"].to_numpy()
+        n = len(ids)
         shingles = [shingle_hashes(t, k) for t in g["text"]]
-        rows_a, rows_b, js = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                si, sj = shingles[i], shingles[j]
-                inter = np.intersect1d(si, sj, assume_unique=True).size
-                jac = inter / float(si.size + sj.size - inter)
-                if jac >= threshold:
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
-                    js.append(jac)
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "jaccard": js})
+        if n * (n - 1) // 2 > max_block_pairs:
+            cand = _lsh_candidates(list(g["text"]))
+        else:
+            cand = ((i, j) for i in range(n) for j in range(i + 1, n))
+        return _exact_pairs(ids, shingles, cand)
 
     out = ds.groupby(block_col).map_groups(per_block, batch_format="pandas").to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

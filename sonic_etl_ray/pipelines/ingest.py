@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
+import logging
 import os
 import tempfile
 import uuid
@@ -56,6 +57,8 @@ from ..stages.transform import (
     validate_and_derive,
 )
 from ..state import commitlog as cl
+
+log = logging.getLogger(__name__)
 
 COMMIT_RECORD_SCHEMA = pa.schema(
     [
@@ -859,8 +862,19 @@ def _run_ingest_impl(
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
     on_epoch: Any | None = None,
+    read_fallbacks: list[str] | None = None,
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
+
+    ``read_fallbacks`` lists alternate segment roots (replica mirrors of
+    the same stream). When an epoch fails reading from the primary paths,
+    the SAME epoch is retried with its segment basenames re-rooted onto
+    each fallback in order — the Ray-side analog of the reference's
+    primary/fallback provider failover, which health-checks and rebuilds
+    the RPC provider on range failure (``sonic_config/mod.rs:174-242``,
+    ``main.rs:259-275``). Safe mid-epoch: apply is idempotent per
+    (epoch, partition) commit unit, so a retry from a mirror re-applies
+    only the units the failed attempt didn't commit.
 
     ``on_epoch`` (optional zero-arg callable) runs before EVERY epoch apply
     — the exclusive-writer path uses it to heartbeat + fence-check the
@@ -921,13 +935,10 @@ def _run_ingest_impl(
         covered.update(m.get("input", {}).get("segments", []))
 
     applied = skipped = repaired = 0
+    failovers = 0
 
-    def _apply(epoch: int, efiles: list[str], extra_desc: dict[str, Any] | None = None) -> None:
-        if on_epoch is not None:
-            on_epoch()
+    def _apply_from(epoch: int, efiles: list[str], desc: dict[str, Any]) -> None:
         ds = ray.data.read_parquet(efiles, **(read_kwargs or {}))
-        desc = {"segments": [os.path.basename(f) for f in efiles]}
-        desc.update(extra_desc or {})
         apply_epoch(
             ds,
             lake_dir,
@@ -942,6 +953,37 @@ def _run_ingest_impl(
             suppress_unchanged=suppress_unchanged,
             merge_mode=merge_mode,
         )
+
+    def _apply(epoch: int, efiles: list[str], extra_desc: dict[str, Any] | None = None) -> None:
+        nonlocal failovers
+        if on_epoch is not None:
+            on_epoch()
+        desc = {"segments": [os.path.basename(f) for f in efiles]}
+        desc.update(extra_desc or {})
+        try:
+            _apply_from(epoch, efiles, desc)
+            return
+        except (cl.LeaseHeld, KeyboardInterrupt):
+            raise  # fencing/shutdown are not source failures
+        except Exception as primary_err:
+            if not read_fallbacks:
+                raise
+            log_err = primary_err
+            for root in read_fallbacks:
+                alt = [os.path.join(root, os.path.basename(f)) for f in efiles]
+                if not all(os.path.exists(p) for p in alt):
+                    continue
+                log.warning(
+                    "epoch %d failed on primary (%s); failing over to %s",
+                    epoch, primary_err, root,
+                )
+                try:
+                    _apply_from(epoch, alt, {**desc, "failover_root": root})
+                    failovers += 1
+                    return
+                except Exception as e:  # try the next mirror
+                    log_err = e
+            raise log_err
 
     # late-segment repair pass: a manifested epoch whose plan now has NEW
     # segments gets the delta replayed under a fresh repair epoch
@@ -996,6 +1038,7 @@ def _run_ingest_impl(
         "epochs_repaired": repaired,
         "segments_deferred": deferred,
         "epochs_total": len(epochs),
+        **({"epochs_failed_over": failovers} if failovers else {}),
     }
 
 

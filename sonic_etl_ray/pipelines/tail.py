@@ -68,10 +68,29 @@ class Tailer:
         self._applied_since_state_compact = 0
         self._stop = False
         self._last_seen = -1  # highest segment index observed (head watermark)
+        from .metrics import TailerMetrics
+
+        self._metrics = TailerMetrics()
+        self._metrics_server = None
 
     def stop(self) -> None:
         """Graceful shutdown flag (checked between epochs, never mid-epoch)."""
         self._stop = True
+
+    def metrics(self) -> dict[str, Any]:
+        """Operational snapshot (ST7): counters + per-partition watermark lag."""
+        return self._metrics.snapshot()
+
+    def serve_metrics(self, port: int = 0, liveness_window_s: float = 60.0) -> int:
+        """Start the loopback ``/metrics`` + ``/healthz`` HTTP surface
+        (reference: ``main.rs:282-355`` actix metrics/liveness servers).
+        Returns the bound port; stopped automatically when :meth:`run` exits."""
+        from .metrics import serve_metrics
+
+        self._metrics_server, port = serve_metrics(
+            self._metrics, port=port, liveness_window_s=liveness_window_s
+        )
+        return port
 
     def tick(self) -> dict[str, Any]:
         files = discover_segments(self.seg_dir)
@@ -93,7 +112,7 @@ class Tailer:
                 continue
             efiles = files[epoch * self.segments_per_epoch : (epoch + 1) * self.segments_per_epoch]
             ds = ray.data.read_parquet(efiles, **self.read_kwargs)
-            apply_epoch(
+            records = apply_epoch(
                 ds,
                 self.lake_dir,
                 epoch,
@@ -102,6 +121,7 @@ class Tailer:
                 input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
                 merge_mode=self.merge_mode,
             )
+            self._metrics.record_commits(epoch, records)
             applied += 1
         self._applied_since_compact += applied
         if self.compact_every and self._applied_since_compact >= self.compact_every:
@@ -116,6 +136,7 @@ class Tailer:
 
             compact_lake_states(self.lake_dir)
             self._applied_since_state_compact = 0
+        self._metrics.record_tick(head, applied, skipped)
         return {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
 
     def run(
@@ -150,6 +171,9 @@ class Tailer:
         finally:
             if token is not None:
                 cl.release_writer_lease(self.lake_dir, token)
+            if self._metrics_server is not None:
+                self._metrics_server.shutdown()
+                self._metrics_server = None
 
 
 def set_watermark_override(lake_dir: str, epoch: int) -> None:

@@ -801,3 +801,35 @@ def test_safe_join_broadcast_path_matches_hash_join(monkeypatch):
         check_dtype=False,
     )
     assert "rk" not in bc_inner.columns
+
+
+def test_ngram_jaccard_hot_block_guardrail(tmp_path):
+    """One dominant blocking key must not go quadratic: with a tiny
+    max_block_pairs the hot block routes through block-local MinHash-LSH
+    candidates + exact verification, and near-identical pairs are still
+    found with the same jaccard values as the exhaustive path."""
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.dedup import ngram_jaccard_pairs
+
+    import random
+
+    rng = random.Random(7)
+    bases = [
+        " ".join(f"w{rng.randrange(10_000)}" for _ in range(120)) for _ in range(4)
+    ]
+    texts, ids = [], []
+    for i in range(40):  # one hot block: 780 candidate pairs
+        ids.append(i)
+        # 4 clusters of 10 near-identical docs; cluster bases are disjoint
+        texts.append(bases[i % 4] + f" tailvariant{i}")
+    tbl = pa.table({"doc_id": ids, "text": texts, "source": ["hot"] * 40})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+
+    exact = ngram_jaccard_pairs(str(sf))  # default cap: exhaustive path
+    capped = ngram_jaccard_pairs(str(sf), max_block_pairs=100)  # force LSH path
+    # near-identical in-cluster pairs are easy LSH targets: identical recall here
+    pd.testing.assert_frame_equal(exact, capped)
+    assert len(exact) == 4 * (10 * 9) // 2  # 4 clusters x C(10,2)

@@ -183,3 +183,48 @@ def test_task_exchange_equals_groupby_exchange(tmp_path):
         lakes[mode] = lake
     assert_state_equal(lake_final_table(lakes["tasks"]), lake_final_table(lakes["groupby"]))
     assert_state_equal(lake_final_table(lakes["tasks"]), oracle_final_state(files))
+
+
+def test_read_fallback_failover_on_poisoned_primary(tmp_path):
+    """ST6 source failover: an epoch whose primary segment files are
+    corrupt is retried from a fallback mirror root; the final lake is
+    bit-identical to the oracle and the stats record the failover
+    (reference analog: sonic_config/mod.rs:174-242 provider fallback)."""
+    import os
+    import shutil
+
+    spec = StreamSpec(n_events=4000, n_repos=6, seed=51, segment_size=1000)
+    mirror = str(tmp_path / "mirror")
+    files = generate_stream(mirror, spec)
+
+    primary = str(tmp_path / "primary")
+    os.makedirs(primary)
+    for f in files:
+        shutil.copy(f, primary)
+    # poison one epoch's segment in the primary (epoch 1 with 2 segs/epoch)
+    poisoned = os.path.join(primary, os.path.basename(files[2]))
+    with open(poisoned, "wb") as fh:
+        fh.write(b"not a parquet file")
+
+    primary_files = sorted(glob.glob(primary + "/*.parquet"))
+    lake = scratch_lake_dir("failover")
+    stats = run_ingest(
+        primary_files, lake, num_partitions=4, segments_per_epoch=2,
+        read_fallbacks=[mirror],
+    )
+    assert stats["epochs_applied"] == 2
+    assert stats["epochs_failed_over"] == 1
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+    # no fallback -> the corrupt epoch is a hard error
+    lake2 = scratch_lake_dir("failover2")
+    with pytest.raises(Exception):
+        run_ingest(primary_files, lake2, num_partitions=4, segments_per_epoch=2)
+
+    # fallback that also lacks the file -> original error propagates
+    lake3 = scratch_lake_dir("failover3")
+    with pytest.raises(Exception):
+        run_ingest(
+            primary_files, lake3, num_partitions=4, segments_per_epoch=2,
+            read_fallbacks=[str(tmp_path / "nonexistent")],
+        )

@@ -107,3 +107,68 @@ def test_watermark_override(tmp_path):
     assert state.num_rows > 0
     golden_late = oracle_final_state(sorted(glob.glob(seg_dir + "/*.parquet"))[2:])
     assert_state_equal(state, golden_late)
+
+
+def test_tailer_metrics_counters_advance_and_http_surface(tmp_path):
+    """ST7 observability: counters advance across ticks from commit
+    records, the watermark-lag map is per-partition, and the loopback
+    /metrics + /healthz endpoints serve while the tailer runs
+    (reference analog: metrics/prometheus.rs + main.rs actix servers)."""
+    import json
+    import urllib.request
+
+    spec = StreamSpec(n_events=2000, n_repos=8, seed=31, segment_size=500)
+    table = generate_events(spec)
+    seg_dir = str(tmp_path / "segs")
+    write_segments(table, seg_dir, spec)
+
+    lake = scratch_lake_dir("tailmetrics")
+    tailer = Tailer(seg_dir, lake, num_partitions=4, segments_per_epoch=2)
+    port = tailer.serve_metrics(port=0)
+
+    r1 = tailer.tick()
+    m1 = tailer.metrics()
+    assert m1["ticks_total"] == 1
+    assert m1["epochs_applied_total"] == r1["epochs_applied"] == 2
+    assert m1["events_applied_total"] == 2000
+    assert m1["committed_frontier"] == 1
+    assert m1["events_per_sec"] > 0
+    assert set(m1["partition_watermark"]) == {0, 1, 2, 3}
+    assert min(m1["partition_watermark_lag"].values()) == 0
+
+    r2 = tailer.tick()  # nothing new: skips advance, applies don't
+    m2 = tailer.metrics()
+    assert m2["ticks_total"] == 2
+    assert m2["epochs_applied_total"] == 2
+    assert m2["epochs_skipped_total"] == m1["epochs_skipped_total"] + 2
+    assert m2["events_applied_total"] == 2000
+
+    body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
+    assert "sonic_etl_events_applied_total 2000" in body
+    assert 'sonic_etl_partition_watermark_lag{part="0"}' in body
+    health = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+    assert health.status == 200
+    assert json.loads(health.read())["alive"] is True
+    tailer._metrics_server.shutdown()
+
+
+def test_tailer_healthz_goes_503_when_stalled():
+    from sonic_etl_ray.pipelines.metrics import TailerMetrics, serve_metrics
+
+    fake_now = [1000.0]
+    m = TailerMetrics(clock=lambda: fake_now[0])
+    m.record_tick(head_segment=0, applied=0, skipped=0)
+    srv, port = serve_metrics(m, port=0, liveness_window_s=5.0)
+    try:
+        import urllib.error
+        import urllib.request
+
+        assert urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz").status == 200
+        fake_now[0] += 60.0  # loop stalls past the liveness window
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+    finally:
+        srv.shutdown()
