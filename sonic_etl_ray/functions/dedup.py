@@ -20,6 +20,7 @@ no stage materializes candidates or text on the driver.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -280,10 +281,21 @@ def minhash_verified_pairs(
     return verified
 
 
-# verified-pair memo: (sf_dir, params) → DataFrame. The pair population is
-# tiny (it IS the dup set); memoizing lets pair-consumers (clustering) reuse
-# one LSH execution instead of re-running the whole pipeline.
+# verified-pair memo: (sf_dir, input stamp, params) → DataFrame. The pair
+# population is tiny (it IS the dup set); memoizing lets pair-consumers
+# (clustering) reuse one LSH execution instead of re-running the whole
+# pipeline. The input's mtime+size is part of the key, so rewriting
+# documents.parquet in place invalidates the memo instead of serving stale
+# pairs (same discipline as the on-disk ANN index cache in similarity.py).
 _VERIFIED_PAIRS_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
+def _input_stamp(sf_dir: str) -> str:
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "missing"
 
 
 def minhash_lsh_dedup(
@@ -297,7 +309,7 @@ def minhash_lsh_dedup(
     :func:`minhash_verified_pairs`). With high-recall band settings (small
     rows-per-band) the LSH output equals the exact brute-force pair set —
     the configuration the driver's SQL oracle verifies hash-for-hash."""
-    key = (sf_dir, threshold, num_perm, bands, k)
+    key = (sf_dir, _input_stamp(sf_dir), threshold, num_perm, bands, k)
     cached = _VERIFIED_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached.copy()

@@ -833,3 +833,39 @@ def test_ngram_jaccard_hot_block_guardrail(tmp_path):
     # near-identical in-cluster pairs are easy LSH targets: identical recall here
     pd.testing.assert_frame_equal(exact, capped)
     assert len(exact) == 4 * (10 * 9) // 2  # 4 clusters x C(10,2)
+
+
+def test_minhash_memo_invalidates_on_input_rewrite(tmp_path):
+    """Rewriting documents.parquet in place must invalidate the verified-pair
+    memo (the cache key folds in the input's mtime+size), not serve stale
+    pairs from the previous file contents."""
+    import os
+    import time
+
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.dedup import minhash_lsh_dedup
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    path = sf / "documents.parquet"
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    tbl1 = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [dup_text, dup_text, "totally different words entirely " * 8],
+        "source": ["a", "a", "a"],
+    })
+    pq.write_table(tbl1, path)
+    first = minhash_lsh_dedup(str(sf), threshold=0.5)
+    assert list(zip(first["doc_a"], first["doc_b"])) == [(1, 2)]
+
+    time.sleep(0.02)  # ensure a distinct mtime_ns even on coarse clocks
+    tbl2 = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [dup_text, "now unrelated content here " * 8, dup_text],
+        "source": ["a", "a", "a"],
+    })
+    pq.write_table(tbl2, path)
+    os.utime(path)  # belt-and-braces mtime bump
+    second = minhash_lsh_dedup(str(sf), threshold=0.5)
+    assert list(zip(second["doc_a"], second["doc_b"])) == [(1, 3)]
