@@ -471,6 +471,12 @@ def _q_cdc_scd2(sf_dir: str):
     return cdc_scd2_history(sf_dir)
 
 
+def _q_cdc_scd2_inc(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_scd2_incremental
+
+    return cdc_scd2_incremental(sf_dir)
+
+
 def _q_cdc_range_scan(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_range_scan
 
@@ -688,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": _q_above_avg,
         "retention_cohorts": _q_retention,
         # --- implementation changed this round (re-verify early)
+        "cdc_scd2_incremental": _q_cdc_scd2_inc,  # NEW: merge-path history sidecar
         "sessionize_events": _q_sessionize,
         "asof_join_last_signup": _q_asof,
         "user_running_value": _q_running_value,

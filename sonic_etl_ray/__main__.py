@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="defer a trailing partial epoch instead of closing it (tail-style)",
     )
+    i.add_argument(
+        "--track-history", action="store_true",
+        help="archive distinct versions per (epoch, partition) into the "
+        "_history/ SCD2 sidecar (append-only, commit-gated)",
+    )
 
     t = sub.add_parser("tail", help="micro-batch tail a growing segment dir")
     t.add_argument("--segments", required=True)
@@ -90,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
         "--metrics-port", type=int, default=None,
         help="serve /metrics (Prometheus text) + /healthz on this loopback "
         "port for the duration of the tail loop (0 = OS-assigned)",
+    )
+
+    se = sub.add_parser(
+        "schema-export",
+        help="publish table contracts as BigQuery JSON + Avro + proto2",
+    )
+    se.add_argument("--out", required=True)
+    se.add_argument(
+        "--lake", default=None,
+        help="also publish this lake's CURRENT evolved state schema "
+        "(files_state_current), read from commit records alone",
     )
 
     q = sub.add_parser("qc", help="freshness + count invariants of a lake")
@@ -165,6 +181,12 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(vacuum(args.lake, keep_epochs=args.keep_epochs)))
         return 0
+    if args.cmd == "schema-export":
+        from .schemas_export import export_table_contracts
+
+        written = export_table_contracts(args.out, lake_dir=args.lake)
+        print(json.dumps({t: len(p) for t, p in written.items()}))
+        return 0
     if args.cmd == "compact-commits":
         from .state.commitlog import compact_commits
 
@@ -198,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
                 merge_mode=args.merge_mode,
                 validate_inputs=args.validate,
                 exclusive=args.exclusive,
+                track_history=args.track_history,
             )
             print(json.dumps(stats))
         elif args.cmd == "tail":

@@ -451,6 +451,7 @@ def _replay_quartile_epochs(
     events_fn=None,
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
+    track_history: bool = False,
 ) -> tuple[str, int, int]:
     """Replay the event log as N_FEED_EPOCHS contiguous-LSN epochs (epoch of
     an event = (lsn-lo)*N // (hi-lo+1), mirrored exactly in SQL)."""
@@ -475,6 +476,7 @@ def _replay_quartile_epochs(
             lake, epoch=e, num_partitions=8,
             suppress_unchanged=suppress_unchanged,
             merge_mode=merge_mode,
+            track_history=track_history,
         )
     return lake, lo, span
 
@@ -840,6 +842,17 @@ ORACLES: dict[str, str] = {
     ORDER BY repo, path, valid_from_epoch""",
     # SCD2: LEAD over the per-key ordered stream closes each version; the
     # -1 sentinel keeps valid_to_lsn int64 on both sides
+    # incremental sidecar == full-stream recompute: same oracle by design
+    "cdc_scd2_incremental": ORACLE_SRC + """
+    SELECT repo, path, "commit", lang,
+           lsn AS valid_from_lsn,
+           CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_lsn,
+           CAST(nxt IS NULL AS BIGINT) AS is_current
+    FROM (SELECT src.*,
+                 LEAD(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS nxt
+          FROM src)
+    WHERE op <> 'delete'
+    ORDER BY repo, path, valid_from_lsn""",
     "cdc_scd2_history": ORACLE_SRC + """
     SELECT repo, path, "commit", lang,
            lsn AS valid_from_lsn,
@@ -1047,6 +1060,24 @@ def cdc_scd2_history(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
         .map_groups(scd2_bucket, batch_format="pandas")
         .to_pandas()
     )
+    for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)
+
+
+def cdc_scd2_incremental(sf_dir: str) -> pd.DataFrame:
+    """SCD2 dimension maintained INCREMENTALLY by the merge path itself:
+    replay the stream as quartile epochs with ``track_history=True`` (every
+    merge unit archives its distinct versions into the commit-gated
+    ``_history/`` sidecar — append-only, no stream re-read), then derive the
+    dimension from the sidecar alone via :func:`history.scd2_view`. Must be
+    hash-identical to :func:`cdc_scd2_history`'s full-stream recompute —
+    the incremental-maintenance invariant (oracle: the same LEAD window
+    SQL over the raw stream)."""
+    from ..pipelines.history import scd2_view
+
+    lake, _lo, _span = _replay_quartile_epochs(sf_dir, "scd2inc", track_history=True)
+    out = scd2_view(lake).to_pandas()
     for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)

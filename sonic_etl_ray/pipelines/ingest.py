@@ -53,6 +53,7 @@ from ..stages.keys import PART_COLUMN, add_partition_column, key_strings
 from ..stages.transform import (
     ERROR_COLUMN,
     W_COLUMN,
+    reduce_distinct_versions,
     reduce_last_per_key,
     validate_and_derive,
 )
@@ -97,6 +98,33 @@ def _project_state(winners: pa.Table) -> pa.Table:
     for c in extra:
         cols[c] = winners.column(c)
     return pa.table(cols)
+
+
+def _history_versions(group: pa.Table) -> pa.Table:
+    """Distinct delivered versions of one (epoch, partition) unit: one row
+    per (repo, path, lsn) — exact duplicate deliveries collapse to the first
+    occurrence (at-least-once duplicates are byte-identical by contract),
+    envelope helper columns drop, canonical (repo, path, lsn) order so
+    scheduling nondeterminism never leaks into the archive file."""
+    import numpy as np
+
+    drop = [c for c in (PART_COLUMN, W_COLUMN) if c in group.column_names]
+    t = group.drop_columns(drop) if drop else group
+    if t.num_rows > 1:
+        keys = key_strings(t, key=("repo", "path", "lsn"))
+        idx = pa.table(
+            {"k": keys, "i": pa.array(np.arange(t.num_rows, dtype=np.int64))}
+        )
+        firsts = idx.group_by("k").aggregate([("i", "min")]).column("i_min")
+        t = t.take(firsts)
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("repo", "ascending"), ("path", "ascending"), ("lsn", "ascending"),
+            ],
+        )
+    )
 
 
 def _drop_unchanged_upserts(fresh: pa.Table, prior: pa.Table) -> tuple[pa.Table, int]:
@@ -301,6 +329,7 @@ class MergeApplier:
         input_desc: dict[str, Any] | None = None,
         suppress_unchanged: bool = False,
         merge_mode: str = "cow",
+        track_history: bool = False,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -326,6 +355,13 @@ class MergeApplier:
         # in-order epoch application (the tail path), since what counts as
         # "unchanged" depends on apply order.
         self.suppress_unchanged = suppress_unchanged
+        # track_history: archive every distinct delivered version of this
+        # (epoch, partition) unit as an append-only `_history/` sidecar file
+        # — the SCD2 source the reference's daily MERGE throws away. Requires
+        # the version-preserving combiner upstream (apply_epoch wires it);
+        # the file is gated by the same (epoch, part) commit record, so
+        # replay/resume never duplicates history rows.
+        self.track_history = track_history
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -443,6 +479,23 @@ class MergeApplier:
             record["decoded_file"] = decoded_file
         if decoded_files:
             record["decoded_files"] = decoded_files  # table → file (lineage)
+
+        if self.track_history:
+            # history BEFORE suppression/no-op shortcuts: suppressed upserts
+            # and state no-ops are still delivered versions, and the archive
+            # must record them
+            versions = _history_versions(group)
+            if versions.num_rows:
+                hfile = os.path.join(
+                    lake, "_history", cl.EPOCH_FMT.format(epoch),
+                    cl.PART_FMT.format(part) + ".parquet",
+                )
+                os.makedirs(os.path.dirname(hfile), exist_ok=True)
+                htmp = f"{hfile}.tmp.{uuid.uuid4().hex[:8]}"
+                pq.write_table(versions, htmp, compression="snappy")
+                os.rename(htmp, hfile)  # atomic; commit record gates it
+                record["history_file"] = hfile
+                record["n_history_rows"] = versions.num_rows
 
         def _noop_commit(prior_ref) -> dict[str, Any]:
             # nothing effective: commit references the prior state as-is
@@ -684,6 +737,7 @@ def _exchange_and_merge(
     input_desc: dict[str, Any] | None,
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
+    track_history: bool = False,
 ) -> list[dict[str, Any]]:
     """Raw-task hash exchange + merge — the default merge transport.
 
@@ -707,6 +761,7 @@ def _exchange_and_merge(
     applier = MergeApplier(
         lake_dir, epoch, input_desc,
         suppress_unchanged=suppress_unchanged, merge_mode=merge_mode,
+        track_history=track_history,
     )
 
     @ray.remote(num_cpus=1)
@@ -740,6 +795,7 @@ def apply_epoch(
     exchange: str = "tasks",
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
+    track_history: bool = False,
 ) -> list[dict[str, Any]]:
     """Apply one epoch of change events; returns per-partition commit records.
 
@@ -770,7 +826,11 @@ def apply_epoch(
             batch_size=batch_size,
             concurrency=(1, 4),
         )
-    ds = ds.map_batches(reduce_last_per_key, batch_format="pyarrow", batch_size=batch_size)
+    # track_history swaps the last-writer-wins combiner for the version-
+    # preserving one: distinct versions (not just per-key winners) must reach
+    # the merge so the `_history/` sidecar archives the full change log
+    combiner = reduce_distinct_versions if track_history else reduce_last_per_key
+    ds = ds.map_batches(combiner, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
         add_partition_column,
         batch_format="pyarrow",
@@ -783,7 +843,7 @@ def apply_epoch(
     if exchange == "tasks" and not use_actor_pool:
         records = _exchange_and_merge(
             ds, lake_dir, epoch, num_partitions, input_desc, suppress_unchanged,
-            merge_mode=merge_mode,
+            merge_mode=merge_mode, track_history=track_history,
         )
     else:
         grouped = ds.groupby(PART_COLUMN, num_partitions=_shuffle_partitions(num_partitions))
@@ -794,7 +854,10 @@ def apply_epoch(
                 merge_concurrency = _default_merge_concurrency(num_partitions)
             commits = grouped.map_groups(
                 MergeApplier,
-                fn_constructor_args=(lake_dir, epoch, input_desc, suppress_unchanged, merge_mode),
+                fn_constructor_args=(
+                    lake_dir, epoch, input_desc, suppress_unchanged, merge_mode,
+                    track_history,
+                ),
                 batch_format="pyarrow",
                 concurrency=merge_concurrency,
                 num_cpus=1,
@@ -803,7 +866,8 @@ def apply_epoch(
             # Dataset-native merge transport (parity/verification path; the
             # task exchange above is the default — see _exchange_and_merge)
             applier = MergeApplier(
-                lake_dir, epoch, input_desc, suppress_unchanged, merge_mode
+                lake_dir, epoch, input_desc, suppress_unchanged, merge_mode,
+                track_history,
             )
 
             def merge_partition(group: pa.Table) -> pa.Table:
@@ -863,8 +927,15 @@ def _run_ingest_impl(
     merge_mode: str = "cow",
     on_epoch: Any | None = None,
     read_fallbacks: list[str] | None = None,
+    track_history: bool = False,
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
+
+    ``track_history=True`` additionally archives every distinct delivered
+    version into per-(epoch, partition) ``_history/`` sidecar files
+    (append-only, commit-gated — see :class:`MergeApplier`), read back via
+    :mod:`sonic_etl_ray.pipelines.history` (``read_history`` /
+    ``scd2_view``). Implies the sequential epoch path.
 
     ``read_fallbacks`` lists alternate segment roots (replica mirrors of
     the same stream). When an epoch fails reading from the primary paths,
@@ -952,6 +1023,7 @@ def _run_ingest_impl(
             on_undecodable=on_undecodable,
             suppress_unchanged=suppress_unchanged,
             merge_mode=merge_mode,
+            track_history=track_history,
         )
 
     def _apply(epoch: int, efiles: list[str], extra_desc: dict[str, Any] | None = None) -> None:
@@ -1004,7 +1076,7 @@ def _run_ingest_impl(
         covered.update(os.path.basename(f) for f in delta)
         repaired += 1
 
-    if fused and (suppress_unchanged or merge_mode == "mor"):
+    if fused and (suppress_unchanged or merge_mode == "mor" or track_history):
         fused = False  # fused chains in-memory COW state; see MergeApplier
     if fused and normal:
         # fused mode needs uniform segment schemas across ALL pending

@@ -47,6 +47,7 @@ class Tailer:
         compact_every: int | None = None,
         merge_mode: str = "cow",
         compact_states_every: int | None = None,
+        track_history: bool = False,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -64,6 +65,8 @@ class Tailer:
         # stays bounded while the write path never rewrites full state
         self.merge_mode = merge_mode
         self.compact_states_every = compact_states_every
+        # archive distinct versions per closed epoch (`_history/` sidecar)
+        self.track_history = track_history
         self._applied_since_compact = 0
         self._applied_since_state_compact = 0
         self._stop = False
@@ -120,6 +123,7 @@ class Tailer:
                 merge_concurrency=self.merge_concurrency,
                 input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
                 merge_mode=self.merge_mode,
+                track_history=self.track_history,
             )
             self._metrics.record_commits(epoch, records)
             applied += 1

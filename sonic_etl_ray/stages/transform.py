@@ -214,3 +214,68 @@ def _reduce_valid(batch: pa.Table) -> pa.Table:
     # winner carries the collapsed group's total raw-delivery count (exact
     # lineage event accounting survives the combiner)
     return out.set_column(out.column_names.index(W_COLUMN), W_COLUMN, weights)
+
+
+def reduce_distinct_versions(batch: pa.Table) -> pa.Table:
+    """History-preserving combiner: collapse only EXACT duplicate deliveries
+    of the same version — (repo, path, lsn) — keeping the first occurrence
+    and summing raw-delivery weights into ``__w``. Every distinct version
+    survives to the merge, so the history sidecar
+    (:class:`~sonic_etl_ray.pipelines.ingest.MergeApplier` with
+    ``track_history=True``) archives the full per-key version chain; final
+    state is unchanged because :func:`reduce_last_per_key` composes over this
+    combiner's output. Shuffle volume is O(distinct delivered events) —
+    the inherent cost of keeping history, vs O(live keys) for the
+    last-writer-wins combiner. Fan-out (non-'files') rows and error rows
+    pass through exactly as in :func:`reduce_last_per_key`.
+    """
+    if batch.num_rows == 0:
+        return batch
+    from .decode import TABLE_COLUMN, TABLE_FILES
+
+    if TABLE_COLUMN in batch.column_names:
+        is_files = pc.equal(
+            pc.fill_null(batch.column(TABLE_COLUMN), TABLE_FILES), TABLE_FILES
+        )
+        others = batch.filter(pc.invert(is_files))
+        if others.num_rows:
+            files = batch.filter(is_files)
+            parts = [t for t in (reduce_distinct_versions(files), others) if t.num_rows]
+            return pa.concat_tables(parts, promote_options="default")
+    if ERROR_COLUMN in batch.column_names:
+        err_mask = pc.is_valid(batch.column(ERROR_COLUMN))
+        if pc.any(err_mask).as_py():
+            errors = batch.filter(err_mask)
+            valid = batch.filter(pc.invert(err_mask))
+            if valid.num_rows == 0:
+                return errors
+            return pa.concat_tables(
+                [_distinct_valid(valid), errors], promote_options="default"
+            )
+    return _distinct_valid(batch)
+
+
+def _distinct_valid(batch: pa.Table) -> pa.Table:
+    if W_COLUMN not in batch.column_names:
+        batch = batch.append_column(
+            W_COLUMN, pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+    if batch.num_rows <= 1:
+        return batch
+    key: tuple[str, ...] = ("repo", "path", "lsn")
+    if EPOCH_COLUMN in batch.column_names:
+        key += (EPOCH_COLUMN,)
+    keys = key_strings(batch, key=key)
+    idx = pa.table(
+        {
+            "k": keys,
+            "i": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+            "w": batch.column(W_COLUMN),
+        }
+    )
+    agg = idx.group_by("k").aggregate([("i", "min"), ("w", "sum")])
+    order = pc.sort_indices(agg.column("i_min"))  # keep input order
+    firsts = agg.column("i_min").take(order)
+    weights = pc.cast(agg.column("w_sum").take(order), pa.int64())
+    out = batch.take(firsts)
+    return out.set_column(out.column_names.index(W_COLUMN), W_COLUMN, weights)

@@ -1,0 +1,133 @@
+"""History sidecar (track_history=True): incremental SCD2 correctness,
+duplicate-delivery / resume idempotence, and commit gating.
+
+The invariant under test is incremental maintenance: the SCD2 dimension
+derived from the per-epoch `_history/` sidecar files must equal a
+brute-force recompute over the raw change stream — under duplicate
+delivery, kill/resume, and epoch-at-a-time application.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from sonic_etl_ray.generator import StreamSpec, generate_stream
+from sonic_etl_ray.pipelines.history import history_files, read_history, scd2_view
+from sonic_etl_ray.pipelines.ingest import (
+    lake_final_table,
+    run_ingest,
+    scratch_lake_dir,
+)
+from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
+
+
+def _brute_scd2(files: list[str]) -> pd.DataFrame:
+    """Pandas reference: LEAD(lsn) per (repo, path) over the distinct raw
+    stream; deletes close intervals but emit none."""
+    ev = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    ev = (
+        ev.sort_values(["repo", "path", "lsn"], kind="stable")
+        .drop_duplicates(["repo", "path", "lsn"], keep="first")
+        .reset_index(drop=True)
+    )
+    same_next = (ev["repo"].shift(-1) == ev["repo"]) & (ev["path"].shift(-1) == ev["path"])
+    nxt = np.where(same_next.to_numpy(), ev["lsn"].shift(-1).fillna(-1).to_numpy(), -1).astype(
+        np.int64
+    )
+    out = pd.DataFrame(
+        {
+            "repo": ev["repo"],
+            "path": ev["path"],
+            "commit": ev["commit"],
+            "lang": ev["lang"],
+            "valid_from_lsn": ev["lsn"].astype("int64"),
+            "valid_to_lsn": nxt,
+            "is_current": (nxt == -1).astype("int64"),
+        }
+    )
+    return (
+        out[(ev["op"] != "delete").to_numpy()]
+        .sort_values(["repo", "path", "valid_from_lsn"])
+        .reset_index(drop=True)
+    )
+
+
+def _view_df(lake: str) -> pd.DataFrame:
+    out = scd2_view(lake).to_pandas()
+    for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def stream(tmp_path_factory):
+    seg_dir = str(tmp_path_factory.mktemp("hist") / "segments")
+    spec = StreamSpec(n_events=3000, n_repos=8, seed=11, segment_size=250)
+    files = generate_stream(seg_dir, spec)
+    return files
+
+
+def test_scd2_view_matches_brute_force(stream):
+    lake = scratch_lake_dir("hist")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    got = _view_df(lake)
+    want = _brute_scd2(stream)
+    pd.testing.assert_frame_equal(got, want)
+    # final state is untouched by the history combiner swap
+    assert_state_equal(lake_final_table(lake), oracle_final_state(stream))
+
+
+def test_history_duplicate_delivery_idempotent(stream):
+    """Whole-segment replay (at-least-once) must not duplicate history rows."""
+    lake = scratch_lake_dir("histdup")
+    run_ingest(
+        stream + stream[:5], lake,
+        num_partitions=4, segments_per_epoch=3, track_history=True,
+    )
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+    # archived event count equals the distinct stream length exactly
+    n = read_history(lake).count()
+    n_raw = sum(pq.read_metadata(f).num_rows for f in stream)
+    assert n == n_raw
+
+
+def test_history_resume_appends_only_missing_epochs(stream):
+    """Kill/resume: applying a prefix then the full stream yields the same
+    archive as one full run (epoch manifests fast-forward; commit gates make
+    the replayed epochs no-ops)."""
+    lake = scratch_lake_dir("histres")
+    run_ingest(stream[:6], lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    n_files_prefix = len(history_files(lake))
+    stats = run_ingest(
+        stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True
+    )
+    assert stats["epochs_skipped"] >= 2
+    assert len(history_files(lake)) > n_files_prefix
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+
+
+def test_uncommitted_history_file_invisible(stream):
+    """An orphan sidecar file (crash between write and commit) is excluded
+    from every reader until its unit commits."""
+    lake = scratch_lake_dir("historph")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    files = history_files(lake)
+    n = len(files)
+    orphan_dir = os.path.join(lake, "_history", "epoch=00000999")
+    os.makedirs(orphan_dir)
+    pq.write_table(pq.read_table(files[0]), os.path.join(orphan_dir, "part=00001.parquet"))
+    assert len(history_files(lake)) == n  # no commit record → invisible
+    assert read_history(lake).count() == sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def test_history_off_by_default(stream):
+    lake = scratch_lake_dir("histoff")
+    run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)
+    assert history_files(lake) == []
+    assert not glob.glob(os.path.join(lake, "_history", "*"))
