@@ -40,17 +40,58 @@ import ray.data
 from ..state import commitlog as cl
 
 HISTORY_DIR = "_history"
+COMPACT_DIR = "compacted"
 
 _HFILE_RE = re.compile(r"epoch=(\d+)[/\\]part=(\d+)\.parquet$")
 
 
-def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
-    """Committed history sidecar files, (epoch, part)-ascending.
+def _compact_runs(lake_dir: str, part: int) -> list[tuple[int, str, dict]]:
+    """Compaction runs for one partition, seq-ascending: (seq, data_file,
+    marker). The marker JSON is the atomic commit point of a run."""
+    import json
 
-    A file counts only if its (epoch, part) COMMIT record exists — the same
-    exactly-once gate the merge uses, so resumed/killed runs never expose a
-    half-written unit. ``as_of_epoch`` restricts to epochs ``<=`` it (the
-    time-travel analog for the archive)."""
+    pdir = os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR, cl.PART_FMT.format(part))
+    out = []
+    for mf in glob.glob(os.path.join(pdir, "run-seq=*.json")):
+        seq = int(re.search(r"run-seq=(\d+)\.json$", mf).group(1))
+        with open(mf) as fh:
+            marker = json.load(fh)
+        if os.path.exists(marker["data_file"]):
+            out.append((seq, marker["data_file"], marker))
+    return sorted(out)
+
+
+def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
+    """Committed history sidecar files, (epoch, part)-ascending, with any
+    compacted per-partition runs first.
+
+    A per-epoch file counts only if its (epoch, part) COMMIT record exists —
+    the same exactly-once gate the merge uses, so resumed/killed runs never
+    expose a half-written unit — and only if no compaction run already
+    covers it (covered originals may briefly linger on disk after a crash
+    mid-compaction; the marker's covered list keeps reads exactly-once).
+    ``as_of_epoch`` restricts to epochs ``<=`` it (the time-travel analog
+    for the archive); compacted runs that span NEWER epochs are excluded
+    and whatever originals remain are used instead — i.e. compaction trades
+    time-travel granularity for file count (same trade as ``vacuum`` /
+    ``compact_lake_states``): after a run folds epochs [0..E], as-of points
+    strictly inside that range are no longer reconstructable."""
+    covered: dict[int, set[int]] = {}
+    compacted: list[str] = []
+    cdir = os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR)
+    if os.path.isdir(cdir):
+        for pdir in sorted(os.listdir(cdir)):
+            part = int(pdir.split("=")[1])
+            runs = _compact_runs(lake_dir, part)
+            if not runs:
+                continue
+            _, data_file, marker = runs[-1]
+            if as_of_epoch is not None and any(
+                e > as_of_epoch for e in marker["covered_epochs"]
+            ):
+                continue  # run spans past the as-of point; fall back to originals
+            covered[part] = set(marker["covered_epochs"])
+            compacted.append(data_file)
     out: list[tuple[int, int, str]] = []
     for f in glob.glob(
         os.path.join(lake_dir, HISTORY_DIR, "epoch=*", "part=*.parquet")
@@ -61,9 +102,96 @@ def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
         epoch, part = int(m.group(1)), int(m.group(2))
         if as_of_epoch is not None and epoch > as_of_epoch:
             continue
+        if epoch in covered.get(part, ()):
+            continue
         if os.path.exists(cl.commit_path(lake_dir, epoch, part)):
             out.append((epoch, part, f))
-    return [f for _, _, f in sorted(out)]
+    return compacted + [f for _, _, f in sorted(out)]
+
+
+def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
+    """Fold a partition's per-epoch history files (plus any previous
+    compacted run) into ONE sorted run — the archive's file-count bound at
+    10^10 events (thousands of epochs × P partitions of tiny files
+    otherwise). One Ray task per partition; each writes the consolidated
+    file, atomically publishes a marker JSON listing the covered epochs
+    (the commit point — reads switch over on rename), then deletes the
+    covered originals. Crash-safe at every step: before the marker rename
+    nothing changed for readers; after it, lingering originals are excluded
+    by the covered list. Out-of-order epochs (backfill repairs) committed
+    AFTER a run are untouched — coverage is an explicit epoch list, never a
+    threshold."""
+    import json
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    by_part: dict[int, list[tuple[int, str]]] = {}
+    for f in glob.glob(
+        os.path.join(lake_dir, HISTORY_DIR, "epoch=*", "part=*.parquet")
+    ):
+        m = _HFILE_RE.search(f)
+        if not m:
+            continue
+        epoch, part = int(m.group(1)), int(m.group(2))
+        if os.path.exists(cl.commit_path(lake_dir, epoch, part)):
+            by_part.setdefault(part, []).append((epoch, f))
+
+    @ray.remote(num_cpus=1)
+    def compact_part(part: int, epoch_files: list[tuple[int, str]]) -> int:
+        runs = _compact_runs(lake_dir, part)
+        prev = runs[-1] if runs else None
+        prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
+        fresh = [(e, f) for e, f in epoch_files if e not in prev_covered]
+        if len(fresh) + (1 if prev else 0) < 2 or len(fresh) < 1:
+            return 0
+        tables = ([pq.read_table(prev[1])] if prev else []) + [
+            pq.read_table(f) for _, f in sorted(fresh)
+        ]
+        merged = pa.concat_tables(tables, promote_options="default")
+        merged = merged.take(
+            pc.sort_indices(
+                merged,
+                sort_keys=[
+                    ("repo", "ascending"), ("path", "ascending"), ("lsn", "ascending"),
+                ],
+            )
+        )
+        seq = (prev[0] + 1) if prev else 0
+        pdir = os.path.join(
+            lake_dir, HISTORY_DIR, COMPACT_DIR, cl.PART_FMT.format(part)
+        )
+        os.makedirs(pdir, exist_ok=True)
+        data_file = os.path.join(pdir, f"run-seq={seq:08d}.parquet")
+        tmp = f"{data_file}.tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(merged, tmp, compression="snappy")
+        os.rename(tmp, data_file)
+        marker = {
+            "data_file": data_file,
+            "covered_epochs": sorted(prev_covered | {e for e, _ in fresh}),
+            "n_rows": merged.num_rows,
+        }
+        mpath = os.path.join(pdir, f"run-seq={seq:08d}.json")
+        mtmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as fh:
+            json.dump(marker, fh)
+        os.rename(mtmp, mpath)  # commit point: reads switch to the run here
+        for _, f in fresh:  # superseded originals (excluded either way)
+            os.remove(f)
+        if prev:
+            os.remove(prev[1])
+            os.remove(os.path.join(pdir, f"run-seq={prev[0]:08d}.json"))
+        return len(fresh)
+
+    todo = {
+        p: ef for p, ef in by_part.items()
+        if len(ef) >= min_files or _compact_runs(lake_dir, p)
+    }
+    folded = sum(ray.get([compact_part.remote(p, ef) for p, ef in todo.items()]))
+    return {"parts": len(todo), "files_folded": folded}
 
 
 def read_history(

@@ -65,7 +65,11 @@ class Tailer:
         # stays bounded while the write path never rewrites full state
         self.merge_mode = merge_mode
         self.compact_states_every = compact_states_every
-        # archive distinct versions per closed epoch (`_history/` sidecar)
+        # archive distinct versions per closed epoch (`_history/` sidecar);
+        # with track_history on, the archive's per-epoch files are folded
+        # into per-partition runs on the same cadence as state compaction
+        # (compact_states_every) — a long tail would otherwise accumulate
+        # one tiny file per (epoch, partition) forever
         self.track_history = track_history
         self._applied_since_compact = 0
         self._applied_since_state_compact = 0
@@ -139,6 +143,10 @@ class Tailer:
             from .ingest import compact_lake_states
 
             compact_lake_states(self.lake_dir)
+            if self.track_history:
+                from .history import compact_history
+
+                compact_history(self.lake_dir)
             self._applied_since_state_compact = 0
         self._metrics.record_tick(head, applied, skipped)
         return {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}

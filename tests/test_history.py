@@ -126,6 +126,33 @@ def test_uncommitted_history_file_invisible(stream):
     assert read_history(lake).count() == sum(pq.read_metadata(f).num_rows for f in files)
 
 
+def test_compact_history_preserves_view_and_bounds_files(stream):
+    """Compaction folds per-epoch files into one run per partition: same
+    archive contents (scd2_view unchanged), far fewer files, idempotent,
+    and later epochs still append + fold incrementally."""
+    from sonic_etl_ray.pipelines.history import compact_history
+
+    lake = scratch_lake_dir("histcmp")
+    run_ingest(stream[:9], lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    before = _view_df(lake)
+    n_before = len(history_files(lake))
+    stats = compact_history(lake, min_files=2)
+    assert stats["files_folded"] > 0
+    n_after = len(history_files(lake))
+    assert n_after <= 4  # one run per partition
+    assert n_after < n_before
+    pd.testing.assert_frame_equal(_view_df(lake), before)
+    # idempotent: nothing new to fold
+    assert compact_history(lake, min_files=2)["files_folded"] == 0
+    # new epochs append as per-epoch files, then fold into the existing run
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+    assert compact_history(lake, min_files=2)["files_folded"] > 0
+    assert len(history_files(lake)) <= 4
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+    assert read_history(lake).count() == sum(pq.read_metadata(f).num_rows for f in stream)
+
+
 def test_history_off_by_default(stream):
     lake = scratch_lake_dir("histoff")
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)
