@@ -100,6 +100,9 @@ def _run_headline() -> dict:
             segments_per_epoch=int(os.environ.get("BENCH_SPE", "32")),
             read_kwargs={"override_num_blocks": 128},
             fused=bool(os.environ.get("BENCH_FUSED")),
+            # BENCH_TRACK_HISTORY=1: measure the SCD2 sidecar's overhead
+            # (version-preserving combiner + per-unit archive write)
+            track_history=bool(os.environ.get("BENCH_TRACK_HISTORY")),
         )
         secs.append(time.perf_counter() - t0)
     n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))

@@ -109,6 +109,156 @@ def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
     return compacted + [f for _, _, f in sorted(out)]
 
 
+def _part_history_files(
+    lake_dir: str, part: int, as_of_epoch: int | None = None
+) -> list[str]:
+    """One partition's committed history files (compacted run first) —
+    the pruned-read unit :func:`lookup_key_history` needs."""
+    runs = _compact_runs(lake_dir, part)
+    covered: set[int] = set()
+    out: list[str] = []
+    if runs:
+        _, data_file, marker = runs[-1]
+        if as_of_epoch is None or all(
+            e <= as_of_epoch for e in marker["covered_epochs"]
+        ):
+            covered = set(marker["covered_epochs"])
+            out.append(data_file)
+    for f in glob.glob(
+        os.path.join(lake_dir, HISTORY_DIR, "epoch=*", cl.PART_FMT.format(part) + ".parquet")
+    ):
+        epoch = int(_HFILE_RE.search(f).group(1))
+        if epoch in covered:
+            continue
+        if as_of_epoch is not None and epoch > as_of_epoch:
+            continue
+        if os.path.exists(cl.commit_path(lake_dir, epoch, part)):
+            out.append(f)
+    return out
+
+
+def lookup_key_history(
+    lake_dir: str,
+    keys: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Point lookup of FULL version chains by exact (repo, path) keys —
+    the archive shares the lake's hash partitioning (history files are
+    written per merge partition), so a k-key lookup reads ≤ k of P
+    partitions' archive files, never the whole archive; within each file a
+    ``repo`` Parquet filter prunes row groups (archive files are
+    (repo, path, lsn)-sorted). One Ray task per touched partition.
+    Returns all archived versions, (repo, path, lsn)-ascending."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..pipelines.ingest import lake_num_partitions
+    from ..stages.keys import KEY_SEP, key_strings, stable_hash64
+
+    if not keys:
+        return pa.table({})
+    P = num_partitions or lake_num_partitions(lake_dir)
+    if P <= 0:
+        return pa.table({})
+    keytab = pa.table({"repo": [k[0] for k in keys], "path": [k[1] for k in keys]})
+    parts = stable_hash64(key_strings(keytab)) % np.uint64(P)
+    by_part: dict[int, list[int]] = {}
+    for i, p in enumerate(parts):
+        by_part.setdefault(int(p), []).append(i)
+
+    @ray.remote(num_cpus=1)
+    def read_part(part: int, repos: list[str], keyset: list[str]) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        files = _part_history_files(lake_dir, part)
+        if not files:
+            return pa.table({})
+        repo_filter = pc.field("repo").isin(repos)
+        tabs = [
+            pads.dataset(f, format="parquet").to_table(filter=repo_filter)
+            for f in files
+        ]
+        tbl = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default") \
+            if any(t.num_rows for t in tabs) else tabs[0]
+        if not tbl.num_rows:
+            return tbl
+        exact = pc.is_in(key_strings(tbl), value_set=pa.array(keyset, pa.string()))
+        return tbl.filter(exact)
+
+    refs = []
+    for part, idxs in sorted(by_part.items()):
+        repos = sorted({keys[i][0] for i in idxs})
+        keyset = sorted({keys[i][0] + KEY_SEP + keys[i][1] for i in idxs})
+        refs.append(read_part.remote(part, repos, keyset))
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return pa.table({})
+    out = pa.concat_tables(tabs, promote_options="default")
+    # cross-epoch duplicate delivery tolerance: one row per (repo, path, lsn)
+    keys_col = key_strings(out, key=("repo", "path", "lsn"))
+    import numpy as _np
+
+    idx = pa.table(
+        {"k": keys_col, "i": pa.array(_np.arange(out.num_rows, dtype=_np.int64))}
+    )
+    firsts = idx.group_by("k").aggregate([("i", "min")]).column("i_min")
+    out = out.take(firsts)
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("repo", "ascending"), ("path", "ascending"), ("lsn", "ascending"),
+            ],
+        )
+    )
+
+
+def state_at_lsn(lake_dir: str, lsn: int, num_buckets: int = 64) -> ray.data.Dataset:
+    """LSN-grain time travel FROM THE ARCHIVE: reconstruct the live table
+    state as of any LSN — per key, the max-LSN version ``<= lsn`` wins;
+    a winning delete means the key is dead. Finer-grained than the state
+    files' epoch-grain time travel (``read_lake(as_of_epoch=...)``): the
+    archive keeps every version, so any point in the stream is
+    reconstructable. Same bucket-exchange + vectorized-kernel shape as
+    :func:`scd2_view`; reads every archive column (payload included), so
+    the result schema matches the live state minus the tombstone/envelope
+    internals, with ``applied_lsn`` = the winning version's LSN."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import md5_u64
+
+    ds = read_history(lake_dir)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["lsn"] <= lsn].copy()  # prune before the exchange
+        if not len(b):
+            return b
+        key = (b["repo"].astype(str) + "\x00" + b["path"].astype(str)).tolist()
+        b["__bucket"] = md5_u64(key).view(np.int64) % num_buckets
+        return b
+
+    def last_version(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["repo", "path", "lsn"], kind="stable")
+            .drop_duplicates(["repo", "path", "lsn"], keep="first")
+            .reset_index(drop=True)
+        )
+        is_last = ~(
+            (g["repo"].shift(-1) == g["repo"]) & (g["path"].shift(-1) == g["path"])
+        )
+        out = g[is_last & (g["op"] != "delete")].drop(columns=["op", "__bucket"])
+        return out.rename(columns={"lsn": "applied_lsn"})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(last_version, batch_format="pandas")
+    )
+
+
 def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
     """Fold a partition's per-epoch history files (plus any previous
     compacted run) into ONE sorted run — the archive's file-count bound at
