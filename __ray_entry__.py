@@ -477,6 +477,18 @@ def _q_cdc_scd2_inc(sf_dir: str):
     return cdc_scd2_incremental(sf_dir)
 
 
+def _q_cdc_state_at_lsn(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_state_at_lsn
+
+    return cdc_state_at_lsn(sf_dir)
+
+
+def _q_cdc_key_history(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_key_history
+
+    return cdc_key_history(sf_dir)
+
+
 def _q_cdc_range_scan(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_range_scan
 
@@ -695,6 +707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention,
         # --- implementation changed this round (re-verify early)
         "cdc_scd2_incremental": _q_cdc_scd2_inc,  # NEW: merge-path history sidecar
+        "cdc_state_at_lsn": _q_cdc_state_at_lsn,  # NEW: archive time travel
+        "cdc_key_history": _q_cdc_key_history,  # NEW: pruned per-key chain lookup
         "sessionize_events": _q_sessionize,
         "asof_join_last_signup": _q_asof,
         "user_running_value": _q_running_value,

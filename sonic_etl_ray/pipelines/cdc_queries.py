@@ -842,6 +842,24 @@ ORACLES: dict[str, str] = {
     ORDER BY repo, path, valid_from_epoch""",
     # SCD2: LEAD over the per-key ordered stream closes each version; the
     # -1 sentinel keeps valid_to_lsn int64 on both sides
+    # archive time travel: last-per-key over the stream truncated at the
+    # 60%-of-span LSN (integer cut arithmetic mirrored exactly)
+    "cdc_state_at_lsn": ORACLE_SRC + """
+    , bounds AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM src)
+    SELECT repo, path, "commit", lang, content,
+           sha256(content) AS content_sha256,
+           CAST(strlen(content) AS BIGINT) AS size_bytes,
+           lsn AS applied_lsn
+    FROM (SELECT src.* FROM src, bounds
+          WHERE lsn <= lo + ((hi - lo + 1) * 6) // 10
+          QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1)
+    WHERE op <> 'delete' ORDER BY repo, path""",
+    # full version chain of the most-versioned key (deterministic tie-break)
+    "cdc_key_history": ORACLE_SRC + """
+    , pick AS (SELECT repo, path FROM src GROUP BY repo, path
+               ORDER BY COUNT(*) DESC, repo, path LIMIT 1)
+    SELECT s.lsn, s.op, s.repo, s.path, s."commit", s.lang, s.content
+    FROM src s JOIN pick USING (repo, path) ORDER BY s.lsn""",
     # incremental sidecar == full-stream recompute: same oracle by design
     "cdc_scd2_incremental": ORACLE_SRC + """
     SELECT repo, path, "commit", lang,
@@ -1065,6 +1083,70 @@ def cdc_scd2_history(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)
 
 
+# shared history-lake replay for the archive-backed queries: the replay is
+# deterministic and the lake immutable afterward, so the three consumers
+# (scd2_incremental / state_at_lsn / key_history) reuse ONE execution;
+# input mtime+size keys the memo (stale-input discipline as in dedup.py)
+_HISTORY_LAKE_CACHE: dict[tuple, str] = {}
+
+
+def _history_lake(sf_dir: str) -> str:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    lake = _HISTORY_LAKE_CACHE.get(key)
+    if lake is None or not os.path.isdir(lake):
+        lake, _, _ = _replay_quartile_epochs(sf_dir, "histq", track_history=True)
+        _HISTORY_LAKE_CACHE[key] = lake
+    return lake
+
+
+def cdc_state_at_lsn(sf_dir: str) -> pd.DataFrame:
+    """LSN-grain time travel from the archive: reconstruct the live table as
+    of the 60%-of-span LSN (cut mirrored exactly in SQL) — per key the
+    max-LSN version <= cut wins, a winning delete kills the key. Exercises
+    the history sidecar as a full point-in-time recovery source, not just
+    an SCD2 feed."""
+    from ray.data.aggregate import Max, Min
+
+    from ..pipelines.history import state_at_lsn
+
+    lake = _history_lake(sf_dir)
+    ids = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    agg = ids.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = int(agg["min(event_id)"]), int(agg["max(event_id)"])
+    cut = lo + ((hi - lo + 1) * 6) // 10
+    out = state_at_lsn(lake, cut).to_pandas()
+    cols = [
+        "repo", "path", "commit", "lang", "content", "content_sha256",
+        "size_bytes", "applied_lsn",
+    ]
+    return out[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def cdc_key_history(sf_dir: str) -> pd.DataFrame:
+    """Partition-pruned per-key version-chain lookup: pick the stream's
+    most-versioned key (deterministic tie-break, mirrored in SQL), then read
+    ONLY that key's hash partition from the archive — the O(1/P) point-read
+    path. Returns the full ordered chain."""
+    from ..pipelines.history import lookup_key_history
+
+    lake = _history_lake(sf_dir)
+    counts = (
+        _events_as_cdc(sf_dir)
+        .select_columns(["repo", "path"])
+        .groupby(["repo", "path"])
+        .count()
+    )
+    top = counts.sort(
+        ["count()", "repo", "path"], descending=[True, False, False]
+    ).take(1)[0]
+    chain = lookup_key_history(lake, [(top["repo"], top["path"])])
+    out = chain.select(["lsn", "op", "repo", "path", "commit", "lang", "content"]).to_pandas()
+    return out.sort_values("lsn").reset_index(drop=True)
+
+
 def cdc_scd2_incremental(sf_dir: str) -> pd.DataFrame:
     """SCD2 dimension maintained INCREMENTALLY by the merge path itself:
     replay the stream as quartile epochs with ``track_history=True`` (every
@@ -1076,7 +1158,7 @@ def cdc_scd2_incremental(sf_dir: str) -> pd.DataFrame:
     SQL over the raw stream)."""
     from ..pipelines.history import scd2_view
 
-    lake, _lo, _span = _replay_quartile_epochs(sf_dir, "scd2inc", track_history=True)
+    lake = _history_lake(sf_dir)
     out = scd2_view(lake).to_pandas()
     for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
         out[c] = out[c].astype("int64")
