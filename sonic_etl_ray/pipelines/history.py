@@ -109,6 +109,22 @@ def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
     return compacted + [f for _, _, f in sorted(out)]
 
 
+def _concat_evolved(tables: list[pa.Table]) -> pa.Table:
+    """Concat archive tables that may span schema evolution: column ADD and
+    type WIDEN unify via the engine's own rules (Arrow's default promotion
+    refuses int32→int64 across files)."""
+    from functools import reduce
+
+    from ..schemas import conform_table, unify_schemas
+
+    if len(tables) == 1:
+        return tables[0]
+    target = reduce(unify_schemas, (t.schema for t in tables))
+    return pa.concat_tables(
+        [conform_table(t, target) for t in tables], promote_options="default"
+    )
+
+
 def _part_history_files(
     lake_dir: str, part: int, as_of_epoch: int | None = None
 ) -> list[str]:
@@ -180,8 +196,7 @@ def lookup_key_history(
             pads.dataset(f, format="parquet").to_table(filter=repo_filter)
             for f in files
         ]
-        tbl = pa.concat_tables([t for t in tabs if t.num_rows], promote_options="default") \
-            if any(t.num_rows for t in tabs) else tabs[0]
+        tbl = _concat_evolved([t for t in tabs if t.num_rows] or tabs[:1])
         if not tbl.num_rows:
             return tbl
         exact = pc.is_in(key_strings(tbl), value_set=pa.array(keyset, pa.string()))
@@ -195,7 +210,7 @@ def lookup_key_history(
     tabs = [t for t in ray.get(refs) if t.num_rows]
     if not tabs:
         return pa.table({})
-    out = pa.concat_tables(tabs, promote_options="default")
+    out = _concat_evolved(tabs)
     # cross-epoch duplicate delivery tolerance: one row per (repo, path, lsn)
     keys_col = key_strings(out, key=("repo", "path", "lsn"))
     import numpy as _np
@@ -301,7 +316,7 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         tables = ([pq.read_table(prev[1])] if prev else []) + [
             pq.read_table(f) for _, f in sorted(fresh)
         ]
-        merged = pa.concat_tables(tables, promote_options="default")
+        merged = _concat_evolved(tables)
         merged = merged.take(
             pc.sort_indices(
                 merged,
@@ -357,7 +372,16 @@ def read_history(
     files = history_files(lake_dir, as_of_epoch)
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    return ray.data.read_parquet(files, columns=columns)
+    # partitioning=None: the epoch=E directory layout is lineage bookkeeping,
+    # not a hive partition — inference would inject a string `epoch` column
+    # that compacted runs (flat layout) don't carry. Ray 2.49's parquet
+    # datasource crashes on columns= + partitioning=None together
+    # (parquet_datasource.py:828 UnboundLocalError), so pruned reads keep
+    # the default inference and rely on the explicit column list to exclude
+    # the stray column instead.
+    if columns is not None:
+        return ray.data.read_parquet(files, columns=columns)
+    return ray.data.read_parquet(files, partitioning=None)
 
 
 def scd2_view(

@@ -204,6 +204,44 @@ def test_state_at_lsn_matches_truncated_replay(stream):
     assert got["content_sha256"].notna().all()
 
 
+def test_history_survives_schema_evolution(tmp_path):
+    """Archive files spanning column ADD + type WIDEN (size_hint int32→int64,
+    branch added) read back unified, compact cleanly, and keep the SCD2 view
+    and key lookups exact — and no stray hive `epoch` column leaks in from
+    the directory layout."""
+    from sonic_etl_ray.generator import StreamSpec, generate_stream
+    from sonic_etl_ray.pipelines.history import (
+        compact_history,
+        lookup_key_history,
+        read_history,
+        scd2_view,
+    )
+
+    seg = str(tmp_path / "segs")
+    files = generate_stream(
+        seg,
+        StreamSpec(n_events=600, n_repos=4, seed=5, segment_size=200, evolve_at=(200, 400)),
+    )
+    lake = scratch_lake_dir("histevo")
+    run_ingest(files, lake, num_partitions=2, segments_per_epoch=1, track_history=True)
+    full = read_history(lake).to_pandas()
+    assert len(full) == 600 and "epoch" not in full.columns
+    assert {"size_hint", "branch"} <= set(full.columns)
+    want = _brute_scd2(files)
+    pd.testing.assert_frame_equal(_view_df(lake), want)
+    key = (full["repo"].iloc[0], full["path"].iloc[0])
+    chain_tbl = lookup_key_history(lake, [key])
+    assert str(chain_tbl.schema.field("size_hint").type) == "int64"  # widened
+    chain_before = chain_tbl.to_pandas()
+    stats = compact_history(lake, min_files=2)
+    assert stats["files_folded"] > 0
+    pd.testing.assert_frame_equal(_view_df(lake), want)
+    chain_after = lookup_key_history(lake, [key]).to_pandas()
+    # column ORDER is schema-arrival-dependent across compaction; values
+    # and names must match exactly
+    pd.testing.assert_frame_equal(chain_before, chain_after, check_like=True)
+
+
 def test_history_off_by_default(stream):
     lake = scratch_lake_dir("histoff")
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)
