@@ -311,7 +311,10 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         prev = runs[-1] if runs else None
         prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
         fresh = [(e, f) for e, f in epoch_files if e not in prev_covered]
-        if len(fresh) + (1 if prev else 0) < 2 or len(fresh) < 1:
+        # refolding an existing run rewrites the WHOLE archive run — only
+        # pay that when at least min_files new epochs amortize it (else a
+        # tailer folding every tick goes quadratic in run size over time)
+        if len(fresh) < (min_files if prev else max(min_files, 2)):
             return 0
         tables = ([pq.read_table(prev[1])] if prev else []) + [
             pq.read_table(f) for _, f in sorted(fresh)
