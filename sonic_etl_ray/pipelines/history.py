@@ -274,6 +274,38 @@ def state_at_lsn(lake_dir: str, lsn: int, num_buckets: int = 64) -> ray.data.Dat
     )
 
 
+def expire_history(lake_dir: str, before_epoch: int) -> dict[str, int]:
+    """Archive retention: drop history for epochs ``< before_epoch``.
+
+    Deletes per-epoch files below the cutoff and compacted runs whose
+    covered epochs are ALL below it; a run straddling the cutoff stays
+    intact (retention is approximate at run granularity — the same
+    granularity trade ``vacuum(keep_epochs=...)`` makes for state files).
+    Commit records are never touched (they are the lineage log). After
+    expiry, SCD2 chains start at the oldest retained version — by design:
+    retention IS history truncation."""
+    removed_files = removed_runs = 0
+    for f in glob.glob(
+        os.path.join(lake_dir, HISTORY_DIR, "epoch=*", "part=*.parquet")
+    ):
+        m = _HFILE_RE.search(f)
+        if m and int(m.group(1)) < before_epoch:
+            os.remove(f)
+            removed_files += 1
+    cdir = os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR)
+    if os.path.isdir(cdir):
+        for pdir in sorted(os.listdir(cdir)):
+            part = int(pdir.split("=")[1])
+            for seq, data_file, marker in _compact_runs(lake_dir, part):
+                if all(e < before_epoch for e in marker["covered_epochs"]):
+                    os.remove(data_file)
+                    os.remove(
+                        os.path.join(cdir, pdir, f"run-seq={seq:08d}.json")
+                    )
+                    removed_runs += 1
+    return {"files_removed": removed_files, "runs_removed": removed_runs}
+
+
 def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
     """Fold a partition's per-epoch history files (plus any previous
     compacted run) into ONE sorted run — the archive's file-count bound at

@@ -243,6 +243,36 @@ def test_history_survives_schema_evolution(tmp_path):
     pd.testing.assert_frame_equal(chain_before, chain_after, check_like=True)
 
 
+def test_expire_history_retention(stream):
+    """Retention drops archive strictly below the cutoff: per-epoch files
+    always; compacted runs only when wholly below (straddling runs stay)."""
+    from sonic_etl_ray.pipelines.history import compact_history, expire_history
+
+    lake = scratch_lake_dir("histexp")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    ev = pd.concat([pq.read_table(f).to_pandas() for f in stream])
+    n_epochs = 4  # 12 segments / 3 per epoch
+    # expire the first half (epoch files only, no compaction yet)
+    out = expire_history(lake, before_epoch=2)
+    assert out["files_removed"] > 0 and out["runs_removed"] == 0
+    kept = read_history(lake).to_pandas()
+    # epoch of an event = segment_index // 3; segments are 250 events each
+    cutoff_lsn = 2 * 3 * 250
+    assert int(kept["lsn"].min()) >= cutoff_lsn
+    assert len(kept) == int((ev["lsn"] >= cutoff_lsn).sum())
+    # SCD2 over the retained tail still derives (chains start at retention)
+    v = _view_df(lake)
+    assert int(v["valid_from_lsn"].min()) >= cutoff_lsn
+    # a compacted run covering epochs 2..3 straddles cutoff 3 → stays;
+    # wholly-below cutoff 99 → removed
+    compact_history(lake, min_files=1)
+    assert expire_history(lake, before_epoch=3)["runs_removed"] == 0
+    assert read_history(lake).count() == len(kept)
+    out = expire_history(lake, before_epoch=n_epochs)
+    assert out["runs_removed"] > 0
+    assert read_history(lake).count() == 0
+
+
 def test_history_off_by_default(stream):
     lake = scratch_lake_dir("histoff")
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)
