@@ -281,13 +281,14 @@ def minhash_verified_pairs(
     return verified
 
 
-# verified-pair memo: (sf_dir, input stamp, params) → DataFrame. The pair
+# verified-pair memo: (sf_dir, params) → (input stamp, DataFrame). The pair
 # population is tiny (it IS the dup set); memoizing lets pair-consumers
 # (clustering) reuse one LSH execution instead of re-running the whole
-# pipeline. The input's mtime+size is part of the key, so rewriting
-# documents.parquet in place invalidates the memo instead of serving stale
-# pairs (same discipline as the on-disk ANN index cache in similarity.py).
-_VERIFIED_PAIRS_CACHE: dict[tuple, pd.DataFrame] = {}
+# pipeline. The input's mtime+size is stored as the VALUE's stamp, so a
+# rewrite of documents.parquet REPLACES the entry (O(1) entries per params —
+# no growth across input refreshes) instead of serving stale pairs (same
+# discipline as the on-disk ANN index cache in similarity.py).
+_VERIFIED_PAIRS_CACHE: dict[tuple, tuple[str, pd.DataFrame]] = {}
 
 
 def _input_stamp(sf_dir: str) -> str:
@@ -309,10 +310,11 @@ def minhash_lsh_dedup(
     :func:`minhash_verified_pairs`). With high-recall band settings (small
     rows-per-band) the LSH output equals the exact brute-force pair set —
     the configuration the driver's SQL oracle verifies hash-for-hash."""
-    key = (sf_dir, _input_stamp(sf_dir), threshold, num_perm, bands, k)
-    cached = _VERIFIED_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached.copy()
+    key = (sf_dir, threshold, num_perm, bands, k)
+    stamp = _input_stamp(sf_dir)
+    hit = _VERIFIED_PAIRS_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1].copy()
     out = minhash_verified_pairs(
         sf_dir, threshold=threshold, num_perm=num_perm, bands=bands, k=k
     ).to_pandas()
@@ -325,7 +327,7 @@ def minhash_lsh_dedup(
         out = out.drop_duplicates(["doc_a", "doc_b"])
         out = out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
         out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    _VERIFIED_PAIRS_CACHE[key] = out
+    _VERIFIED_PAIRS_CACHE[key] = (stamp, out)
     return out.copy()
 
 

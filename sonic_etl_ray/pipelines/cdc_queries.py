@@ -1085,21 +1085,28 @@ def cdc_scd2_history(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
 
 # shared history-lake replay for the archive-backed queries: the replay is
 # deterministic and the lake immutable afterward, so the three consumers
-# (scd2_incremental / state_at_lsn / key_history) reuse ONE execution;
-# input mtime+size keys the memo (stale-input discipline as in dedup.py)
-_HISTORY_LAKE_CACHE: dict[tuple, str] = {}
+# (scd2_incremental / state_at_lsn / key_history) reuse ONE execution.
+# Keyed by sf_dir with the input stamp stored as VALUE (O(1) entries —
+# a rewrite replaces rather than accumulates); the superseded scratch lake
+# is removed from disk on eviction.
+_HISTORY_LAKE_CACHE: dict[str, tuple[tuple, str, int, int]] = {}
 
 
-def _history_lake(sf_dir: str) -> str:
+def _history_lake(sf_dir: str) -> tuple[str, int, int]:
+    """(lake_dir, lo, span) of the memoized track_history quartile replay."""
     import os
+    import shutil
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    key = (sf_dir, st.st_mtime_ns, st.st_size)
-    lake = _HISTORY_LAKE_CACHE.get(key)
-    if lake is None or not os.path.isdir(lake):
-        lake, _, _ = _replay_quartile_epochs(sf_dir, "histq", track_history=True)
-        _HISTORY_LAKE_CACHE[key] = lake
-    return lake
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _HISTORY_LAKE_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
+        return hit[1], hit[2], hit[3]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    lake, lo, span = _replay_quartile_epochs(sf_dir, "histq", track_history=True)
+    _HISTORY_LAKE_CACHE[sf_dir] = (stamp, lake, lo, span)
+    return lake, lo, span
 
 
 def cdc_state_at_lsn(sf_dir: str) -> pd.DataFrame:
@@ -1108,15 +1115,10 @@ def cdc_state_at_lsn(sf_dir: str) -> pd.DataFrame:
     max-LSN version <= cut wins, a winning delete kills the key. Exercises
     the history sidecar as a full point-in-time recovery source, not just
     an SCD2 feed."""
-    from ray.data.aggregate import Max, Min
-
     from ..pipelines.history import state_at_lsn
 
-    lake = _history_lake(sf_dir)
-    ids = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    agg = ids.aggregate(Min("event_id"), Max("event_id"))
-    lo, hi = int(agg["min(event_id)"]), int(agg["max(event_id)"])
-    cut = lo + ((hi - lo + 1) * 6) // 10
+    lake, lo, span = _history_lake(sf_dir)
+    cut = lo + (span * 6) // 10
     out = state_at_lsn(lake, cut).to_pandas()
     cols = [
         "repo", "path", "commit", "lang", "content", "content_sha256",
@@ -1132,7 +1134,7 @@ def cdc_key_history(sf_dir: str) -> pd.DataFrame:
     path. Returns the full ordered chain."""
     from ..pipelines.history import lookup_key_history
 
-    lake = _history_lake(sf_dir)
+    lake, _lo, _span = _history_lake(sf_dir)
     counts = (
         _events_as_cdc(sf_dir)
         .select_columns(["repo", "path"])
@@ -1158,7 +1160,7 @@ def cdc_scd2_incremental(sf_dir: str) -> pd.DataFrame:
     SQL over the raw stream)."""
     from ..pipelines.history import scd2_view
 
-    lake = _history_lake(sf_dir)
+    lake, _lo, _span = _history_lake(sf_dir)
     out = scd2_view(lake).to_pandas()
     for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
         out[c] = out[c].astype("int64")

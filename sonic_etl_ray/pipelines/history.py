@@ -104,7 +104,7 @@ def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
             continue
         if epoch in covered.get(part, ()):
             continue
-        if os.path.exists(cl.commit_path(lake_dir, epoch, part)):
+        if cl.commit_exists(lake_dir, epoch, part):
             out.append((epoch, part, f))
     return compacted + [f for _, _, f in sorted(out)]
 
@@ -148,7 +148,7 @@ def _part_history_files(
             continue
         if as_of_epoch is not None and epoch > as_of_epoch:
             continue
-        if os.path.exists(cl.commit_path(lake_dir, epoch, part)):
+        if cl.commit_exists(lake_dir, epoch, part):
             out.append(f)
     return out
 
@@ -212,14 +212,9 @@ def lookup_key_history(
         return pa.table({})
     out = _concat_evolved(tabs)
     # cross-epoch duplicate delivery tolerance: one row per (repo, path, lsn)
-    keys_col = key_strings(out, key=("repo", "path", "lsn"))
-    import numpy as _np
+    from ..stages.keys import first_indices
 
-    idx = pa.table(
-        {"k": keys_col, "i": pa.array(_np.arange(out.num_rows, dtype=_np.int64))}
-    )
-    firsts = idx.group_by("k").aggregate([("i", "min")]).column("i_min")
-    out = out.take(firsts)
+    out = out.take(first_indices(out, key=("repo", "path", "lsn")))
     return out.take(
         pc.sort_indices(
             out,
@@ -245,12 +240,17 @@ def state_at_lsn(lake_dir: str, lsn: int, num_buckets: int = 64) -> ray.data.Dat
 
     from ..functions.text import md5_u64
 
+    if not history_files(lake_dir):  # empty archive → typed empty state
+        from ..schemas import STATE_SCHEMA
+
+        empty = STATE_SCHEMA.empty_table().drop_columns(["deleted"])
+        return ray.data.from_arrow(empty)
     ds = read_history(lake_dir)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["lsn"] <= lsn].copy()  # prune before the exchange
-        if not len(b):
-            return b
+        # ALWAYS assign __bucket — a fully-pruned batch must keep the same
+        # schema as its siblings or the groupby key goes missing
         key = (b["repo"].astype(str) + "\x00" + b["path"].astype(str)).tolist()
         b["__bucket"] = md5_u64(key).view(np.int64) % num_buckets
         return b
@@ -334,7 +334,7 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         if not m:
             continue
         epoch, part = int(m.group(1)), int(m.group(2))
-        if os.path.exists(cl.commit_path(lake_dir, epoch, part)):
+        if cl.commit_exists(lake_dir, epoch, part):
             by_part.setdefault(part, []).append((epoch, f))
 
     @ray.remote(num_cpus=1)
@@ -379,17 +379,33 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         with open(mtmp, "w") as fh:
             json.dump(marker, fh)
         os.rename(mtmp, mpath)  # commit point: reads switch to the run here
-        for _, f in fresh:  # superseded originals (excluded either way)
-            os.remove(f)
-        if prev:
-            os.remove(prev[1])
-            os.remove(os.path.join(pdir, f"run-seq={prev[0]:08d}.json"))
+        # GC everything the new run supersedes: ALL covered originals still
+        # on disk (incl. leftovers of a crash after a previous marker rename)
+        # and every older run, not just the latest
+        new_covered = set(marker["covered_epochs"])
+        for e, f in epoch_files:
+            if e in new_covered:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+        for s, df, _m in runs:
+            for stale in (df, os.path.join(pdir, f"run-seq={s:08d}.json")):
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
         return len(fresh)
 
-    todo = {
-        p: ef for p, ef in by_part.items()
-        if len(ef) >= min_files or _compact_runs(lake_dir, p)
-    }
+    # driver-side precheck mirrors compact_part's amortization rule so a
+    # tailer folding every tick doesn't dispatch P no-op tasks per tick
+    todo: dict[int, list[tuple[int, str]]] = {}
+    for p, ef in by_part.items():
+        runs = _compact_runs(lake_dir, p)
+        covered = set(runs[-1][2]["covered_epochs"]) if runs else set()
+        fresh_n = sum(1 for e, _ in ef if e not in covered)
+        if fresh_n >= (min_files if runs else max(min_files, 2)):
+            todo[p] = ef
     folded = sum(ray.get([compact_part.remote(p, ef) for p, ef in todo.items()]))
     return {"parts": len(todo), "files_folded": folded}
 

@@ -106,17 +106,12 @@ def _history_versions(group: pa.Table) -> pa.Table:
     occurrence (at-least-once duplicates are byte-identical by contract),
     envelope helper columns drop, canonical (repo, path, lsn) order so
     scheduling nondeterminism never leaks into the archive file."""
-    import numpy as np
+    from ..stages.keys import first_indices
 
     drop = [c for c in (PART_COLUMN, W_COLUMN) if c in group.column_names]
     t = group.drop_columns(drop) if drop else group
     if t.num_rows > 1:
-        keys = key_strings(t, key=("repo", "path", "lsn"))
-        idx = pa.table(
-            {"k": keys, "i": pa.array(np.arange(t.num_rows, dtype=np.int64))}
-        )
-        firsts = idx.group_by("k").aggregate([("i", "min")]).column("i_min")
-        t = t.take(firsts)
+        t = t.take(first_indices(t, key=("repo", "path", "lsn")))
     return t.take(
         pc.sort_indices(
             t,

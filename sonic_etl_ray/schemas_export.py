@@ -263,8 +263,9 @@ def arrow_to_proto2(schema: pa.Schema, message: str, package: str = "etl") -> st
 
 
 def _proto_message(fields: pa.Schema | pa.StructType, name: str, indent: str = "") -> list[str]:
-    out = [f"{indent}message {name} {{"]
+    header = f"{indent}message {name} {{"
     nested: list[str] = []
+    body: list[str] = []
     n = 0
     for f in fields:
         n += 1
@@ -275,17 +276,21 @@ def _proto_message(fields: pa.Schema | pa.StructType, name: str, indent: str = "
         if pa.types.is_struct(t):
             sub = f"{name}_{f.name.capitalize()}"
             nested += _proto_message(t, sub, indent + "  ")
-            out.append(f"{indent}  {label} {sub} {f.name} = {n};")
+            body.append(f"{indent}  {label} {sub} {f.name} = {n};")
             continue
         if pa.types.is_timestamp(t):
             pt, bq = "int64", "TIMESTAMP"
         elif pa.types.is_decimal(t):
             pt, bq = "string", "NUMERIC"
+        elif pa.types.is_date32(t):
+            pt, bq = "int32", "DATE"
         else:
+            if str(t) not in _PROTO_TYPE:
+                raise TypeError(f"no proto2 mapping for Arrow type {t} (field {f.name!r})")
             pt = _PROTO_TYPE[str(t)]
             bq = _bq_field(pa.field(f.name, t, nullable=True))["type"]
-        out.append(f"{indent}  {label} {pt} {f.name} = {n};  // (BQ->{bq})")
-    return out[:1] + nested + out[1:]
+        body.append(f"{indent}  {label} {pt} {f.name} = {n};  // (BQ->{bq})")
+    return [header] + nested + body + [f"{indent}}}"]
 
 
 # ------------------------------------------------------------ publication
@@ -375,19 +380,19 @@ def export_table_contracts(
     for sub in ("bq", "avro", "proto"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
     for name, schema in tables.items():
+        # render all three BEFORE writing any, so an unmappable type raises
+        # without leaving a partially-published contract for this table
+        payloads = [
+            ("bq", f"{name}.json", json.dumps(arrow_to_bq_json(schema), indent=2)),
+            ("avro", f"{name}.avsc", json.dumps(arrow_to_avro(schema, name), indent=2)),
+            ("proto", f"{name}.proto", arrow_to_proto2(schema, _camel(name))),
+        ]
         paths = []
-        p = os.path.join(out_dir, "bq", f"{name}.json")
-        with open(p, "w") as fh:
-            json.dump(arrow_to_bq_json(schema), fh, indent=2)
-        paths.append(p)
-        p = os.path.join(out_dir, "avro", f"{name}.avsc")
-        with open(p, "w") as fh:
-            json.dump(arrow_to_avro(schema, name), fh, indent=2)
-        paths.append(p)
-        p = os.path.join(out_dir, "proto", f"{name}.proto")
-        with open(p, "w") as fh:
-            fh.write(arrow_to_proto2(schema, _camel(name)))
-        paths.append(p)
+        for sub, fname, text in payloads:
+            p = os.path.join(out_dir, sub, fname)
+            with open(p, "w") as fh:
+                fh.write(text)
+            paths.append(p)
         written[name] = paths
     return written
 

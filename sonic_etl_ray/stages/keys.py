@@ -129,6 +129,20 @@ def key_strings(tbl: pa.Table, key: tuple[str, ...] = ("repo", "path")) -> pa.Ar
     return out
 
 
+def first_indices(tbl: pa.Table, key: tuple[str, ...]) -> pa.Array:
+    """Positional indices of the FIRST occurrence per composite key, in
+    input order — the shared at-least-once dedup idiom (duplicate deliveries
+    are byte-identical by contract, so first-wins is exact). Used by the
+    version-preserving combiner, the history archive writer, and the
+    archive key lookup; keep them in lockstep through this helper."""
+    keys = key_strings(tbl, key=key)
+    idx = pa.table(
+        {"k": keys, "i": pa.array(np.arange(tbl.num_rows, dtype=np.int64))}
+    )
+    firsts = idx.group_by("k").aggregate([("i", "min")]).column("i_min")
+    return firsts.take(pc.sort_indices(firsts))  # preserve input order
+
+
 def _hash_via_pandas(strings: pa.Array) -> np.ndarray:
     obj = np.asarray(strings.to_pandas(), dtype=object)
     return pd.util.hash_array(obj, categorize=False)

@@ -246,6 +246,18 @@ def write_commit(lake_dir: str, record: dict[str, Any]) -> None:
     )
 
 
+def commit_exists(lake_dir: str, epoch: int, part: int) -> bool:
+    """O(1) commit-gate check that survives checkpoint compaction: the live
+    JSON file OR the (mtime-cached) checkpoint's records map. Readers
+    gating data files on a commit (e.g. the history archive) MUST use this,
+    not a raw ``commit_path`` existence check — ``compact_commits`` deletes
+    the rolled-up files."""
+    if os.path.exists(commit_path(lake_dir, epoch, part)):
+        return True
+    cp = read_checkpoint(lake_dir)
+    return cp is not None and f"{epoch}:{part}" in cp.get("records", {})
+
+
 def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
     p = commit_path(lake_dir, epoch, part)
     if os.path.exists(p):

@@ -273,6 +273,61 @@ def test_expire_history_retention(stream):
     assert read_history(lake).count() == 0
 
 
+def test_history_survives_commit_checkpoint_compaction(stream):
+    """compact_commits deletes per-unit commit JSONs (rolled into the
+    checkpoint) — the archive's commit gate must keep honoring them via the
+    checkpoint, or the whole archive silently vanishes."""
+    from sonic_etl_ray.pipelines.history import compact_history
+    from sonic_etl_ray.state.commitlog import compact_commits
+
+    lake = scratch_lake_dir("histckpt")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    before = _view_df(lake)
+    n_files = len(history_files(lake))
+    compact_commits(lake)
+    assert len(history_files(lake)) == n_files  # gate honors the checkpoint
+    pd.testing.assert_frame_equal(_view_df(lake), before)
+    assert compact_history(lake, min_files=1)["files_folded"] > 0
+    pd.testing.assert_frame_equal(_view_df(lake), before)
+
+
+def test_state_at_lsn_edge_cases(stream):
+    """A cut below the first archived LSN and an untracked lake both return
+    empty without crashing (fully-pruned batches keep the __bucket column)."""
+    from sonic_etl_ray.pipelines.history import state_at_lsn
+
+    lake = scratch_lake_dir("histedge")
+    run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    lo = int(pq.read_table(stream[0], columns=["lsn"])["lsn"][0].as_py())
+    assert state_at_lsn(lake, lo - 1).count() == 0
+    bare = scratch_lake_dir("histedge2")
+    run_ingest(stream[:3], bare, num_partitions=4, segments_per_epoch=3)
+    assert state_at_lsn(bare, 10**9).count() == 0
+
+
+def test_compact_gc_collects_crash_leftovers(stream):
+    """A covered original left on disk by a crash mid-GC is removed by the
+    NEXT fold (coverage-list exclusion keeps reads exact in the meantime)."""
+    import shutil
+
+    from sonic_etl_ray.pipelines.history import compact_history
+
+    lake = scratch_lake_dir("histgc")
+    run_ingest(stream[:9], lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    victims = history_files(lake)
+    compact_history(lake, min_files=2)
+    # simulate the crash: resurrect one covered original
+    ghost = victims[0]
+    os.makedirs(os.path.dirname(ghost), exist_ok=True)
+    shutil.copyfile(history_files(lake)[0], ghost)
+    before = _view_df(lake)
+    pd.testing.assert_frame_equal(before, before)  # reads unaffected (covered list)
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    compact_history(lake, min_files=1)
+    assert not os.path.exists(ghost)  # next fold GCs it
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+
+
 def test_history_off_by_default(stream):
     lake = scratch_lake_dir("histoff")
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)

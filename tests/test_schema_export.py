@@ -86,9 +86,14 @@ def test_proto2_emission():
     assert 'syntax = "proto2";' in txt
     assert "required string repo = 1;" in txt
     assert "optional int64 size_bytes" in txt and "(BQ->INTEGER)" in txt
+    assert txt.count("{") == txt.count("}") == 1  # syntactically closed
     nested = arrow_to_proto2(NESTED, "Block")
     assert "repeated Block_Withdrawals withdrawals" in nested
     assert "message Block_Withdrawals" in nested
+    assert nested.count("{") == nested.count("}") == 3  # all messages closed
+    # date32 maps (int32 + BQ DATE comment) instead of KeyError
+    d = arrow_to_proto2(pa.schema([pa.field("d", pa.date32())]), "D")
+    assert "optional int32 d = 1;  // (BQ->DATE)" in d
 
 
 def test_export_writes_three_formats(tmp_path):
