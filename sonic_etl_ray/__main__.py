@@ -97,6 +97,20 @@ def main(argv: list[str] | None = None) -> int:
         "port for the duration of the tail loop (0 = OS-assigned)",
     )
 
+    ch = sub.add_parser(
+        "compact-history",
+        help="fold per-epoch history archive files into per-partition runs",
+    )
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--min-files", type=int, default=8)
+
+    eh = sub.add_parser(
+        "expire-history",
+        help="archive retention: drop history for epochs below a cutoff",
+    )
+    eh.add_argument("--lake", required=True)
+    eh.add_argument("--before-epoch", type=int, required=True)
+
     se = sub.add_parser(
         "schema-export",
         help="publish table contracts as BigQuery JSON + Avro + proto2",
@@ -180,6 +194,20 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.ingest import vacuum
 
         print(json.dumps(vacuum(args.lake, keep_epochs=args.keep_epochs)))
+        return 0
+    if args.cmd == "compact-history":
+        _ray_init(args.num_cpus)  # per-partition fold tasks
+        from .pipelines.history import compact_history
+
+        print(json.dumps(compact_history(args.lake, min_files=args.min_files)))
+        import ray
+
+        ray.shutdown()
+        return 0
+    if args.cmd == "expire-history":
+        from .pipelines.history import expire_history
+
+        print(json.dumps(expire_history(args.lake, before_epoch=args.before_epoch)))
         return 0
     if args.cmd == "schema-export":
         from .schemas_export import export_table_contracts
