@@ -541,6 +541,17 @@ def ngram_jaccard_pairs(
         shingles = [shingle_hashes(t, k) for t in g["text"]]
         if n * (n - 1) // 2 > max_block_pairs:
             cand = _lsh_candidates(list(g["text"]))
+            # the guardrail trades exact-recall for bounded cost — say so
+            # loudly, or a gate mismatch on a hot block debugs blind
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: block %r (n=%d, %d potential pairs) "
+                "exceeded max_block_pairs=%d — using banded-LSH candidates "
+                "(recall may drop below exact)",
+                g[block_col].iloc[0] if block_col in g else "?",
+                n, n * (n - 1) // 2, max_block_pairs,
+            )
         else:
             cand = ((i, j) for i in range(n) for j in range(i + 1, n))
         return _exact_pairs(ids, shingles, cand)

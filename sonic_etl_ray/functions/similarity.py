@@ -229,12 +229,31 @@ def _index_cache_dir(kind: str, sf_dir: str, *params) -> str:
     return os.path.join(tempfile.gettempdir(), f"{kind}_index_{digest}")
 
 
+def _publish_index_dir(tmp_dir: str, index_dir: str) -> None:
+    """Atomic publish of a fully-built index: rename the staging dir onto
+    the digest path. Concurrent builders (the multi-process driver gate) or
+    a crashed-and-retried build can otherwise interleave UUID-named parquet
+    files in the same final directory and then flag it _INDEX_READY —
+    readers would scan the union (duplicated vectors, wrong top-k) forever,
+    since the mtime+size cache key never invalidates a torn build. First
+    publisher wins; the loser's staging dir is discarded."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp_dir, index_dir)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # rival already published
+
+
 def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
     """Cluster-partitioned Parquet layout for IVF: one assignment pass,
     ``cluster=N/`` directories — same read-pruning story as the LSH index,
     with the coarse quantizer as the partitioner. The centroids ride along
-    as ``centroids.npy`` so query time needs no re-fit."""
+    as ``centroids.npy`` so query time needs no re-fit. Built in a staging
+    dir and atomically renamed into place (see :func:`_publish_index_dir`)."""
     import os
+    import uuid
 
     cents = fit_centroids(sf_dir, k=n_clusters)
     ds = ray.data.read_parquet(
@@ -256,11 +275,13 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
             }
         )
 
+    tmp_dir = f"{index_dir}.build.{uuid.uuid4().hex[:8]}"
     assigned.map_batches(plain, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["cluster"]
+        tmp_dir, partition_cols=["cluster"]
     )
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
-    open(os.path.join(index_dir, "_INDEX_READY"), "w").close()
+    np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
+    open(os.path.join(tmp_dir, "_INDEX_READY"), "w").close()
+    _publish_index_dir(tmp_dir, index_dir)
     return index_dir
 
 
@@ -347,8 +368,10 @@ def build_lsh_index(
     ["bucket"])`` lays vectors out as ``bucket=N/`` directories. Queries
     then PRUNE THE READ to the probe buckets' directories — file-listing
     level data skipping, not a post-read filter (the difference between
-    scanning 2^n_planes-th of a 100 TB table and scanning all of it)."""
+    scanning 2^n_planes-th of a 100 TB table and scanning all of it).
+    Built in a staging dir and atomically renamed (:func:`_publish_index_dir`)."""
     import os
+    import uuid
 
     q0 = _query_vector(sf_dir, 0)
     ds = ray.data.read_parquet(
@@ -376,10 +399,12 @@ def build_lsh_index(
             }
         )
 
+    tmp_dir = f"{index_dir}.build.{uuid.uuid4().hex[:8]}"
     bucketed.map_batches(plain, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["bucket"]
+        tmp_dir, partition_cols=["bucket"]
     )
-    open(os.path.join(index_dir, "_INDEX_READY"), "w").close()
+    open(os.path.join(tmp_dir, "_INDEX_READY"), "w").close()
+    _publish_index_dir(tmp_dir, index_dir)
     return index_dir
 
 

@@ -1073,14 +1073,21 @@ def _run_ingest_impl(
 
     if fused and (suppress_unchanged or merge_mode == "mor" or track_history):
         fused = False  # fused chains in-memory COW state; see MergeApplier
+    if fused and on_epoch is not None:
+        # exclusive mode heartbeats + fence-checks the lease via on_epoch
+        # BETWEEN epochs; the fused pipeline applies every epoch in one
+        # execution with no between-epoch hook, so a run longer than the
+        # TTL would go stale unnoticed (the docstring's "TTL only needs to
+        # exceed the longest single epoch" guarantee) — take the epoch loop
+        fused = False
     if fused and normal:
         # fused mode needs uniform segment schemas across ALL pending
         # segments (a mid-epoch column add would silently enter the union
         # path untested); fall back to the epoch loop otherwise
         schemas = {str(pq.read_schema(f)) for _, ef in normal for f in ef}
         if len(schemas) == 1:
-            if on_epoch is not None:
-                on_epoch()  # fused applies in one pipeline: one check up front
+            # on_epoch is None here by construction (the per-epoch hook
+            # forces the epoch loop above)
             out = _run_ingest_fused(
                 normal,
                 lake_dir,

@@ -154,7 +154,10 @@ class _MetricsHandler(BaseHTTPRequestHandler):
             snap = self.server.metrics.snapshot()  # type: ignore[attr-defined]
             window = self.server.liveness_window_s  # type: ignore[attr-defined]
             idle = snap["seconds_since_last_tick"]
-            alive = idle is not None and idle <= window
+            # startup grace: before the FIRST tick completes (cold backlog
+            # can take minutes) the loop is alive by definition — a probe
+            # that 503s here would restart-loop a healthy process
+            alive = idle is None or idle <= window
             code = 200 if alive else 503
             body = json.dumps({"alive": alive, "seconds_since_last_tick": idle}).encode()
             ctype = "application/json"

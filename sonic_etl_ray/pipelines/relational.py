@@ -906,12 +906,6 @@ def sliding_user_window(
         .aggregate(Sum("day_cents", alias_name="day_cents"))
     )
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__bucket",
-            pc.cast(pc.bit_wise_and(t.column("user_id"), num_buckets - 1), pa.int64()),
-        )
-
     def bucket_window(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "day"], kind="stable").reset_index(drop=True)
         day = g["day"].to_numpy(np.int64)
@@ -932,7 +926,7 @@ def sliding_user_window(
         )
 
     out = (
-        daily.map_batches(add_bucket, batch_format="pyarrow")
+        _bucket_by_user(daily, num_buckets)
         .groupby("__bucket")
         .map_groups(bucket_window, batch_format="pandas")
         .to_pandas()
@@ -1107,14 +1101,9 @@ def funnel_conversion(
     driver-side row processing."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(
-            t["event_type"], value_set=pa.array(["signup", "purchase"])
-        )
-        t = t.filter(keep)
-        return t.append_column(
-            "__bucket",
-            pc.cast(pc.bit_wise_and(t.column("user_id"), num_buckets - 1), pa.int64()),
+    def keep_funnel(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["signup", "purchase"]))
         )
 
     def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
@@ -1148,7 +1137,7 @@ def funnel_conversion(
         )
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        _bucket_by_user(ds.map_batches(keep_funnel, batch_format="pyarrow"), num_buckets)
         .groupby("__bucket")
         .map_groups(bucket_partial, batch_format="pandas")
         .to_pandas()

@@ -88,14 +88,19 @@ class Tailer:
         """Operational snapshot (ST7): counters + per-partition watermark lag."""
         return self._metrics.snapshot()
 
-    def serve_metrics(self, port: int = 0, liveness_window_s: float = 60.0) -> int:
+    def serve_metrics(self, port: int = 0, liveness_window_s: float | None = None) -> int:
         """Start the loopback ``/metrics`` + ``/healthz`` HTTP surface
         (reference: ``main.rs:282-355`` actix metrics/liveness servers).
-        Returns the bound port; stopped automatically when :meth:`run` exits."""
+        Returns the bound port; stopped automatically when :meth:`run` exits.
+        ``liveness_window_s=None`` (default) couples the health window to
+        the poll interval when :meth:`run` starts — ``max(60, 3×poll)`` —
+        so a slow-polling tailer doesn't flap 503 between healthy ticks."""
         from .metrics import serve_metrics
 
+        self._liveness_explicit = liveness_window_s is not None
         self._metrics_server, port = serve_metrics(
-            self._metrics, port=port, liveness_window_s=liveness_window_s
+            self._metrics, port=port,
+            liveness_window_s=liveness_window_s if liveness_window_s is not None else 60.0,
         )
         return port
 
@@ -161,6 +166,11 @@ class Tailer:
         """``exclusive=True`` holds the lake's single-writer lease for the
         whole tail loop, heartbeating each tick — a second tailer on the
         same lake fails fast instead of interleaving epochs."""
+        if self._metrics_server is not None and not getattr(
+            self, "_liveness_explicit", False
+        ):
+            # couple the health window to the actual poll cadence
+            self._metrics_server.liveness_window_s = max(60.0, 3 * poll_interval_s)
         token = None
         if exclusive:
             token = cl.acquire_writer_lease(

@@ -53,11 +53,14 @@ columns; right key dropped), verified in tests.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import pyarrow as pa
 import ray
 import ray.data
+
+log = logging.getLogger(__name__)
 
 _PA_JOIN_TYPE = {"inner": "inner", "left_outer": "left outer"}
 
@@ -143,34 +146,70 @@ def safe_join(
     **join_kwargs,
 ) -> ray.data.Dataset:
     """``left.join(right, ...)`` with empty-block scrubbing and an adaptive
-    broadcast fast path for small right sides (see module docstring)."""
-    l_ds, _ = _scrub(left)
+    broadcast fast path for small right sides (see module docstring).
+
+    Degenerate right side — ONLY schema-less empty blocks (Ray's aggregate
+    over an empty input emits 0-column blocks and ``Dataset.schema()`` is
+    ``None``, so nothing can recover the right schema): the hash join would
+    crash inside the aggregator actors, so the correct result is
+    synthesized instead — ``inner`` → the left limited to 0 rows,
+    ``left_outer`` → the left unchanged (no right row exists to pad;
+    right column NAMES are unknowable so none are added). Both are logged.
+    """
     r_ds, r_bytes = _scrub(right)
     rk = tuple(right_on) if right_on is not None else tuple(on)
 
-    if (
-        not join_kwargs
-        and join_type in _PA_JOIN_TYPE
-        and r_bytes is not None
-        and r_bytes <= _broadcast_max_bytes()
-    ):
-        small = _collect_table(r_ds)
-        # Key-less collapsed table (all blocks empty) can't broadcast-join;
-        # a column collision outside the keys would make pyarrow raise where
-        # Ray would suffix — fall through to the hash join for both.
-        l_schema = l_ds.schema(fetch_if_missing=True)
+    small = (
+        _collect_table(r_ds)
+        if r_bytes is not None and r_bytes <= _broadcast_max_bytes()
+        else None
+    )
+    if small is not None and small.num_columns == 0:
+        log.warning(
+            "safe_join: right side is entirely schema-less empty blocks; "
+            "synthesizing the %s-join result (right columns unknowable)",
+            join_type,
+        )
+        if join_type == "inner":
+            return left.limit(0)
+        if join_type == "left_outer":
+            return left
+        raise ValueError(
+            f"cannot synthesize a {join_type!r} join against a schema-less "
+            "empty right side (Ray aggregates over empty inputs emit "
+            "0-column blocks); materialize a typed empty table instead"
+        )
+    if small is not None and not join_kwargs and join_type in _PA_JOIN_TYPE:
+        # A right non-key column colliding with ANY left name (keys
+        # included — pyarrow keeps left keys in the output) produces a
+        # duplicate output column; Ray's hash join dies on the same shape
+        # ('Field "x" exists 2 times in schema' inside the aggregator
+        # actors, verified on 2.49), so neither path can represent it —
+        # fail fast with an actionable message instead.
+        l_schema = left.schema(fetch_if_missing=True)
         l_names = set(l_schema.names) if l_schema is not None else None
         collide = (
-            l_names is not None
-            and (set(small.column_names) - set(rk)) & (l_names - set(on))
+            (set(small.column_names) - set(rk)) & l_names
+            if l_names is not None
+            else set()
         )
-        if small.num_columns > 0 and l_names is not None and not collide:
+        if collide:
+            raise ValueError(
+                f"join would duplicate column(s) {sorted(collide)}: right "
+                "non-key columns collide with left columns — rename them "
+                "before joining (neither pyarrow nor Ray's hash join can "
+                "suffix on this engine version)"
+            )
+        if l_names is not None:
+            # broadcast path: the LEFT side streams — no scrub/materialize
+            # of the big side (zero-row left blocks simply yield no batches)
             ref = ray.put(small)
-            return l_ds.map_batches(
+            return left.map_batches(
                 _BroadcastJoiner(ref, on, rk, _PA_JOIN_TYPE[join_type]),
                 batch_format="pyarrow",
             )
 
+    l_ds, _ = _scrub(left)
     return l_ds.join(
         r_ds,
         join_type=join_type,

@@ -389,12 +389,24 @@ def acquire_writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0) -> str:
             # we renamed the stale corpse away, yet someone else created a
             # FRESH lease before our create — they won the takeover
             raise LeaseHeld(f"writer lease on {lake_dir} re-acquired by another claimant")
+        # mtime and content MUST come from one snapshot (fstat + read on the
+        # same fd): stat-then-open lets a rival replace the lease in between,
+        # making us judge staleness on the OLD file but verify the takeover
+        # against the NEW one — which would pass and evict a live lease
         try:
-            age = time.time() - os.stat(path).st_mtime
-            with open(path) as f:
-                holder = json.load(f)
-        except (FileNotFoundError, ValueError):
-            continue  # released/replaced between create and stat/read — retry
+            fd = os.open(path, os.O_RDONLY)
+        except FileNotFoundError:
+            continue  # released/replaced between create and open — retry
+        try:
+            snap = os.fstat(fd)
+            raw = os.read(fd, 1 << 16)
+        finally:
+            os.close(fd)
+        age = time.time() - snap.st_mtime
+        try:
+            holder = json.loads(raw)
+        except ValueError:
+            continue  # torn write in flight — retry
         # staleness is judged against the TTL the HOLDER acquired with
         # (persisted in the lease) — a claimant passing a smaller ttl_s must
         # not steal from a holder heartbeating at its own granted cadence
@@ -418,9 +430,13 @@ def acquire_writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0) -> str:
         try:
             with open(corpse, "rb") as f:
                 grabbed = json.loads(f.read())
+            # rename preserves mtime: a corpse mtime NEWER than our snapshot
+            # means the holder heartbeat between our judgment and the rename
+            # — same token, but the lease was live; restore it
+            heartbeat_since = os.stat(corpse).st_mtime > snap.st_mtime
         except (FileNotFoundError, ValueError):
-            grabbed = {}
-        if grabbed.get("token") != holder.get("token"):
+            grabbed, heartbeat_since = {}, False
+        if grabbed.get("token") != holder.get("token") or heartbeat_since:
             # we evicted a FRESH lease created after our staleness check —
             # restore it (best effort; if a third claimant already created
             # a new lease, the evicted holder is fenced at its next

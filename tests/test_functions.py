@@ -869,3 +869,80 @@ def test_minhash_memo_invalidates_on_input_rewrite(tmp_path):
     os.utime(path)  # belt-and-braces mtime bump
     second = minhash_lsh_dedup(str(sf), threshold=0.5)
     assert list(zip(second["doc_a"], second["doc_b"])) == [(1, 3)]
+
+
+def test_safe_join_all_empty_schema_less_right_synthesizes():
+    """A right side that is ENTIRELY schema-less empty blocks (Ray aggregate
+    over an empty input: ds.schema() is None, blocks are 0x0) cannot be
+    joined by either engine path — safe_join synthesizes the result:
+    inner -> empty left, left_outer -> left unchanged, others -> clear error."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from sonic_etl_ray.stages.joins import safe_join
+
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+    )
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "x": [10.0, 20.0]}))
+
+    agg = empty.groupby("k").aggregate(Sum("v", alias_name="s"))
+    assert safe_join(left, agg, join_type="inner", num_partitions=2, on=("k",)).count() == 0
+    agg2 = empty.groupby("k").aggregate(Sum("v", alias_name="s"))
+    lo = safe_join(left, agg2, join_type="left_outer", num_partitions=2, on=("k",))
+    assert lo.to_pandas()["x"].tolist() == [10.0, 20.0]
+    agg3 = empty.groupby("k").aggregate(Sum("v", alias_name="s"))
+    with pytest.raises(ValueError, match="schema-less"):
+        safe_join(left, agg3, join_type="right_outer", num_partitions=2, on=("k",))
+
+
+def test_safe_join_rejects_column_collision_clearly():
+    """A right non-key column named like ANY left column (keys included)
+    cannot be represented by either join path on this Ray version (both emit
+    a duplicate column / die in the aggregators) — safe_join raises an
+    actionable ValueError instead."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from sonic_etl_ray.stages.joins import safe_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "x": [10.0, 20.0]}))
+    right = ray.data.from_arrow(pa.table({"rk": [1], "k": [99]}))
+    with pytest.raises(ValueError, match="duplicate column"):
+        safe_join(left, right, join_type="inner", num_partitions=2, on=("k",), right_on=("rk",))
+
+
+def test_index_build_is_atomic_against_stale_staging(tmp_path):
+    """Index builds stage into a temp dir and atomically rename: a second
+    build (crashed-and-retried / concurrent loser) must not interleave files
+    into the published index — vector count stays exact."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.functions.similarity import build_lsh_index, lsh_topk_indexed
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.default_rng(3)
+    n = 50
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([rng.normal(size=8).astype(np.float32) for _ in range(n)], pa.list_(pa.float32())),
+        }),
+        sf / "embeddings.parquet",
+    )
+    idx = str(tmp_path / "lshidx")
+    build_lsh_index(str(sf), idx)
+    rows1 = sum(pq.read_metadata(f).num_rows for f in _glob.glob(f"{idx}/**/*.parquet", recursive=True))
+    assert rows1 == n
+    build_lsh_index(str(sf), idx)  # retry: loser staging discarded, index intact
+    rows2 = sum(pq.read_metadata(f).num_rows for f in _glob.glob(f"{idx}/**/*.parquet", recursive=True))
+    assert rows2 == n
+    assert not _glob.glob(f"{idx}.build.*")  # no staging leftovers

@@ -172,3 +172,18 @@ def test_tailer_healthz_goes_503_when_stalled():
             assert e.code == 503
     finally:
         srv.shutdown()
+
+
+def test_tailer_healthz_startup_grace():
+    """Before the FIRST tick completes (cold backlog), /healthz must report
+    alive — a liveness probe that 503s at startup restart-loops the pod."""
+    from sonic_etl_ray.pipelines.metrics import TailerMetrics, serve_metrics
+
+    m = TailerMetrics(clock=lambda: 1000.0)
+    srv, port = serve_metrics(m, port=0, liveness_window_s=5.0)
+    try:
+        import urllib.request
+
+        assert urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz").status == 200
+    finally:
+        srv.shutdown()
