@@ -328,6 +328,30 @@ def test_compact_gc_collects_crash_leftovers(stream):
     pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
 
 
+def test_tailer_tracks_history_and_folds(stream, tmp_path):
+    """Integration: a tailing ingest with track_history archives each closed
+    epoch as segments arrive, folds the archive on the state-compaction
+    cadence, and the final SCD2 view equals the brute force."""
+    import shutil
+
+    from sonic_etl_ray.pipelines.tail import Tailer
+
+    seg_dir = str(tmp_path / "grow")
+    os.makedirs(seg_dir)
+    lake = scratch_lake_dir("histtail")
+    tailer = Tailer(
+        seg_dir, lake, num_partitions=4, segments_per_epoch=3,
+        track_history=True, compact_states_every=2,
+    )
+    for f in stream:
+        shutil.copy(f, os.path.join(seg_dir, os.path.basename(f)))
+        tailer.tick()
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+    assert read_history(lake).count() == sum(
+        pq.read_metadata(f).num_rows for f in stream
+    )
+
+
 def test_history_off_by_default(stream):
     lake = scratch_lake_dir("histoff")
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)
