@@ -1055,9 +1055,9 @@ def cdc_scd2_history(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     def scd2_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["repo", "path", "lsn"], kind="stable").reset_index(drop=True)
         same_next = (g["repo"].shift(-1) == g["repo"]) & (g["path"].shift(-1) == g["path"])
-        nxt = np.where(
-            same_next.to_numpy(), g["lsn"].shift(-1).fillna(-1).to_numpy(), -1
-        ).astype(np.int64)
+        # pure-int64 next-LSN (pandas shift detours through float64: lossy > 2^53)
+        lsn = g["lsn"].to_numpy(np.int64)
+        nxt = np.where(same_next.to_numpy(), np.append(lsn[1:], np.int64(-1)), np.int64(-1))
         keep = (g["op"] != "delete").to_numpy()
         out = pd.DataFrame(
             {
@@ -1210,9 +1210,8 @@ def cdc_scd2_from_feed(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
             drop=True
         )
         same_next = (g["repo"].shift(-1) == g["repo"]) & (g["path"].shift(-1) == g["path"])
-        nxt = np.where(
-            same_next.to_numpy(), g["epoch"].shift(-1).fillna(-1).to_numpy(), -1
-        ).astype(np.int64)
+        ep = g["epoch"].to_numpy(np.int64)
+        nxt = np.where(same_next.to_numpy(), np.append(ep[1:], np.int64(-1)), np.int64(-1))
         keep = (g["change_type"] != "delete").to_numpy()
         out = pd.DataFrame(
             {

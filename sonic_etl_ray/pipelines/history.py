@@ -53,11 +53,13 @@ def _compact_runs(lake_dir: str, part: int) -> list[tuple[int, str, dict]]:
     pdir = os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR, cl.PART_FMT.format(part))
     out = []
     for mf in glob.glob(os.path.join(pdir, "run-seq=*.json")):
-        seq = int(re.search(r"run-seq=(\d+)\.json$", mf).group(1))
+        m = re.search(r"run-seq=(\d+)\.json$", mf)
+        if m is None:
+            continue  # stray file in the run dir — never a run marker
         with open(mf) as fh:
             marker = json.load(fh)
         if os.path.exists(marker["data_file"]):
-            out.append((seq, marker["data_file"], marker))
+            out.append((int(m.group(1)), marker["data_file"], marker))
     return sorted(out)
 
 
@@ -143,7 +145,10 @@ def _part_history_files(
     for f in glob.glob(
         os.path.join(lake_dir, HISTORY_DIR, "epoch=*", cl.PART_FMT.format(part) + ".parquet")
     ):
-        epoch = int(_HFILE_RE.search(f).group(1))
+        m = _HFILE_RE.search(f)
+        if m is None:
+            continue  # stray path (e.g. epoch=tmp/) — skip, don't crash
+        epoch = int(m.group(1))
         if epoch in covered:
             continue
         if as_of_epoch is not None and epoch > as_of_epoch:
@@ -240,12 +245,13 @@ def state_at_lsn(lake_dir: str, lsn: int, num_buckets: int = 64) -> ray.data.Dat
 
     from ..functions.text import md5_u64
 
-    if not history_files(lake_dir):  # empty archive → typed empty state
+    files = history_files(lake_dir)  # ONE listing, reused for the read
+    if not files:  # empty archive → typed empty state
         from ..schemas import STATE_SCHEMA
 
         empty = STATE_SCHEMA.empty_table().drop_columns(["deleted"])
         return ray.data.from_arrow(empty)
-    ds = read_history(lake_dir)
+    ds = ray.data.read_parquet(files, partitioning=None)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["lsn"] <= lsn].copy()  # prune before the exchange
@@ -379,17 +385,23 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         with open(mtmp, "w") as fh:
             json.dump(marker, fh)
         os.rename(mtmp, mpath)  # commit point: reads switch to the run here
-        # GC everything the new run supersedes: ALL covered originals still
-        # on disk (incl. leftovers of a crash after a previous marker rename)
-        # and every older run, not just the latest
-        new_covered = set(marker["covered_epochs"])
+        # ONE-GENERATION GC GRACE: a concurrent reader that resolved the
+        # PREVIOUS run's file list before this rename may still be scanning
+        # the previous run + the just-folded originals — deleting them now
+        # would fail its job mid-scan. So this fold deletes only what the
+        # PREVIOUS marker already superseded (originals in prev_covered,
+        # runs older than prev); the files this fold superseded are swept
+        # by the NEXT fold. Costs at most one extra run copy per partition,
+        # bounded; `expire_history` also cleans. (Same reader-isolation
+        # stance as vacuum's keep_epochs, but without requiring readers to
+        # avoid compaction windows.)
         for e, f in epoch_files:
-            if e in new_covered:
+            if e in prev_covered:
                 try:
                     os.remove(f)
                 except FileNotFoundError:
                     pass
-        for s, df, _m in runs:
+        for s, df, _m in runs[:-1]:
             for stale in (df, os.path.join(pdir, f"run-seq={s:08d}.json")):
                 try:
                     os.remove(stale)
@@ -455,7 +467,8 @@ def scd2_view(
 
     from ..functions.text import md5_u64
 
-    if not history_files(lake_dir, as_of_epoch):  # empty archive → typed empty
+    files = history_files(lake_dir, as_of_epoch)  # ONE listing (O(epochs×P) stats)
+    if not files:  # empty archive → typed empty
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -469,8 +482,8 @@ def scd2_view(
                 }
             )
         )
-    ds = read_history(
-        lake_dir, as_of_epoch, columns=["repo", "path", "commit", "lang", "lsn", "op"]
+    ds = ray.data.read_parquet(
+        files, columns=["repo", "path", "commit", "lang", "lsn", "op"]
     )
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -488,9 +501,12 @@ def scd2_view(
         same_next = (g["repo"].shift(-1) == g["repo"]) & (
             g["path"].shift(-1) == g["path"]
         )
+        # pure-int64 next-LSN: pandas shift() detours through float64 and
+        # corrupts LSNs above 2^53 (timestamp-derived / sharded 64-bit ids)
+        lsn = g["lsn"].to_numpy(np.int64)
         nxt = np.where(
-            same_next.to_numpy(), g["lsn"].shift(-1).fillna(-1).to_numpy(), -1
-        ).astype(np.int64)
+            same_next.to_numpy(), np.append(lsn[1:], np.int64(-1)), np.int64(-1)
+        )
         keep = (g["op"] != "delete").to_numpy()
         out = pd.DataFrame(
             {
@@ -498,7 +514,7 @@ def scd2_view(
                 "path": g["path"],
                 "commit": g["commit"],
                 "lang": g["lang"],
-                "valid_from_lsn": g["lsn"].astype("int64"),
+                "valid_from_lsn": lsn,
                 "valid_to_lsn": nxt,
                 "is_current": (nxt == -1).astype("int64"),
             }

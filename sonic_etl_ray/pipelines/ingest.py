@@ -715,12 +715,20 @@ def _exchange(ds: ray.data.Dataset, num_partitions: int) -> list[list]:
     """Map side of the raw-task exchange: stream transformed blocks out of
     the Dataset as they finish and fan each into per-partition slice refs
     (object store only — the driver holds refs, never rows)."""
+    if num_partitions == 1:
+        # the 1-way split is the identity: every transformed block IS
+        # partition 0's slice (with num_returns=1 Ray would hand the merge
+        # task the whole returned TUPLE as one object — wrong type)
+        return [
+            [block_ref]
+            for bundle in ds.iter_internal_ref_bundles()
+            for block_ref in bundle.block_refs
+        ]
     split = ray.remote(num_returns=num_partitions, num_cpus=1)(_split_block_for_exchange)
     per_block_refs: list[list] = []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            refs = split.remote(block_ref, num_partitions)
-            per_block_refs.append([refs] if num_partitions == 1 else refs)
+            per_block_refs.append(split.remote(block_ref, num_partitions))
     return per_block_refs
 
 

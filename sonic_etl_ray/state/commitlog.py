@@ -251,11 +251,9 @@ def commit_exists(lake_dir: str, epoch: int, part: int) -> bool:
     JSON file OR the (mtime-cached) checkpoint's records map. Readers
     gating data files on a commit (e.g. the history archive) MUST use this,
     not a raw ``commit_path`` existence check — ``compact_commits`` deletes
-    the rolled-up files."""
-    if os.path.exists(commit_path(lake_dir, epoch, part)):
-        return True
-    cp = read_checkpoint(lake_dir)
-    return cp is not None and f"{epoch}:{part}" in cp.get("records", {})
+    the rolled-up files. Alias of :func:`is_committed` (one gate, one
+    implementation)."""
+    return is_committed(lake_dir, epoch, part)
 
 
 def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
@@ -325,14 +323,38 @@ def latest_state(
 
 
 def partition_watermark(lake_dir: str, part: int) -> int:
-    """Applied-LSN high watermark for a partition (−1 if empty). The newest
-    committed file of ANY kind carries it — a merge-on-read delta commit
-    advances the watermark exactly like a copy-on-write state commit."""
-    latest = latest_file(lake_dir, part)
-    if latest is None:
-        return -1
-    rec = read_commit(lake_dir, latest[1], part)
-    return int(rec["applied_lsn"]) if rec else -1
+    """Applied-LSN high watermark for a partition (−1 if none committed).
+
+    Read from COMMIT RECORDS, not data files: a fully-suppressed epoch
+    commits a file-less noop record whose applied_lsn advanced — keying the
+    watermark off the newest data file (the previous implementation) made
+    it regress after every suppressed epoch. The newest LIVE epoch's record
+    is read (one glob, one JSON), plus the max over the mtime-cached
+    checkpoint's compacted records. Exact for in-order tailing; an
+    out-of-order repair epoch with a larger epoch id can only over-state —
+    applied_lsn is lineage/metrics, never a merge-correctness input."""
+    import glob as _glob
+    import re as _re
+
+    hi = -1
+    suffix = PART_FMT.format(part) + ".json"
+    live = _glob.glob(os.path.join(lake_dir, "_commits", "epoch=*", suffix))
+    if live:
+        newest = max(
+            live, key=lambda p: int(_re.search(r"epoch=(\d+)", p).group(1))
+        )
+        try:
+            with open(newest, "rb") as fh:
+                hi = int(json.loads(fh.read()).get("applied_lsn", -1))
+        except (OSError, ValueError):
+            pass
+    cp = read_checkpoint(lake_dir)
+    if cp is not None:
+        tail = f":{part}"
+        for k, rec in cp.get("records", {}).items():
+            if k.endswith(tail):
+                hi = max(hi, int(rec.get("applied_lsn", -1)))
+    return hi
 
 
 # --------------------------------------------------------------- writer lease
@@ -406,7 +428,17 @@ def acquire_writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0) -> str:
         try:
             holder = json.loads(raw)
         except ValueError:
-            continue  # torn write in flight — retry
+            # torn/empty lease (writer killed between O_EXCL create and
+            # write). Recent → the write may still complete: report held.
+            # Older than the claimant's TTL → treat as a stale corpse and
+            # take it over (retry-forever here would wedge the lake on a
+            # permanently torn file).
+            if age <= ttl_s:
+                raise LeaseHeld(
+                    f"writer lease on {lake_dir} is mid-write "
+                    f"(torn file, {age:.1f}s old)"
+                )
+            holder = {}
         # staleness is judged against the TTL the HOLDER acquired with
         # (persisted in the lease) — a claimant passing a smaller ttl_s must
         # not steal from a holder heartbeating at its own granted cadence
@@ -429,52 +461,83 @@ def acquire_writer_lease(lake_dir: str, owner: str, ttl_s: float = 60.0) -> str:
             continue  # another claimant took the corpse first — re-check
         try:
             with open(corpse, "rb") as f:
-                grabbed = json.loads(f.read())
+                corpse_raw = f.read()
             # rename preserves mtime: a corpse mtime NEWER than our snapshot
             # means the holder heartbeat between our judgment and the rename
             # — same token, but the lease was live; restore it
             heartbeat_since = os.stat(corpse).st_mtime > snap.st_mtime
-        except (FileNotFoundError, ValueError):
-            grabbed, heartbeat_since = {}, False
+        except FileNotFoundError:
+            corpse_raw, heartbeat_since = b"", False
+        try:
+            grabbed = json.loads(corpse_raw)
+        except ValueError:
+            grabbed = {}
         if grabbed.get("token") != holder.get("token") or heartbeat_since:
-            # we evicted a FRESH lease created after our staleness check —
-            # restore it (best effort; if a third claimant already created
-            # a new lease, the evicted holder is fenced at its next
-            # refresh) and report the lake as held
-            with open(corpse, "rb") as f:
-                _create_excl(f.read())
-            os.remove(corpse)
+            # we evicted a lease that CHANGED after our staleness snapshot —
+            # restore its verbatim bytes (best effort; if a third claimant
+            # already created a new lease, the evicted holder is fenced at
+            # its next refresh) and report the lake as held
+            if corpse_raw:
+                _create_excl(corpse_raw)
+            try:
+                os.remove(corpse)
+            except FileNotFoundError:
+                pass
             raise LeaseHeld(f"writer lease on {lake_dir} was re-acquired during takeover")
         os.remove(corpse)
         took_over = True
 
 
+def _read_lease_token(path: str) -> str | None:
+    try:
+        with open(path, "rb") as f:
+            return json.loads(f.read()).get("token")
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 def refresh_writer_lease(lake_dir: str, token: str) -> None:
     """Heartbeat: bump the lease mtime. Raises if the caller no longer
-    holds it (fenced out after a stale takeover)."""
-    import json
+    holds it (fenced out after a stale takeover).
 
+    Verified BOTH before and after the ``utime``: a takeover completing
+    between the read and the bump would otherwise let a paused-and-woken
+    zombie bump the NEW holder's lease and believe its refresh succeeded —
+    two live writers. The post-bump re-read fences the zombie (the stray
+    mtime bump on the rival's lease merely extends it, which is harmless)."""
     path = _lease_path(lake_dir)
+    if _read_lease_token(path) != token:
+        raise LeaseHeld(f"writer lease on {lake_dir} was taken over or lost")
     try:
-        with open(path) as f:
-            holder = json.load(f)
+        os.utime(path)
     except FileNotFoundError:
         raise LeaseHeld(f"writer lease on {lake_dir} was lost (file gone)")
-    if holder.get("token") != token:
+    if _read_lease_token(path) != token:
         raise LeaseHeld(f"writer lease on {lake_dir} was taken over")
-    os.utime(path)
 
 
 def release_writer_lease(lake_dir: str, token: str) -> None:
     """Release if still held by this token (a taken-over lease is left to
-    its new owner)."""
-    import json
+    its new owner). Rename-then-verify: a plain read-check-remove could
+    delete a rival's lease created between the check and the remove."""
+    import uuid
 
     path = _lease_path(lake_dir)
+    tmp = f"{path}.release.{uuid.uuid4().hex[:8]}"
     try:
-        with open(path) as f:
-            holder = json.load(f)
+        os.replace(path, tmp)
     except FileNotFoundError:
         return
-    if holder.get("token") == token:
-        os.remove(path)
+    if _read_lease_token(tmp) == token:
+        os.remove(tmp)
+        return
+    # not ours — put the rival's lease back (verbatim bytes, best effort)
+    with open(tmp, "rb") as f:
+        content = f.read()
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+    except FileExistsError:
+        pass  # a third writer already created a fresh lease
+    os.remove(tmp)

@@ -352,6 +352,64 @@ def test_tailer_tracks_history_and_folds(stream, tmp_path):
     )
 
 
+def test_compact_gc_one_generation_grace(stream):
+    """A reader that resolved its file list BEFORE a fold can still read
+    every listed file after it: the fold defers deleting what it supersedes
+    until the NEXT fold (one-generation grace)."""
+    from sonic_etl_ray.pipelines.history import compact_history
+
+    lake = scratch_lake_dir("histgrace")
+    run_ingest(stream[:9], lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    pre_fold_list = history_files(lake)  # a concurrent reader's resolved list
+    compact_history(lake, min_files=2)
+    for f in pre_fold_list:  # every pre-fold path still readable
+        assert os.path.exists(f), f
+    # the NEXT fold (new epochs arrived) sweeps the superseded generation
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    compact_history(lake, min_files=1)
+    assert any(not os.path.exists(f) for f in pre_fold_list)
+    pd.testing.assert_frame_equal(_view_df(lake), _brute_scd2(stream))
+
+
+def test_watermark_advances_across_noop_epochs(tmp_path):
+    """A fully-suppressed epoch commits a file-less noop record whose
+    applied_lsn must still advance the partition watermark (previously the
+    watermark keyed off the newest data file and regressed)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+    from sonic_etl_ray.state import commitlog as cl
+
+    lake = scratch_lake_dir("wmnoop")
+    ev = pa.table(
+        {
+            "lsn": pa.array([1], pa.int64()),
+            "op": ["insert"],
+            "repo": ["r"],
+            "path": ["p"],
+            "commit": ["c"],
+            "lang": ["py"],
+            "content": ["hello"],
+        }
+    )
+    apply_epoch(ray.data.from_arrow(ev), lake, epoch=0, num_partitions=1)
+    assert cl.partition_watermark(lake, 0) == 1
+    # identical content at a later LSN, suppressed → noop commit, no file
+    ev2 = ev.set_column(0, "lsn", pa.array([7], pa.int64()))
+    apply_epoch(
+        ray.data.from_arrow(ev2), lake, epoch=1, num_partitions=1,
+        suppress_unchanged=True,
+    )
+    rec = cl.read_commit(lake, 1, 0)
+    assert rec["noop"] is True and rec["applied_lsn"] == 7
+    assert cl.partition_watermark(lake, 0) == 7  # advanced, not regressed
+    # and it survives checkpoint compaction
+    cl.compact_commits(lake)
+    assert cl.partition_watermark(lake, 0) == 7
+
+
 def test_history_off_by_default(stream):
     lake = scratch_lake_dir("histoff")
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)

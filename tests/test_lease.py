@@ -194,3 +194,68 @@ def test_exclusive_ingest_heartbeats_every_epoch(tmp_path):
     from sonic_etl_ray.state.commitlog import LEASE_NAME
 
     assert not os.path.exists(os.path.join(lake2, LEASE_NAME))
+
+
+def test_torn_lease_file_recovers(tmp_path):
+    """A 0-byte / torn lease (writer killed between O_EXCL create and write)
+    must NOT wedge the lake: recent torn file -> LeaseHeld; once older than
+    the claimant TTL it is taken over like any stale corpse."""
+    import os
+    import time
+
+    import pytest
+
+    from sonic_etl_ray.state import commitlog as cl
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    path = os.path.join(lake, "_WRITER_LEASE.json")
+    open(path, "w").close()  # torn: exists, empty
+    with pytest.raises(cl.LeaseHeld, match="mid-write"):
+        cl.acquire_writer_lease(lake, owner="x", ttl_s=60.0)
+    old = time.time() - 120
+    os.utime(path, (old, old))  # now stale
+    token = cl.acquire_writer_lease(lake, owner="x", ttl_s=60.0)
+    assert token
+    cl.release_writer_lease(lake, token)
+
+
+def test_release_does_not_delete_rivals_lease(tmp_path):
+    """release(tokenA) after a takeover must leave the new holder's lease in
+    place (rename-verify, not read-check-remove)."""
+    import json
+    import os
+
+    from sonic_etl_ray.state import commitlog as cl
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    a = cl.acquire_writer_lease(lake, owner="a", ttl_s=60.0)
+    path = os.path.join(lake, "_WRITER_LEASE.json")
+    rival = {"owner": "b", "pid": 1, "token": "rival-token", "ttl_s": 60.0}
+    with open(path, "w") as f:
+        json.dump(rival, f)  # simulate completed takeover
+    cl.release_writer_lease(lake, a)
+    with open(path) as f:
+        assert json.load(f)["token"] == "rival-token"  # rival survives
+    cl.release_writer_lease(lake, "rival-token")
+    assert not os.path.exists(path)
+
+
+def test_refresh_fenced_after_takeover(tmp_path):
+    """refresh with a superseded token raises LeaseHeld (zombie fencing)."""
+    import json
+    import os
+
+    import pytest
+
+    from sonic_etl_ray.state import commitlog as cl
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    a = cl.acquire_writer_lease(lake, owner="a", ttl_s=60.0)
+    path = os.path.join(lake, "_WRITER_LEASE.json")
+    with open(path, "w") as f:
+        json.dump({"owner": "b", "pid": 1, "token": "rival", "ttl_s": 60.0}, f)
+    with pytest.raises(cl.LeaseHeld):
+        cl.refresh_writer_lease(lake, a)
