@@ -64,10 +64,10 @@ def _doc_bounds(token_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 class TokenCounter:
-    """n_tokens per doc; tokens = maximal runs of non-whitespace (\\S+)."""
-
-    def __init__(self):
-        self.pat = re.compile(TOKEN_RE)
+    """n_tokens per doc; tokens = maximal runs of non-whitespace (\\S+).
+    The pattern string is passed to pandas directly (re's internal compile
+    cache makes per-batch recompiles free; a compiled-object attribute here
+    would be dead state)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["text"].str.count(TOKEN_RE).fillna(0).astype("int64")
@@ -87,7 +87,7 @@ class QualityScorer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)
-        text = batch["text"]
+        text = batch["text"].fillna("")  # null docs score as empty, not crash
         n_chars = text.str.len().astype("int64")
         toks = text.str.findall(TOKEN_RE)
         n_tokens = toks.map(len).astype("int64")
@@ -149,12 +149,11 @@ class Fingerprinter:
     """
 
     def __init__(self):
-        self.pat = re.compile(TOKEN_RE)
         self.base = np.uint64(FP_BASE)
         self.offset = np.uint64(FP_OFFSET)
 
     def fingerprint_batch(self, texts: pd.Series) -> np.ndarray:
-        toks = texts.str.findall(TOKEN_RE)
+        toks = texts.fillna("").str.findall(TOKEN_RE)  # null -> empty doc
         counts, starts = _doc_bounds(toks)
         total = int(counts.sum())
         if total == 0:
@@ -202,9 +201,6 @@ class BpeishTokenizer:
     """BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs
     (the GPT-2-style pre-split, simplified to a pattern both Python re and
     RE2 execute identically so the DuckDB oracle can mirror it)."""
-
-    def __init__(self):
-        self.pat = re.compile(BPE_PATTERN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["text"].str.count(BPE_PATTERN).fillna(0).astype("int64")
@@ -322,7 +318,10 @@ def benchmark_snippets(sf_dir: str) -> list[str]:
         .to_arrow_refs()
     )
 
-    t = pa.concat_tables([x for x in _ray.get(refs) if x.num_rows])
+    picked = [x for x in _ray.get(refs) if x.num_rows]
+    if not picked:  # empty corpus / nothing sampled: no benchmark side
+        return []
+    t = pa.concat_tables(picked)
     df = t.to_pandas().sort_values("doc_id")
     toks = _normalize_ws(df["text"]).str.split(" ")
     keep = toks.map(len) >= CONTAM_MIN_TOKENS

@@ -26,9 +26,19 @@ class _PrepScorer:
         self.stop = set(STOPWORDS_EN)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.findall(TOKEN_RE)
+        batch = batch.reset_index(drop=True)
+        toks = batch["text"].fillna("").str.findall(TOKEN_RE)  # null-safe
         n_tokens = toks.map(len).astype("int64")
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
+        # vectorized stopword count (explode -> isin -> grouped sum), the
+        # same kernel QualityScorer uses — not a per-token Python loop
+        n_stop = (
+            toks.explode()
+            .isin(self.stop)
+            .groupby(level=0)
+            .sum()
+            .reindex(batch.index, fill_value=0)
+            .astype("int64")
+        )
         stop_ratio = n_stop / n_tokens.clip(lower=1)
         keep = (
             (stop_ratio <= self.max_stop_ratio)
@@ -66,23 +76,20 @@ def prep_corpus(
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
-    """Token-budget sharding (training-shard assignment): within each
-    language stream, documents in deterministic doc_id order are assigned
-    to shards by cumulative token budget — shard_id = floor(tokens-before /
-    capacity). The assignment a tokenizer-sharding run consumes: stable
-    under re-runs (pure function of the corpus), no shard ever starts
-    mid-document, shard sizes ≈ capacity (+ at most one document's
-    overhang, the standard greedy-prefix rule).
-
-    Distributed shape — an ordered prefix-sum, NOT a per-lang map_groups
-    (lang is LOW-cardinality: one group would be a fifth of the corpus in a
-    single worker's memory): token counts → ``sort(lang, doc_id)`` (the one
-    exchange; range-partitioned ordered blocks) → per-block (lang → token
-    sum) summaries to the driver (blocks × langs tiny rows) → driver prefix
-    offsets per block → one Ray task per block assigns shard ids from its
-    offset. Custom-operator pattern (c) from the brief; the partitioning
-    assumption is the sort's global block order, which Ray Data guarantees."""
+def _sharded_token_blocks(
+    sf_dir: str, capacity: int, num_buckets: int | None = None
+) -> list:
+    """Shared ordered-prefix-sum shard assignment (the machinery behind
+    BOTH :func:`token_shards` and :func:`pack_sequences` — one
+    implementation so the shard_id semantics can never drift): token counts
+    → ``sort(lang, doc_id)`` (the one exchange; range-partitioned ordered
+    blocks) → per-block (lang → token sum) summaries to the driver (blocks
+    × langs tiny rows) → driver prefix offsets per block → one Ray task per
+    block assigns ``shard_id = tokens-before // capacity`` from its offset.
+    Returns object refs of assigned Arrow blocks, with a ``__bucket``
+    column appended when ``num_buckets`` is given (for a downstream
+    bucket-keyed groupby). Partitioning assumption: the sort's global block
+    order, which Ray Data guarantees."""
     import re
 
     import numpy as np
@@ -119,29 +126,41 @@ def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
         df = t.to_pandas()  # already (lang, doc_id)-sorted within the block
         before = df.groupby("lang", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
         before = before + df["lang"].map(offsets).fillna(0).astype("int64")
-        return pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"], pa.int64()),
-                "lang": pa.array(df["lang"], pa.string()),
-                "n_tokens": pa.array(df["n_tokens"], pa.int64()),
-                "shard_id": pa.array(
-                    (before // capacity).to_numpy(np.int64), pa.int64()
-                ),
-            }
-        )
+        shard = (before // capacity).to_numpy(np.int64)
+        cols = {
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "lang": pa.array(df["lang"], pa.string()),
+            "n_tokens": pa.array(df["n_tokens"], pa.int64()),
+            "shard_id": pa.array(shard, pa.int64()),
+        }
+        if num_buckets is not None:
+            cols["__bucket"] = pa.array(shard % num_buckets, pa.int64())
+        return pa.table(cols)
 
     sums_task = ray.remote(num_cpus=1)(block_sums)
     per_block = ray.get([sums_task.remote(r) for r in refs])
     running: dict[str, int] = {}
     offsets_per_block: list[dict[str, int]] = []
-    for s in per_block:  # driver work = blocks × langs tiny dicts
+    for sm in per_block:  # driver work = blocks x langs tiny dicts
         offsets_per_block.append(dict(running))
-        for lang, n in s.items():
+        for lang, n in sm.items():
             running[lang] = running.get(lang, 0) + int(n)
     assign_task = ray.remote(num_cpus=1)(assign)
-    out_refs = [
-        assign_task.remote(r, off) for r, off in zip(refs, offsets_per_block)
-    ]
+    return [assign_task.remote(r, off) for r, off in zip(refs, offsets_per_block)]
+
+
+def token_shards(sf_dir: str, capacity: int = 2_000) -> pd.DataFrame:
+    """Token-budget sharding (training-shard assignment): within each
+    language stream, documents in deterministic doc_id order are assigned
+    to shards by cumulative token budget — shard_id = floor(tokens-before /
+    capacity). The assignment a tokenizer-sharding run consumes: stable
+    under re-runs (pure function of the corpus), no shard ever starts
+    mid-document, shard sizes ~ capacity (+ at most one document's
+    overhang, the standard greedy-prefix rule). Distributed shape in
+    :func:`_sharded_token_blocks`."""
+    import ray
+
+    out_refs = _sharded_token_blocks(sf_dir, capacity)
     out = pd.concat([ray.get(r).to_pandas() for r in out_refs], ignore_index=True)
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
@@ -160,73 +179,18 @@ def pack_sequences(
 
     Greedy packing is inherently sequential (each decision depends on the
     carry), so it CANNOT be a global prefix-sum like ``token_shards``.
-    Distributed shape: the exact prefix-sum shard assignment first (ordered
-    blocks → per-block offsets, same machinery as ``token_shards``) bounds
-    every shard to ~``shard_capacity`` tokens; the sequential recursion then
-    runs only WITHIN a shard, shards packed in parallel inside bucket-keyed
-    groups. The per-shard inner loop is honest per-doc Python bounded by
-    shard size (tens of docs); in a real pipeline this loop is fused into
-    the tokenizer/shard-writer task, which dominates it. Sequence ids are
+    Distributed shape: the exact prefix-sum shard assignment first (the
+    SHARED :func:`_sharded_token_blocks` machinery) bounds every shard to
+    ~``shard_capacity`` tokens; the sequential recursion then runs only
+    WITHIN a shard, shards packed in parallel inside bucket-keyed groups.
+    The per-shard inner loop is honest per-doc Python bounded by shard size
+    (tens of docs); in a real pipeline this loop is fused into the
+    tokenizer/shard-writer task, which dominates it. Sequence ids are
     (shard-local seq) — globally unique as (lang, shard_id, seq_id)."""
-    import re
-
     import numpy as np
-    import pyarrow as pa
 
-    from sonic_etl_ray.functions.text import TOKEN_RE
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
-    )
-    tok_re = re.compile(TOKEN_RE)
-
-    def count_tokens(b: pd.DataFrame) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
-                "lang": pa.array(b["lang"].astype(str), pa.string()),
-                "n_tokens": pa.array(
-                    b["text"].map(lambda t: len(tok_re.findall(t or ""))).to_numpy(np.int64),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    counts = ds.map_batches(count_tokens, batch_format="pandas").sort(
-        ["lang", "doc_id"]
-    )
-    refs = counts.to_arrow_refs()
-
-    def block_sums(t: pa.Table) -> dict[str, int]:
-        df = t.to_pandas()
-        return df.groupby("lang", sort=False)["n_tokens"].sum().to_dict()
-
-    def assign(t: pa.Table, offsets: dict[str, int]) -> pa.Table:
-        df = t.to_pandas()
-        before = df.groupby("lang", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
-        before = before + df["lang"].map(offsets).fillna(0).astype("int64")
-        shard = (before // shard_capacity).to_numpy(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"], pa.int64()),
-                "lang": pa.array(df["lang"], pa.string()),
-                "n_tokens": pa.array(df["n_tokens"], pa.int64()),
-                "shard_id": pa.array(shard, pa.int64()),
-                "__bucket": pa.array(shard % num_buckets, pa.int64()),
-            }
-        )
-
-    sums_task = ray.remote(num_cpus=1)(block_sums)
-    per_block = ray.get([sums_task.remote(r) for r in refs])
-    running: dict[str, int] = {}
-    offsets_per_block: list[dict[str, int]] = []
-    for s in per_block:
-        offsets_per_block.append(dict(running))
-        for lang, n in s.items():
-            running[lang] = running.get(lang, 0) + int(n)
-    assign_task = ray.remote(num_cpus=1)(assign)
     sharded = ray.data.from_arrow_refs(
-        [assign_task.remote(r, off) for r, off in zip(refs, offsets_per_block)]
+        _sharded_token_blocks(sf_dir, shard_capacity, num_buckets=num_buckets)
     )
 
     def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -353,7 +317,12 @@ def filter_by_median_length(
     )
     cum = hist["n"].cumsum().to_numpy()
     n = int(cum[-1])
-    k = math.ceil(q * n) - 1  # 0-based quantile_disc rank
+    # EXACT 0-based quantile_disc rank: float q*n suffers off-by-one at many
+    # q (e.g. 0.07*100 == 7.000000000000001 -> ceil 8); Fraction(str(q))
+    # parses the caller's decimal literal exactly, so ceil is integer-exact
+    from fractions import Fraction
+
+    k = math.ceil(Fraction(str(q)) * n) - 1
     i = int(np.searchsorted(cum, k + 1, side="left"))
     before = int(cum[i - 1]) if i else 0
     b_target = int(hist["bucket"].iloc[i])

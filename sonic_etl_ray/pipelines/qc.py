@@ -129,22 +129,38 @@ def plan_backfill(
         applied_segments.update(m.get("input", {}).get("segments", []))
 
     replay: list[str] = []
-    missing: list[int] = []
+    spans: list[tuple[int, int]] = []
     for f in segment_files:
         if os.path.basename(f) in applied_segments:
             continue
         replay.append(f)
-        # LSN span from footer metadata only (no data read) for the report
+        # LSN span from footer metadata only (no data read) for the report —
+        # kept as (lo, hi) PAIRS, never densely materialized (a 10^10-wide
+        # span is ~80 GB of Python ints; same O(gaps) discipline as
+        # detect_gap_ranges). The column is resolved BY NAME: positional
+        # column(0) silently reads a different column's stats when the LSN
+        # column is not physically first.
         md = pq.read_metadata(f)
         try:
-            lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
-            hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
-            missing.extend(range(lo, hi + 1))
-        except AttributeError:  # no stats written
+            ci = md.schema.names.index(lsn_column)
+        except ValueError:
+            continue  # column absent — nothing to report for this file
+        try:
+            lo = min(md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups))
+            spans.append((int(lo), int(hi)))
+        except (AttributeError, TypeError):  # no stats written
             pass
+    # merge overlapping/adjacent spans into canonical disjoint ranges
+    ranges: list[tuple[int, int]] = []
+    for lo, hi in sorted(spans):
+        if ranges and lo <= ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], max(ranges[-1][1], hi))
+        else:
+            ranges.append((lo, hi))
     return {
-        "missing_lsns": len(missing),
-        "ranges": gaps_to_ranges(sorted(set(missing))),
+        "missing_lsns": sum(hi - lo + 1 for lo, hi in ranges),
+        "ranges": ranges,
         "replay_segments": replay,
     }
 
@@ -191,6 +207,10 @@ def freshness(lake_dir: str) -> dict[str, Any]:
                 "applied_lsn": rec.get("applied_lsn"),
                 "n_rows": n_rows,
                 "kind": ref[3],
+                # the resolved frontier FILE, so consumers verify against
+                # the same snapshot this record describes (re-resolving
+                # later races a live writer's next commit)
+                "file": ref[0],
             }
     return out
 
@@ -219,6 +239,9 @@ def skew_report(lake_dir: str) -> dict[str, Any]:
         return {"partitions": 0, "imbalance": None}
     rows = {p: int(v["n_rows"]) for p, v in f.items() if v.get("n_rows") is not None}
     vals = list(rows.values())
+    if not vals:  # frontier exists but no recorded counts (e.g. a
+        # compaction base whose lineage marker write was lost mid-crash)
+        return {"partitions": len(f), "imbalance": None}
     mean = sum(vals) / len(vals)
     top = sorted(rows.items(), key=lambda kv: -kv[1])[:5]
     return {
@@ -237,13 +260,13 @@ def verify_lake_counts(lake_dir: str) -> bool:
     the recorded delta row count is checked against the delta file."""
     import pyarrow.parquet as pq
 
-    from ..state import commitlog as cl
-
     for part, info in freshness(lake_dir).items():
         if info["n_rows"] is None:
             return False  # a frontier with no recorded count is a QC failure
-        ref = cl.latest_file(lake_dir, part)
-        actual = pq.read_metadata(ref[0]).num_rows
+        # verify against the SAME file freshness resolved — re-resolving the
+        # frontier here would race a live writer's next commit and flag a
+        # healthy lake
+        actual = pq.read_metadata(info["file"]).num_rows
         if actual != info["n_rows"]:
             return False
     return True

@@ -946,3 +946,40 @@ def test_index_build_is_atomic_against_stale_staging(tmp_path):
     rows2 = sum(pq.read_metadata(f).num_rows for f in _glob.glob(f"{idx}/**/*.parquet", recursive=True))
     assert rows2 == n
     assert not _glob.glob(f"{idx}.build.*")  # no staging leftovers
+
+
+def test_text_operators_tolerate_null_text(tmp_path):
+    """One null document must not abort quality/fingerprint/prep jobs —
+    nulls score as empty docs, matching the fillna discipline of the other
+    text operators (documents.text is a nullable column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sonic_etl_ray.functions.text import Fingerprinter, QualityScorer
+    from sonic_etl_ray.pipelines.corpus import prep_corpus
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["the quick brown fox", None, "a b c d e f g h i j k"],
+            "lang": ["en", "en", "en"],
+            "source": ["s", "s", "s"],
+        }),
+        sf / "documents.parquet",
+    )
+    ds = ray.data.read_parquet(str(sf / "documents.parquet"), columns=["doc_id", "text"])
+    q = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=1).to_pandas()
+    assert q.loc[q.doc_id == 2, "n_chars"].item() == 0
+    assert q.loc[q.doc_id == 2, "n_tokens"].item() == 0
+
+    fp = Fingerprinter().fingerprint_batch(
+        __import__("pandas").Series(["x y", None])
+    )
+    assert len(fp) == 2  # null -> empty-doc fingerprint, no crash
+
+    out = prep_corpus(str(sf), max_stop_ratio=1.0, min_tokens=1, max_tokens=100)
+    assert 2 not in out["doc_id"].tolist()  # null doc filtered (0 tokens)
+    assert {1, 3} <= set(out["doc_id"])
