@@ -2,7 +2,7 @@
 registers and a Bloom-filter-pruned semi-join.
 
 Both follow the engine's partial-aggregate discipline (SCALE.md): each
-``map_batches`` task emits a FIXED-SIZE summary (512-entry register table,
+``map_batches`` task emits a FIXED-SIZE summary (128-entry register table,
 16 KiB bitmap) regardless of input rows, so the shuffle/driver volume is
 O(sketch), not O(data). The HLL hash and estimator use integer-only math
 that DuckDB reproduces bit-for-bit (md5 → top-p bucket bits → leading-zero
@@ -110,7 +110,9 @@ def hll_estimate(registers: pd.DataFrame, group_col: str) -> pd.DataFrame:
             1 << HLL_SCALE
         )
         rows.append({group_col: g, "est_distinct": HLL_ALPHA_NUM // s, "n_registers": len(sub)})
-    out = pd.DataFrame(rows)
+    out = pd.DataFrame(
+        rows, columns=[group_col, "est_distinct", "n_registers"]
+    )  # explicit columns: an empty register table yields a typed empty frame
     out["est_distinct"] = out["est_distinct"].astype("int64")
     out["n_registers"] = out["n_registers"].astype("int64")
     return out
@@ -286,15 +288,7 @@ def _cms_hash(tokens: pd.Series, row: int) -> np.ndarray:
     the same hash DuckDB computes as
     ``('0x' || substr(md5(j || ':' || token), 1, 16))::UBIGINT % width``."""
     pre = f"{row}:"
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5((pre + t).encode()).digest()[:8], "big")
-            % CMS_WIDTH
-            for t in tokens
-        ),
-        dtype=np.int64,
-        count=len(tokens),
-    )
+    return (_hll_hash64(pre + tokens.astype(str)) % CMS_WIDTH).astype(np.int64)
 
 
 def _cms_partial(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
@@ -302,7 +296,10 @@ def _cms_partial(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
     (row, bucket, cnt) register increments — ≤ depth×width rows per batch
     regardless of input size. Tokens are de-duplicated per batch before
     hashing so md5 runs once per distinct token, not per occurrence."""
-    norm = batch[text_col].fillna("").str.replace(r"\s+", " ", regex=True)
+    # dropna, NOT fillna: the DuckDB oracle's unnest(string_split(NULL))
+    # emits zero rows for a null document; fillna would manufacture a ''
+    # token per null and break bit parity
+    norm = batch[text_col].dropna().str.replace(r"\s+", " ", regex=True)
     counts = norm.str.split(" ").explode().value_counts()
     if not len(counts):
         return pd.DataFrame(
@@ -351,8 +348,8 @@ def cms_token_freq(sf_dir: str, probe_every: int = 100) -> pd.DataFrame:
     token shuffle. Estimate = min over depth rows of the probed register —
     integer-only, so the DuckDB oracle reproduces it bit-for-bit (CMS
     one-sided error: estimate ≥ true count, verified in pytest)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    regs = cms_registers(docs)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    regs = cms_registers(docs)  # register build touches only text
     lut = {
         (int(r), int(b)): int(c)
         for r, b, c in zip(regs["row"], regs["bucket"], regs["cnt"])
@@ -360,7 +357,7 @@ def cms_token_freq(sf_dir: str, probe_every: int = 100) -> pd.DataFrame:
 
     def probe_tokens(b: pd.DataFrame) -> pd.DataFrame:
         sel = b[b["doc_id"] % probe_every == 0]
-        norm = sel["text"].fillna("").str.replace(r"\s+", " ", regex=True)
+        norm = sel["text"].dropna().str.replace(r"\s+", " ", regex=True)
         toks = norm.str.split(" ").explode().dropna().unique()
         return pd.DataFrame({"token": pd.Series(toks, dtype="object")})
 
@@ -370,14 +367,19 @@ def cms_token_freq(sf_dir: str, probe_every: int = 100) -> pd.DataFrame:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(probe_tokens, batch_format="pandas").take_all()
     probes = sorted({r["token"] for r in probe_rows})
-    ests = []
-    for t in probes:
-        est = min(
-            lut.get((j, int(_cms_hash(pd.Series([t]), j)[0])), 0)
-            for j in range(CMS_DEPTH)
+    # vectorized probe: ONE _cms_hash call per depth row over the whole
+    # probe series (not a fresh Series + fromiter per token per row)
+    pser = pd.Series(probes, dtype="object")
+    est = np.full(len(probes), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(CMS_DEPTH):
+        buckets = _cms_hash(pser, j)
+        row_est = np.fromiter(
+            (lut.get((j, int(b)), 0) for b in buckets), dtype=np.int64, count=len(probes)
         )
-        ests.append(est)
-    return pd.DataFrame({"token": probes, "est_count": pd.Series(ests, dtype="int64")})
+        est = np.minimum(est, row_est)
+    if not len(probes):
+        est = np.array([], dtype=np.int64)
+    return pd.DataFrame({"token": probes, "est_count": pd.Series(est, dtype="int64")})
 
 
 def cms_oracle_sql(table: str = "documents", probe_every: int = 100) -> str:

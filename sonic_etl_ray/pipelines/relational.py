@@ -313,6 +313,12 @@ def _bucket_by_user(ds: ray.data.Dataset, num_buckets: int = _USER_BUCKETS) -> r
     whose per-user work is done by vectorized cython kernels, not one
     Python call per user (Ray's sort-based groupby on high-cardinality keys
     measured 0.47 scaling efficiency; this is the fix)."""
+    if num_buckets & (num_buckets - 1):
+        raise ValueError(
+            f"num_buckets must be a power of two (got {num_buckets}): the "
+            "bucket is a bit mask, and a non-power mask silently skews the "
+            "exchange into fewer, fatter partitions"
+        )
     return ds.map_batches(
         lambda t: t.append_column(
             "__bucket",
@@ -634,7 +640,7 @@ def attribution_range_join(sf_dir: str, window_minutes: int = 30) -> pd.DataFram
             .sort_values(["user_id", "ts"], kind="stable")
             .reset_index(drop=True)
         )
-        cents = np.round(src["value"].to_numpy() * 100.0).astype(np.int64)
+        cents = np.round(np.nan_to_num(src["value"].to_numpy(np.float64)) * 100.0).astype(np.int64)
         grp = src.groupby("user_id", sort=False)
         src = src.assign(
             cum_n=grp.cumcount() + 1,
@@ -702,7 +708,7 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             b = b.assign(
                 c_mktsegment=b["o_custkey"].map(self.seg),
-                cents=np.round(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+                cents=np.round(np.nan_to_num(b["o_totalprice"].to_numpy(np.float64)) * 100.0).astype(np.int64),
             )
             out = b.groupby(["c_mktsegment", "o_orderpriority"], as_index=False).agg(
                 n_orders=("cents", "size"), revenue_cents=("cents", "sum")
@@ -784,7 +790,7 @@ def balance_moments(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def partial(b: pd.DataFrame) -> pa.Table:
-        cents = np.round(b["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        cents = np.round(np.nan_to_num(b["c_acctbal"].to_numpy(np.float64)) * 100.0).astype(np.int64)
         df = pd.DataFrame(
             {"c_nationkey": b["c_nationkey"].to_numpy(), "s": cents, "s2": cents * cents}
         )
@@ -831,11 +837,18 @@ def decode_props_partial(b: pd.DataFrame) -> pa.Table:
                 "sum_value_cents": pa.array([], pa.int64()),
             }
         )
-    cents = np.round(b["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    # nan_to_num: a NULL value must contribute 0 to the sum (SQL SUM-skips-
+    # NULL semantics), not INT64_MIN via an undefined NaN->int64 cast
+    cents = np.round(
+        np.nan_to_num(b["value"].to_numpy(np.float64)) * 100.0
+    ).astype(np.int64)
     pf = pl.DataFrame({"props": b["props"].astype(str), "cents": cents})
     agg = (
         pf.with_columns(
-            pl.col("props").str.json_path_match("$.k").cast(pl.Int64).alias("k")
+            # strict=False: a non-integer k ('1.5', 'abc') decodes to null
+            # and is SKIPPED per the documented contract — the strict cast
+            # raised and aborted the whole pipeline on one such payload
+            pl.col("props").str.json_path_match("$.k").cast(pl.Int64, strict=False).alias("k")
         )
         .drop_nulls("k")
         .group_by("k")
