@@ -477,6 +477,18 @@ def _q_cdc_scd2_inc(sf_dir: str):
     return cdc_scd2_incremental(sf_dir)
 
 
+def _q_cdc_delete_where(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_delete_where
+
+    return cdc_delete_where(sf_dir)
+
+
+def _q_cdc_update_where(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_update_where
+
+    return cdc_update_where(sf_dir)
+
+
 def _q_cdc_state_at_lsn(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_state_at_lsn
 
@@ -660,6 +672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # passed the gate twice — if the budget truncates again, it truncates
     # into the twice-verified tail. Grouping comments mark the surfaces.
     return {
+        # --- NEW this round (never driver-verified): bulk DML via the
+        # exactly-once path (pipelines/dml.py)
+        "cdc_delete_where": _q_cdc_delete_where,
+        "cdc_update_where": _q_cdc_update_where,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

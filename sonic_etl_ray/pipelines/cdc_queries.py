@@ -891,6 +891,24 @@ ORACLES: dict[str, str] = {
                 THEN CAST(strlen(content) AS BIGINT) END AS size_hint
     FROM final ORDER BY repo, path""",
     "cdc_apply_dup_replay": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # bulk DML through the exactly-once path: DELETE drops exactly the
+    # predicate's live rows; surviving rows are untouched
+    "cdc_delete_where": ORACLE_SRC
+    + "SELECT * FROM final WHERE lang <> 'purchase' ORDER BY repo, path",
+    # ...then UPDATE rewrites the matched rows in place: assigned columns
+    # change, derived columns recompute, the per-key LSN bumps by one
+    "cdc_update_where": ORACLE_SRC + """
+    , after_delete AS (SELECT * FROM final WHERE lang <> 'purchase'),
+    after_update AS (
+      SELECT repo, path, "commit",
+             CASE WHEN lang = 'click' THEN 'clicked' ELSE lang END AS lang,
+             CASE WHEN lang = 'click' THEN content || '!' ELSE content END AS content,
+             CASE WHEN lang = 'click' THEN applied_lsn + 1 ELSE applied_lsn END AS applied_lsn
+      FROM after_delete)
+    SELECT repo, path, "commit", lang, content,
+           sha256(content) AS content_sha256,
+           CAST(strlen(content) AS BIGINT) AS size_bytes, applied_lsn
+    FROM after_update ORDER BY repo, path""",
     # a published snapshot is a faithful copy of the logical table
     "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # pruned range read == full-table aggregate restricted to the range
@@ -902,7 +920,7 @@ ORACLES: dict[str, str] = {
     GROUP BY 1 ORDER BY 1""",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
-    "cdc_split_decoded_tables": ORACLE_SRC + """
+    "cdc_split_decoded_tables": ORACLE_SRC + r"""
     SELECT CASE lang WHEN 'click' THEN 'clicks' ELSE 'purchases' END AS tbl,
            lsn, repo, path,
            CASE lang WHEN 'click' THEN 'ClickArgs' ELSE 'PurchaseArgs' END AS event_name,
@@ -1107,6 +1125,66 @@ def _history_lake(sf_dir: str) -> tuple[str, int, int]:
     lake, lo, span = _replay_quartile_epochs(sf_dir, "histq", track_history=True)
     _HISTORY_LAKE_CACHE[sf_dir] = (stamp, lake, lo, span)
     return lake, lo, span
+
+
+_DML_LAKE_CACHE: dict[str, tuple[tuple, str, int, int]] = {}
+
+
+def _dml_lake(sf_dir: str) -> tuple[str, int, int]:
+    """(lake_dir, delete_epoch, update_epoch) of the memoized bulk-DML
+    drive: full-stream apply → ``DELETE WHERE lang='purchase'`` → ``UPDATE
+    WHERE lang='click' SET lang='clicked', content=content||'!'``. Both DMLs
+    run through :mod:`~sonic_etl_ray.pipelines.dml` (synthetic change events
+    under admin epochs on the exactly-once path); the two gate queries read
+    the ONE lake at different epochs — time travel separates the steps."""
+    import os
+    import shutil
+
+    from .dml import delete_where, update_where
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _DML_LAKE_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
+        return hit[1], hit[2], hit[3]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    lake = scratch_lake_dir("cdcdml")
+    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    rd = delete_where(lake, pc.field("lang") == "purchase")
+    ru = update_where(
+        lake,
+        pc.field("lang") == "click",
+        {
+            "lang": "clicked",
+            "content": lambda t: pc.binary_join_element_wise(t["content"], "!", ""),
+        },
+    )
+    _DML_LAKE_CACHE[sf_dir] = (stamp, lake, rd["epoch"], ru["epoch"])
+    return lake, rd["epoch"], ru["epoch"]
+
+
+def cdc_delete_where(sf_dir: str) -> pa.Table:
+    """Predicate bulk DELETE via the exactly-once path (no file rewrite
+    protocol — tombstone events under an admin epoch, see
+    :func:`sonic_etl_ray.pipelines.dml.delete_where`). Read back AS OF the
+    delete epoch: exactly the predicate's rows are gone, survivors are
+    byte-identical."""
+    lake, del_epoch, _up_epoch = _dml_lake(sf_dir)
+    from ..pipelines.ingest import lake_final_table
+
+    return lake_final_table(lake, as_of_epoch=del_epoch).select(FINAL_COLUMNS)
+
+
+def cdc_update_where(sf_dir: str) -> pa.Table:
+    """Predicate bulk UPDATE via the exactly-once path: assigned columns
+    change (vectorized per-batch kernels), ``content_sha256``/``size_bytes``
+    recompute downstream, the per-key LSN bumps by one — all other rows
+    byte-identical. Read at the live frontier (after delete + update)."""
+    lake, _del_epoch, _up_epoch = _dml_lake(sf_dir)
+    from ..pipelines.ingest import lake_final_table
+
+    return lake_final_table(lake).select(FINAL_COLUMNS)
 
 
 def cdc_state_at_lsn(sf_dir: str) -> pd.DataFrame:

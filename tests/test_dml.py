@@ -1,0 +1,177 @@
+"""Predicate bulk DML (DELETE/UPDATE ... WHERE) via the exactly-once path.
+
+The DML surface synthesizes change events from the live state and replays
+them through apply_epoch under an admin epoch (pipelines/dml.py) — so the
+tests pin exactly the properties that design buys: survivors are
+byte-identical, derived columns recompute, re-running is idempotent, time
+travel below the admin epoch reads the pre-DML state, the DML flows
+through merge-on-read and history-tracking lakes like any other epoch,
+and an assignment to a column the lake lacks is ordinary schema
+evolution."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from sonic_etl_ray.pipelines.dml import (
+    DML_EPOCH_BASE,
+    delete_where,
+    dml_epoch,
+    update_where,
+)
+from sonic_etl_ray.pipelines.ingest import (
+    REPAIR_EPOCH_BASE,
+    apply_epoch,
+    lake_final_table,
+    scratch_lake_dir,
+)
+
+
+def _events(rows: list[tuple[int, str, str, str, str | None]]) -> ray.data.Dataset:
+    lsn, op, repo, path, content = map(list, zip(*rows))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lsn": pa.array(lsn, pa.int64()),
+                "op": pa.array(op, pa.string()),
+                "repo": pa.array(repo, pa.string()),
+                "path": pa.array(path, pa.string()),
+                "commit": pa.array([f"c{n}" for n in lsn], pa.string()),
+                "lang": pa.array(
+                    ["md" if p.endswith(".md") else "py" for p in path], pa.string()
+                ),
+                "content": pa.array(content, pa.string()),
+            }
+        )
+    )
+
+
+def _base_lake(tag: str, merge_mode: str = "cow", track_history: bool = False) -> str:
+    lake = scratch_lake_dir(tag)
+    apply_epoch(
+        _events(
+            [
+                (1, "insert", "rA", "a.py", "alpha"),
+                (2, "insert", "rA", "b.md", "bravo"),
+                (3, "insert", "rB", "c.py", "charlie"),
+                (4, "insert", "rB", "d.md", "delta"),
+                (5, "insert", "rC", "e.py", "echo"),
+            ]
+        ),
+        lake, epoch=0, num_partitions=4,
+        merge_mode=merge_mode, track_history=track_history,
+    )
+    return lake
+
+
+def test_delete_where_removes_only_matches():
+    lake = _base_lake("dmldel")
+    before = lake_final_table(lake)
+    res = delete_where(lake, pc.field("lang") == "md")
+    assert res["n_rows_affected"] == 2
+    assert res["epoch"] >= DML_EPOCH_BASE > REPAIR_EPOCH_BASE + 9_999_999
+    after = lake_final_table(lake)
+    assert after.num_rows == 3
+    assert set(after["lang"].to_pylist()) == {"py"}
+    # survivors byte-identical (incl. applied_lsn, sha)
+    survivors = before.filter(pc.equal(before["lang"], "py"))
+    assert after.equals(survivors)
+
+
+def test_delete_where_rerun_is_noop_and_epoch_advances():
+    lake = _base_lake("dmlrerun")
+    r1 = delete_where(lake, pc.field("lang") == "md")
+    after1 = lake_final_table(lake)
+    r2 = delete_where(lake, pc.field("lang") == "md")  # nothing left to match
+    assert r2["n_rows_affected"] == 0
+    assert r2["epoch"] > r1["epoch"]  # deterministic, monotonic admin epochs
+    assert lake_final_table(lake).equals(after1)
+
+
+def test_delete_where_time_travel_reads_pre_dml_state():
+    lake = _base_lake("dmltt")
+    before = lake_final_table(lake)
+    res = delete_where(lake, pc.field("repo") == "rA")
+    pre = lake_final_table(lake, as_of_epoch=res["epoch"] - 1)
+    assert pre.equals(before)
+    at = lake_final_table(lake, as_of_epoch=res["epoch"])
+    assert at.num_rows == 3 and "rA" not in at["repo"].to_pylist()
+
+
+def test_update_where_assignments_and_derived_columns():
+    lake = _base_lake("dmlupd")
+    before = lake_final_table(lake)
+    res = update_where(
+        lake,
+        pc.field("repo") == "rB",
+        {
+            "lang": "rs",
+            "content": lambda t: pc.binary_join_element_wise(t["content"], "-v2", ""),
+        },
+    )
+    assert res["n_rows_affected"] == 2
+    after = lake_final_table(lake)
+    assert after.num_rows == before.num_rows
+    changed = after.filter(pc.equal(after["repo"], "rB"))
+    for row in changed.to_pylist():
+        assert row["lang"] == "rs"
+        assert row["content"].endswith("-v2")
+        assert row["content_sha256"] == hashlib.sha256(row["content"].encode()).hexdigest()
+        assert row["size_bytes"] == len(row["content"])
+    # per-key LSN bumped exactly by one over the pre-update version
+    pre = {(r["repo"], r["path"]): r["applied_lsn"] for r in before.to_pylist()}
+    for row in changed.to_pylist():
+        assert row["applied_lsn"] == pre[(row["repo"], row["path"])] + 1
+    untouched = after.filter(pc.invert(pc.equal(after["repo"], "rB")))
+    assert untouched.equals(before.filter(pc.invert(pc.equal(before["repo"], "rB"))))
+
+
+def test_update_where_new_column_is_schema_evolution():
+    lake = _base_lake("dmlevo")
+    update_where(lake, pc.field("repo") == "rA", {"branch": "main"})
+    after = lake_final_table(lake)
+    assert "branch" in after.column_names
+    by_repo = {r["repo"]: r["branch"] for r in after.to_pylist() if r["path"] == "a.py" or r["repo"] != "rA"}
+    assert by_repo["rA"] == "main"
+    # unmatched rows carry null for the evolved column
+    others = after.filter(pc.invert(pc.equal(after["repo"], "rA")))
+    assert others["branch"].null_count == others.num_rows
+
+
+def test_update_where_rejects_derived_columns():
+    lake = _base_lake("dmlbad")
+    with pytest.raises(ValueError, match="derived"):
+        update_where(lake, pc.field("repo") == "rA", {"content_sha256": "x"})
+
+
+def test_delete_where_empty_match_commits_noop_epoch():
+    lake = _base_lake("dmlempty")
+    before = lake_final_table(lake)
+    res = delete_where(lake, pc.field("repo") == "rZ")
+    assert res["n_rows_affected"] == 0 and res["parts_touched"] == []
+    assert lake_final_table(lake).equals(before)
+    # the admin epoch is manifested → the next DML gets a fresh epoch
+    assert dml_epoch(lake) > res["epoch"]
+
+
+def test_dml_on_merge_on_read_lake():
+    lake = _base_lake("dmlmor", merge_mode="mor")
+    res = delete_where(lake, pc.field("lang") == "md", merge_mode="mor")
+    assert res["n_rows_affected"] == 2
+    after = lake_final_table(lake)
+    assert after.num_rows == 3 and set(after["lang"].to_pylist()) == {"py"}
+
+
+def test_dml_with_history_archives_versions():
+    from sonic_etl_ray.pipelines.history import read_history
+
+    lake = _base_lake("dmlhist", track_history=True)
+    delete_where(lake, pc.field("repo") == "rC", track_history=True)
+    hist = read_history(lake).to_pandas()
+    ops = hist[(hist.repo == "rC") & (hist.path == "e.py")].sort_values("lsn")
+    assert list(ops["op"]) == ["insert", "delete"]
