@@ -489,6 +489,12 @@ def _q_cdc_update_where(sf_dir: str):
     return cdc_update_where(sf_dir)
 
 
+def _q_cdc_reconcile_snapshot(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_reconcile_snapshot
+
+    return cdc_reconcile_snapshot(sf_dir)
+
+
 def _q_cdc_state_at_lsn(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_state_at_lsn
 
@@ -676,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly-once path (pipelines/dml.py)
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
+        "cdc_reconcile_snapshot": _q_cdc_reconcile_snapshot,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

@@ -443,6 +443,7 @@ def cdc_change_feed(sf_dir: str) -> pd.DataFrame:
 
 
 N_FEED_EPOCHS = 4
+N_RECONCILE_NEW = 10  # new keys the reconcile-snapshot gate query introduces
 
 
 def _replay_quartile_epochs(
@@ -909,6 +910,31 @@ ORACLES: dict[str, str] = {
            sha256(content) AS content_sha256,
            CAST(strlen(content) AS BIGINT) AS size_bytes, applied_lsn
     FROM after_update ORDER BY repo, path""",
+    # ...then MERGE-reconcile against an authoritative snapshot: error keys
+    # deleted (delete_missing), view content touched (update at lsn+1),
+    # fresh keys inserted at max(event_id)+1, everything else untouched
+    "cdc_reconcile_snapshot": ORACLE_SRC + f"""
+    , after_delete AS (SELECT * FROM final WHERE lang <> 'purchase'),
+    after_update AS (
+      SELECT repo, path, "commit",
+             CASE WHEN lang = 'click' THEN 'clicked' ELSE lang END AS lang,
+             CASE WHEN lang = 'click' THEN content || '!' ELSE content END AS content,
+             CASE WHEN lang = 'click' THEN applied_lsn + 1 ELSE applied_lsn END AS applied_lsn
+      FROM after_delete),
+    reconciled AS (
+      SELECT repo, path, "commit", lang,
+             CASE WHEN lang = 'view' THEN content || '~r' ELSE content END AS content,
+             CASE WHEN lang = 'view' THEN applied_lsn + 1 ELSE applied_lsn END AS applied_lsn
+      FROM after_update WHERE lang <> 'error'
+      UNION ALL
+      SELECT 'zz/new', 'n' || CAST(i AS VARCHAR), 'c' || CAST(i AS VARCHAR),
+             'fresh', 'fresh-' || CAST(i AS VARCHAR),
+             (SELECT MAX(event_id) + 1 FROM events)
+      FROM range({N_RECONCILE_NEW}) t(i))
+    SELECT repo, path, "commit", lang, content,
+           sha256(content) AS content_sha256,
+           CAST(strlen(content) AS BIGINT) AS size_bytes, applied_lsn
+    FROM reconciled ORDER BY repo, path""",
     # a published snapshot is a faithful copy of the logical table
     "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     # pruned range read == full-table aggregate restricted to the range
@@ -1127,26 +1153,30 @@ def _history_lake(sf_dir: str) -> tuple[str, int, int]:
     return lake, lo, span
 
 
-_DML_LAKE_CACHE: dict[str, tuple[tuple, str, int, int]] = {}
+_DML_LAKE_CACHE: dict[str, tuple[tuple, str, int, int, int]] = {}
 
 
-def _dml_lake(sf_dir: str) -> tuple[str, int, int]:
-    """(lake_dir, delete_epoch, update_epoch) of the memoized bulk-DML
-    drive: full-stream apply → ``DELETE WHERE lang='purchase'`` → ``UPDATE
-    WHERE lang='click' SET lang='clicked', content=content||'!'``. Both DMLs
-    run through :mod:`~sonic_etl_ray.pipelines.dml` (synthetic change events
-    under admin epochs on the exactly-once path); the two gate queries read
+def _dml_lake(sf_dir: str) -> tuple[str, int, int, int]:
+    """(lake_dir, delete_epoch, update_epoch, reconcile_epoch) of the
+    memoized bulk-DML drive: full-stream apply → ``DELETE WHERE
+    lang='purchase'`` → ``UPDATE WHERE lang='click' SET lang='clicked',
+    content=content||'!'`` → MERGE-reconcile against a mutated snapshot
+    (drop lang='error' keys via ``delete_missing``, touch lang='view'
+    content, introduce ``N_RECONCILE_NEW`` fresh keys at
+    ``max(event_id)+1``). All three run through
+    :mod:`~sonic_etl_ray.pipelines.dml` (synthetic change events under
+    admin epochs on the exactly-once path); the three gate queries read
     the ONE lake at different epochs — time travel separates the steps."""
     import os
     import shutil
 
-    from .dml import delete_where, update_where
+    from .dml import delete_where, reconcile_snapshot, update_where
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     stamp = (st.st_mtime_ns, st.st_size)
     hit = _DML_LAKE_CACHE.get(sf_dir)
     if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
-        return hit[1], hit[2], hit[3]
+        return hit[1], hit[2], hit[3], hit[4]
     if hit is not None:
         shutil.rmtree(hit[1], ignore_errors=True)
     lake = scratch_lake_dir("cdcdml")
@@ -1160,8 +1190,40 @@ def _dml_lake(sf_dir: str) -> tuple[str, int, int]:
             "content": lambda t: pc.binary_join_element_wise(t["content"], "!", ""),
         },
     )
-    _DML_LAKE_CACHE[sf_dir] = (stamp, lake, rd["epoch"], ru["epoch"])
-    return lake, rd["epoch"], ru["epoch"]
+    # authoritative snapshot = current state, minus error keys, view
+    # content touched, plus fresh keys entering at max(event_id)+1
+    from ..pipelines.ingest import lake_final_table
+
+    cur = lake_final_table(lake).select(["repo", "path", "commit", "lang", "content"])
+    cur = cur.filter(pc.invert(pc.equal(cur["lang"], "error")))
+    touched = pc.if_else(
+        pc.equal(cur["lang"], "view"),
+        pc.binary_join_element_wise(cur["content"], "~r", ""),
+        cur["content"],
+    )
+    cur = cur.set_column(cur.schema.get_field_index("content"), "content", touched)
+    fresh = pa.table(
+        {
+            "repo": pa.array(["zz/new"] * N_RECONCILE_NEW),
+            "path": pa.array([f"n{i}" for i in range(N_RECONCILE_NEW)]),
+            "commit": pa.array([f"c{i}" for i in range(N_RECONCILE_NEW)]),
+            "lang": pa.array(["fresh"] * N_RECONCILE_NEW),
+            "content": pa.array([f"fresh-{i}" for i in range(N_RECONCILE_NEW)]),
+        }
+    )
+    from ray.data.aggregate import Max
+
+    hi = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id"]
+    ).aggregate(Max("event_id"))["max(event_id)"]
+    rr = reconcile_snapshot(
+        lake,
+        pa.concat_tables([cur, fresh]),
+        delete_missing=True,
+        at_lsn=int(hi) + 1,
+    )
+    _DML_LAKE_CACHE[sf_dir] = (stamp, lake, rd["epoch"], ru["epoch"], rr["epoch"])
+    return lake, rd["epoch"], ru["epoch"], rr["epoch"]
 
 
 def cdc_delete_where(sf_dir: str) -> pa.Table:
@@ -1170,7 +1232,7 @@ def cdc_delete_where(sf_dir: str) -> pa.Table:
     :func:`sonic_etl_ray.pipelines.dml.delete_where`). Read back AS OF the
     delete epoch: exactly the predicate's rows are gone, survivors are
     byte-identical."""
-    lake, del_epoch, _up_epoch = _dml_lake(sf_dir)
+    lake, del_epoch, _up_epoch, _rec_epoch = _dml_lake(sf_dir)
     from ..pipelines.ingest import lake_final_table
 
     return lake_final_table(lake, as_of_epoch=del_epoch).select(FINAL_COLUMNS)
@@ -1180,8 +1242,23 @@ def cdc_update_where(sf_dir: str) -> pa.Table:
     """Predicate bulk UPDATE via the exactly-once path: assigned columns
     change (vectorized per-batch kernels), ``content_sha256``/``size_bytes``
     recompute downstream, the per-key LSN bumps by one — all other rows
-    byte-identical. Read at the live frontier (after delete + update)."""
-    lake, _del_epoch, _up_epoch = _dml_lake(sf_dir)
+    byte-identical. Read AS OF the update epoch (a reconcile follows on
+    the shared lake)."""
+    lake, _del_epoch, up_epoch, _rec_epoch = _dml_lake(sf_dir)
+    from ..pipelines.ingest import lake_final_table
+
+    return lake_final_table(lake, as_of_epoch=up_epoch).select(FINAL_COLUMNS)
+
+
+def cdc_reconcile_snapshot(sf_dir: str) -> pa.Table:
+    """MERGE INTO from an authoritative snapshot
+    (:func:`sonic_etl_ray.pipelines.dml.reconcile_snapshot` — the Ray
+    analog of the reference's daily MERGE repair): after the reconcile the
+    lake's payload equals the snapshot EXACTLY — unchanged keys untouched
+    (same applied_lsn), changed keys updated at per-key ``lsn+1``, missing
+    keys deleted, fresh keys inserted at ``max(event_id)+1``. Read at the
+    live frontier."""
+    lake, _del_epoch, _up_epoch, _rec_epoch = _dml_lake(sf_dir)
     from ..pipelines.ingest import lake_final_table
 
     return lake_final_table(lake).select(FINAL_COLUMNS)

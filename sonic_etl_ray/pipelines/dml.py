@@ -54,6 +54,7 @@ from .ingest import (
     committed_frontier,
     lake_num_partitions,
     read_lake,
+    resolve_partition_state,
 )
 
 # far above stream epochs AND the repair range (REPAIR_EPOCH_BASE + <10^7)
@@ -199,4 +200,191 @@ def update_where(
     return _run_dml(
         lake_dir, events, "update", str(predicate), epoch, num_partitions,
         track_history, merge_mode,
+    )
+
+
+# ------------------------------------------------------ snapshot reconcile
+
+
+def _eq_or_both_null(a: pa.ChunkedArray | pa.Array, b) -> pa.Array:
+    eq = pc.fill_null(pc.equal(a, b), False)
+    return pc.or_(eq, pc.and_(pc.is_null(a), pc.is_null(b)))
+
+
+def _reconcile_diff(
+    lake_dir: str,
+    part: int,
+    delete_missing: bool,
+    at_lsn: int,
+    *src_blocks: pa.Table,
+) -> pa.Table:
+    """Per-partition MERGE diff: source slice vs live partition state →
+    change-event table (insert new keys at ``at_lsn``; update keys whose
+    payload differs at per-key ``applied_lsn + 1``; optionally delete live
+    keys the source lacks). Runs as one Ray task per partition; returns
+    only the CHANGES — an already-reconciled partition emits zero events
+    and is never rewritten."""
+    from ..stages.keys import key_strings
+
+    src_blocks = [b for b in src_blocks if b.num_rows]
+    src = (
+        pa.concat_tables(src_blocks, promote_options="default")
+        if src_blocks
+        else None
+    )
+    if src is not None:
+        # exchange routing + derived columns are not payload: a snapshot
+        # taken FROM a lake (lake_final_table) round-trips cleanly
+        drop = [
+            c
+            for c in src.column_names
+            if c == "__part" or c in _DERIVED
+        ]
+        if drop:
+            src = src.drop_columns(drop)
+    state = resolve_partition_state(lake_dir, part)
+    if "deleted" in state.column_names:
+        state = state.filter(
+            pc.invert(pc.fill_null(state.column("deleted"), False))
+        ).drop_columns(["deleted"])  # rows are live; the marker is the
+        # merge's own, never event payload
+
+    events: list[pa.Table] = []
+    if src is not None:
+        src_keys = key_strings(src)
+        uniq = pc.count_distinct(src_keys).as_py()
+        if uniq != src.num_rows:
+            raise ValueError(
+                f"reconcile source has {src.num_rows - uniq} duplicate "
+                f"(repo, path) keys in partition {part}"
+            )
+        live_keys = key_strings(state) if state.num_rows else pa.array([], pa.string())
+        in_live = pc.fill_null(pc.is_in(src_keys, value_set=live_keys), False)
+
+        fresh = src.filter(pc.invert(in_live))
+        if fresh.num_rows:
+            cols = {
+                "lsn": pa.array([at_lsn] * fresh.num_rows, pa.int64()),
+                "op": pa.array(["insert"] * fresh.num_rows, pa.string()),
+            }
+            for name in fresh.column_names:
+                cols[name] = fresh.column(name)
+            events.append(pa.table(cols))
+
+        existing = src.filter(in_live)
+        if existing.num_rows and state.num_rows:
+            # align live rows to the source order: index of each source key
+            # within the live key column (keys are unique per partition)
+            pos = pc.index_in(key_strings(existing), value_set=live_keys)
+            live_aligned = state.take(pos)
+            compare = [
+                c
+                for c in existing.column_names
+                if c in state.column_names and c != "deleted"
+            ]
+            same = None
+            for c in compare:
+                eq = _eq_or_both_null(existing.column(c), live_aligned.column(c))
+                same = eq if same is None else pc.and_(same, eq)
+            if same is None:  # no shared payload columns → nothing differs
+                same = pa.array([True] * existing.num_rows)
+            changed_mask = pc.invert(same)
+            changed = existing.filter(changed_mask)
+            if changed.num_rows:
+                cols = {
+                    "lsn": pc.add(
+                        live_aligned.filter(changed_mask).column("applied_lsn"),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                    "op": pa.array(["update"] * changed.num_rows, pa.string()),
+                }
+                for name in changed.column_names:
+                    cols[name] = changed.column(name)
+                events.append(pa.table(cols))
+
+    if delete_missing and state.num_rows:
+        live_keys = key_strings(state)
+        in_src = (
+            pc.fill_null(pc.is_in(live_keys, value_set=key_strings(src)), False)
+            if src is not None
+            else pa.array([False] * state.num_rows)
+        )
+        gone = state.filter(pc.invert(in_src))
+        if gone.num_rows:
+            events.append(_to_delete_events(gone))
+
+    if not events:
+        return pa.table(
+            {"lsn": pa.array([], pa.int64()), "op": pa.array([], pa.string())}
+        )
+    return pa.concat_tables(events, promote_options="default")
+
+
+def reconcile_snapshot(
+    lake_dir: str,
+    source: "ray.data.Dataset | pa.Table",
+    *,
+    delete_missing: bool = False,
+    at_lsn: int = 0,
+    num_partitions: int | None = None,
+    epoch: int | None = None,
+    track_history: bool = False,
+    merge_mode: str = "cow",
+) -> dict[str, Any]:
+    """MERGE INTO the lake from an authoritative snapshot (the reference's
+    daily full-snapshot repair jobs, ``daily_qc_airflow/
+    daily_dedupe_mainnet.py:65-81`` / ``daily_backfill_mainnet.py`` — a
+    periodic MERGE reconciling the table against re-extracted truth, not a
+    file rewrite).
+
+    Semantics per (repo, path) key:
+
+    - in source, not live           → **insert** event at ``at_lsn``
+    - in both, any payload differs  → **update** event carrying the source
+      row at per-key ``applied_lsn + 1`` (source is authoritative for its
+      OWN columns; lake columns the source lacks null out — full-row
+      replace, the merge's normal winner semantics)
+    - in both, payload equal        → no event, no rewrite
+    - live, not in source           → **delete** event at per-key
+      ``applied_lsn + 1`` iff ``delete_missing=True``
+
+    Scale shape: the source streams through the same hash exchange as the
+    ingest path (one map-side split per block, refs only on the driver);
+    ONE Ray task per partition diffs its source slice against its live
+    state (vectorized key joins + column compares); only the CHANGES
+    become events and replay through :func:`apply_epoch` under a
+    deterministic admin epoch — an in-sync lake commits noops and rewrites
+    nothing. Resumable like every DML: a killed run recomputes the same
+    epoch, committed partitions diff to empty, uncommitted partitions
+    re-emit identical events.
+    """
+    from ..stages.keys import add_partition_column
+    from .ingest import _exchange
+
+    nparts = num_partitions or max(lake_num_partitions(lake_dir), 1)
+    epoch = dml_epoch(lake_dir) if epoch is None else epoch
+    if isinstance(source, pa.Table):
+        source = ray.data.from_arrow(source)
+    keyed = source.map_batches(
+        add_partition_column,
+        batch_format="pyarrow",
+        fn_kwargs={"num_partitions": nparts},
+    )
+    per_block = _exchange(keyed, nparts)
+    diff = ray.remote(num_cpus=1)(_reconcile_diff)
+    ev_refs = []
+    for p in range(nparts):
+        refs = (
+            [r for lst in per_block for r in lst]
+            if nparts == 1
+            else [blk[p] for blk in per_block]
+        )
+        ev_refs.append(
+            diff.remote(lake_dir, p, delete_missing, at_lsn, *refs)
+        )
+    events = ray.data.from_arrow_refs(ev_refs)
+    return _run_dml(
+        lake_dir, events, "reconcile",
+        f"delete_missing={delete_missing} at_lsn={at_lsn}", epoch,
+        nparts, track_history, merge_mode,
     )

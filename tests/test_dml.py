@@ -167,6 +167,97 @@ def test_dml_on_merge_on_read_lake():
     assert after.num_rows == 3 and set(after["lang"].to_pylist()) == {"py"}
 
 
+def _payload(tbl: pa.Table) -> pa.Table:
+    return tbl.select(["repo", "path", "commit", "lang", "content"])
+
+
+def test_reconcile_snapshot_full_merge_semantics():
+    from sonic_etl_ray.pipelines.dml import reconcile_snapshot
+
+    lake = _base_lake("dmlrec")
+    before = lake_final_table(lake)
+    src = _payload(before)
+    # drop rA/a.py (delete), touch rB/c.py (update), keep the rest, add new
+    src = src.filter(pc.invert(pc.equal(src["path"], "a.py")))
+    touched = pc.if_else(
+        pc.equal(src["path"], "c.py"),
+        pc.binary_join_element_wise(src["content"], "-r", ""),
+        src["content"],
+    )
+    src = src.set_column(src.schema.get_field_index("content"), "content", touched)
+    fresh = pa.table(
+        {
+            "repo": ["rN"], "path": ["new.py"], "commit": ["cn"],
+            "lang": ["py"], "content": ["newbie"],
+        }
+    )
+    src = pa.concat_tables([src, fresh])
+    res = reconcile_snapshot(lake, src, delete_missing=True, at_lsn=100)
+    assert res["n_rows_affected"] == 3  # 1 delete + 1 update + 1 insert
+    after = lake_final_table(lake)
+    got = _payload(after)
+    exp = src.take(
+        pc.sort_indices(src, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+    assert got.equals(exp)
+    by_key = {(r["repo"], r["path"]): r["applied_lsn"] for r in after.to_pylist()}
+    pre = {(r["repo"], r["path"]): r["applied_lsn"] for r in before.to_pylist()}
+    assert by_key[("rN", "new.py")] == 100          # insert at at_lsn
+    assert by_key[("rB", "c.py")] == pre[("rB", "c.py")] + 1  # update bumps
+    assert by_key[("rB", "d.md")] == pre[("rB", "d.md")]      # unchanged keeps
+
+
+def test_reconcile_snapshot_in_sync_is_total_noop():
+    from sonic_etl_ray.pipelines.dml import reconcile_snapshot
+
+    lake = _base_lake("dmlrec2")
+    before = lake_final_table(lake)
+    res = reconcile_snapshot(lake, _payload(before), delete_missing=True)
+    assert res["n_rows_affected"] == 0 and res["parts_touched"] == []
+    assert lake_final_table(lake).equals(before)
+
+
+def test_reconcile_snapshot_keeps_missing_without_delete_flag():
+    from sonic_etl_ray.pipelines.dml import reconcile_snapshot
+
+    lake = _base_lake("dmlrec3")
+    before = lake_final_table(lake)
+    src = _payload(before).filter(pc.invert(pc.equal(before["repo"], "rA")))
+    res = reconcile_snapshot(lake, src)  # delete_missing defaults False
+    assert res["n_rows_affected"] == 0
+    assert lake_final_table(lake).equals(before)
+
+
+def test_reconcile_snapshot_duplicate_source_keys_raise():
+    from sonic_etl_ray.pipelines.dml import reconcile_snapshot
+
+    lake = _base_lake("dmlrec4")
+    src = _payload(lake_final_table(lake))
+    dup = pa.concat_tables([src, src.slice(0, 1)])
+    with pytest.raises(Exception, match="duplicate"):
+        reconcile_snapshot(lake, dup)
+
+
+def test_reconcile_snapshot_source_is_authoritative_for_columns():
+    """Source carries a NEW column (evolution in) and full-row-replace
+    semantics null out lake columns the source lacks for UPDATED rows."""
+    from sonic_etl_ray.pipelines.dml import reconcile_snapshot
+
+    lake = _base_lake("dmlrec5")
+    before = lake_final_table(lake)
+    src = _payload(before).drop_columns(["lang"])  # source lacks lang
+    touched = pc.binary_join_element_wise(src["content"], "-v2", "")
+    src = src.set_column(src.schema.get_field_index("content"), "content", touched)
+    src = src.append_column("branch", pa.array(["main"] * src.num_rows))
+    res = reconcile_snapshot(lake, src)
+    assert res["n_rows_affected"] == before.num_rows  # every row changed
+    after = lake_final_table(lake)
+    assert "branch" in after.column_names
+    rows = after.to_pylist()
+    assert all(r["branch"] == "main" for r in rows)
+    assert all(r["lang"] is None for r in rows)  # replaced rows lost lang
+
+
 def test_dml_with_history_archives_versions():
     from sonic_etl_ray.pipelines.history import read_history
 
