@@ -173,6 +173,34 @@ def main(argv: list[str] | None = None) -> int:
     )
     cc.add_argument("--lake", required=True)
 
+    dw = sub.add_parser(
+        "delete-where",
+        help="bulk DELETE via the exactly-once event path (no file rewrite)",
+    )
+    dw.add_argument("--lake", required=True)
+    dw.add_argument(
+        "--where", action="append", required=True,
+        help="predicate term col<op>value, ops = != < <= > >= (repeat to AND)",
+    )
+    dw.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    dw.add_argument("--track-history", action="store_true")
+
+    uw = sub.add_parser(
+        "update-where",
+        help="bulk UPDATE via the exactly-once event path (derived columns recompute)",
+    )
+    uw.add_argument("--lake", required=True)
+    uw.add_argument(
+        "--where", action="append", required=True,
+        help="predicate term col<op>value (repeat to AND)",
+    )
+    uw.add_argument(
+        "--set", action="append", required=True, dest="assign",
+        help="assignment col=value (repeat for multiple columns)",
+    )
+    uw.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    uw.add_argument("--track-history", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -219,6 +247,32 @@ def main(argv: list[str] | None = None) -> int:
         from .state.commitlog import compact_commits
 
         print(json.dumps(compact_commits(args.lake)))
+        return 0
+    if args.cmd in ("delete-where", "update-where"):
+        _ray_init(args.num_cpus)  # predicate scan + event apply are Ray jobs
+        from .pipelines.dml import (
+            delete_where,
+            parse_assignments,
+            parse_predicate,
+            update_where,
+        )
+
+        pred = parse_predicate(args.where)
+        if args.cmd == "delete-where":
+            res = delete_where(
+                args.lake, pred,
+                merge_mode=args.merge_mode, track_history=args.track_history,
+            )
+        else:
+            res = update_where(
+                args.lake, pred, parse_assignments(args.assign),
+                merge_mode=args.merge_mode, track_history=args.track_history,
+            )
+        res["parts_touched"] = len(res["parts_touched"])
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
         return 0
     if args.cmd == "compact-states":
         _ray_init(args.num_cpus)  # per-partition compaction tasks

@@ -203,6 +203,65 @@ def update_where(
     )
 
 
+# ------------------------------------------------------------- CLI parsing
+
+# longest-match-first so '<=' wins over '<'
+_PRED_OPS: tuple[tuple[str, Any], ...] = (
+    ("!=", lambda f, v: f != v),
+    ("<=", lambda f, v: f <= v),
+    (">=", lambda f, v: f >= v),
+    ("=", lambda f, v: f == v),
+    ("<", lambda f, v: f < v),
+    (">", lambda f, v: f > v),
+)
+
+
+def _coerce(value: str) -> Any:
+    """CLI literals: int/float if they parse, else string (payload columns
+    are strings; numeric columns are the derived/evolved ones)."""
+    for cast in (int, float):
+        try:
+            return cast(value)
+        except ValueError:
+            continue
+    return value
+
+
+def parse_predicate(terms: list[str]) -> "pc.Expression":
+    """``col<op>value`` term strings (AND-ed) → a pyarrow dataset
+    expression. Ops: ``= != < <= > >=``. Values coerce to int/float when
+    they parse, else compare as strings. The admin-CLI surface of
+    :func:`delete_where` / :func:`update_where`."""
+    if not terms:
+        raise ValueError("at least one predicate term required")
+    expr = None
+    for term in terms:
+        for op, build in _PRED_OPS:
+            if op in term:
+                col, _, raw = term.partition(op)
+                col, raw = col.strip(), raw.strip()
+                if not col or not raw:
+                    raise ValueError(f"malformed predicate term: {term!r}")
+                e = build(pc.field(col), _coerce(raw))
+                expr = e if expr is None else expr & e
+                break
+        else:
+            raise ValueError(f"no operator in predicate term: {term!r}")
+    return expr
+
+
+def parse_assignments(terms: list[str]) -> dict[str, Any]:
+    """``col=value`` assignment strings → the scalar ``assign`` mapping of
+    :func:`update_where` (callable transforms are a library-only surface)."""
+    out: dict[str, Any] = {}
+    for term in terms:
+        col, sep, raw = term.partition("=")
+        if not sep or not col.strip():
+            raise ValueError(f"malformed assignment (want col=value): {term!r}")
+        out[col.strip()] = _coerce(raw.strip())
+    return out
+
+
 # ------------------------------------------------------ snapshot reconcile
 
 

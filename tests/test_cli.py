@@ -56,3 +56,29 @@ def test_cli_export_roundtrip(tmp_path):
     assert r["partitions_written"] == 2 and r["rows"] > 0
     manifest = json.load(open(f"{out}/SNAPSHOT.json"))
     assert manifest["rows"] == r["rows"]
+
+
+def test_cli_bulk_dml(tmp_path):
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    _run("generate", "--out", segs, "--events", "2000", "--segment-size", "500")
+    _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+         "--partitions", "2", "--segments-per-epoch", "2")
+
+    r = _run("--num-cpus", "2", "delete-where", "--lake", lake,
+             "--where", "lang=markdown")
+    assert r["kind"] == "delete" and r["n_rows_affected"] > 0
+    n_deleted = r["n_rows_affected"]
+
+    # nothing left to match: the rerun is a no-op under a fresh admin epoch
+    r2 = _run("--num-cpus", "2", "delete-where", "--lake", lake,
+              "--where", "lang=markdown")
+    assert r2["n_rows_affected"] == 0 and r2["epoch"] > r["epoch"]
+
+    r3 = _run("--num-cpus", "2", "update-where", "--lake", lake,
+              "--where", "lang=python", "--set", "lang=py3")
+    assert r3["kind"] == "update" and r3["n_rows_affected"] > 0
+
+    # verify through the lookup-free qc surface: counts still consistent
+    q = _run("--num-cpus", "2", "qc", "--lake", lake)
+    assert q["counts_ok"] is True
+    assert n_deleted > 0

@@ -258,6 +258,30 @@ def test_reconcile_snapshot_source_is_authoritative_for_columns():
     assert all(r["lang"] is None for r in rows)  # replaced rows lost lang
 
 
+def test_parse_predicate_and_assignments():
+    from sonic_etl_ray.pipelines.dml import parse_assignments, parse_predicate
+
+    t = pa.table({"lang": ["py", "md", "rs"], "n": [1, 5, 9]})
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(t)
+    assert ds.to_table(filter=parse_predicate(["lang=py"])).num_rows == 1
+    assert ds.to_table(filter=parse_predicate(["lang!=py"])).num_rows == 2
+    assert ds.to_table(filter=parse_predicate(["n>=5", "n<9"])).num_rows == 1
+    assert ds.to_table(filter=parse_predicate(["n<=5", "lang!=md"])).num_rows == 1
+    with pytest.raises(ValueError, match="no operator"):
+        parse_predicate(["lang"])
+    with pytest.raises(ValueError, match="at least one"):
+        parse_predicate([])
+    with pytest.raises(ValueError, match="malformed"):
+        parse_predicate(["=x"])
+    assert parse_assignments(["lang=py3", "n=7", "f=1.5"]) == {
+        "lang": "py3", "n": 7, "f": 1.5,
+    }
+    with pytest.raises(ValueError, match="malformed"):
+        parse_assignments(["nope"])
+
+
 def test_dml_with_history_archives_versions():
     from sonic_etl_ray.pipelines.history import read_history
 
