@@ -180,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
     dw.add_argument("--lake", required=True)
     dw.add_argument(
         "--where", action="append", required=True,
-        help="predicate term col<op>value, ops = != < <= > >= (repeat to AND)",
+        help="predicate term col<op>value, ops: = != < <= > >= (repeat to "
+        "AND); quote the value ('2024') to force string comparison",
     )
     dw.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     dw.add_argument("--track-history", action="store_true")
@@ -192,11 +193,13 @@ def main(argv: list[str] | None = None) -> int:
     uw.add_argument("--lake", required=True)
     uw.add_argument(
         "--where", action="append", required=True,
-        help="predicate term col<op>value (repeat to AND)",
+        help="predicate term col<op>value, ops: = != < <= > >= (repeat to "
+        "AND); quote the value ('2024') to force string comparison",
     )
     uw.add_argument(
         "--set", action="append", required=True, dest="assign",
-        help="assignment col=value (repeat for multiple columns)",
+        help="assignment col=value (repeat for multiple columns); quote the "
+        "value ('2024') to assign a numeric-looking string",
     )
     uw.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     uw.add_argument("--track-history", action="store_true")

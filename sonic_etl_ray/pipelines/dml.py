@@ -37,8 +37,12 @@ Correctness notes:
   and resumes: already-committed partitions are skipped by the commit
   gate, and their matched rows no longer match (deleted / updated), so
   they contribute no fresh events either. ``DML_EPOCH_BASE`` sits above
-  the repair-epoch range (90,000,000–99,999,999), so time travel with
-  ``as_of_epoch`` below the DML epoch reads the pre-DML state.
+  the repair-epoch range (90,000,000–99,999,999) so the two never
+  collide; time travel around DMLs is exact in COMMIT order, not
+  epoch-number order — ``read_lake(as_of_epoch=E)`` cuts each partition
+  at the data-file seq recorded in epoch E's commit record
+  (``commitlog.commit_seq``), so a read "as of the DML" excludes stream
+  epochs committed after it even though their epoch numbers are smaller.
 """
 
 from __future__ import annotations
@@ -63,6 +67,13 @@ DML_EPOCH_BASE = 200_000_000
 # derived columns validate_and_derive recomputes; never forwarded as event
 # payload (applied_lsn becomes the event's lsn instead)
 _DERIVED = ("content_sha256", "size_bytes", "applied_lsn")
+
+# columns an UPDATE may never assign: the derived ones above, the event
+# framing (lsn/op — assigning lsn overwrites the per-key LWW bump and the
+# update silently loses; op turns it into a different statement), the merge
+# key (re-keying an update INSERTS a new row and strands the old one — a
+# key change is delete+insert, not UPDATE), and merge-internal markers
+_PROTECTED = frozenset(_DERIVED) | {"lsn", "op", "repo", "path", "deleted", "__part"}
 
 
 def dml_epoch(lake_dir: str) -> int:
@@ -186,12 +197,19 @@ def update_where(
     schema evolution and flows through the merge's normal widen/conform.
     ``content`` must stay non-null (an update with null content is a
     malformed event by the stream contract — use :func:`delete_where`).
-    ``content_sha256`` / ``size_bytes`` are derived downstream and cannot
-    be assigned.
+    Protected columns cannot be assigned: ``content_sha256`` /
+    ``size_bytes`` / ``applied_lsn`` are derived downstream, ``lsn`` /
+    ``op`` are the merge's own event framing, and the ``repo`` / ``path``
+    key cannot be reassigned by UPDATE (that would insert a new row and
+    strand the old one — express a key move as delete + insert).
     """
-    bad = [c for c in assign if c in _DERIVED]
+    bad = sorted(c for c in assign if c in _PROTECTED)
     if bad:
-        raise ValueError(f"cannot assign derived columns: {bad}")
+        raise ValueError(
+            f"cannot assign protected columns {bad}: lsn/op/derived columns "
+            "are computed by the merge, and the (repo, path) key cannot be "
+            "reassigned by UPDATE (delete + insert instead)"
+        )
     ds = read_lake(lake_dir, filter=predicate)
     events = ds.map_batches(
         _to_update_events, fn_kwargs={"assign": dict(assign)},
@@ -217,8 +235,12 @@ _PRED_OPS: tuple[tuple[str, Any], ...] = (
 
 
 def _coerce(value: str) -> Any:
-    """CLI literals: int/float if they parse, else string (payload columns
-    are strings; numeric columns are the derived/evolved ones)."""
+    """CLI literals: a quoted value (``'2024'`` / ``"1.5"``) is ALWAYS a
+    string — the only way to express numeric-looking strings for string
+    columns (an int literal against a string column aborts the merge with
+    a type error). Otherwise int/float if they parse, else string."""
+    if len(value) >= 2 and value[0] == value[-1] and value[0] in ("'", '"'):
+        return value[1:-1]
     for cast in (int, float):
         try:
             return cast(value)
@@ -301,12 +323,18 @@ def _reconcile_diff(
         ]
         if drop:
             src = src.drop_columns(drop)
-    state = resolve_partition_state(lake_dir, part)
-    if "deleted" in state.column_names:
-        state = state.filter(
-            pc.invert(pc.fill_null(state.column("deleted"), False))
-        ).drop_columns(["deleted"])  # rows are live; the marker is the
-        # merge's own, never event payload
+    state_all = resolve_partition_state(lake_dir, part)
+    tombs = None
+    state = state_all
+    if "deleted" in state_all.column_names:
+        dmask = pc.fill_null(state_all.column("deleted"), False)
+        # tombstones are NOT live rows, but their LSNs gate resurrection:
+        # an insert for a previously-deleted key must carry a higher LSN
+        # than the tombstone or it loses the per-key LWW forever (and the
+        # reconcile would re-emit the same doomed insert every run)
+        tombs = state_all.filter(dmask)
+        state = state_all.filter(pc.invert(dmask)).drop_columns(["deleted"])
+        # the marker is the merge's own, never event payload
 
     events: list[pa.Table] = []
     if src is not None:
@@ -322,8 +350,19 @@ def _reconcile_diff(
 
         fresh = src.filter(pc.invert(in_live))
         if fresh.num_rows:
+            lsn = pa.array([at_lsn] * fresh.num_rows, pa.int64())
+            if tombs is not None and tombs.num_rows:
+                # resurrected keys: lsn = max(at_lsn, tombstone_lsn + 1)
+                tpos = pc.index_in(
+                    key_strings(fresh), value_set=key_strings(tombs)
+                )
+                tlsn = pc.add(
+                    tombs.column("applied_lsn").take(tpos),
+                    pa.scalar(1, pa.int64()),
+                )
+                lsn = pc.max_element_wise(pc.fill_null(tlsn, at_lsn), lsn)
             cols = {
-                "lsn": pa.array([at_lsn] * fresh.num_rows, pa.int64()),
+                "lsn": lsn,
                 "op": pa.array(["insert"] * fresh.num_rows, pa.string()),
             }
             for name in fresh.column_names:
@@ -336,16 +375,27 @@ def _reconcile_diff(
             # within the live key column (keys are unique per partition)
             pos = pc.index_in(key_strings(existing), value_set=live_keys)
             live_aligned = state.take(pos)
-            compare = [
-                c
-                for c in existing.column_names
-                if c in state.column_names and c != "deleted"
-            ]
+            # "same" means the POST-MERGE state would equal the live row —
+            # an update event full-row-replaces, so: shared columns equal,
+            # source-only (evolved-in) columns null in the source, and
+            # lake-only payload columns already null live (they would null
+            # out). Derived columns recompute from content and never differ
+            # when content matches.
             same = None
-            for c in compare:
-                eq = _eq_or_both_null(existing.column(c), live_aligned.column(c))
-                same = eq if same is None else pc.and_(same, eq)
-            if same is None:  # no shared payload columns → nothing differs
+
+            def _and(cond):
+                nonlocal same
+                same = cond if same is None else pc.and_(same, cond)
+
+            for c in existing.column_names:
+                if c in state.column_names:
+                    _and(_eq_or_both_null(existing.column(c), live_aligned.column(c)))
+                else:
+                    _and(pc.is_null(existing.column(c)))
+            for c in state.column_names:
+                if c not in existing.column_names and c not in _DERIVED:
+                    _and(pc.is_null(live_aligned.column(c)))
+            if same is None:  # no payload columns at all → nothing differs
                 same = pa.array([True] * existing.num_rows)
             changed_mask = pc.invert(same)
             changed = existing.filter(changed_mask)

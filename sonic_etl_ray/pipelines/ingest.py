@@ -184,6 +184,48 @@ def _lww_resolve(tables: list[pa.Table]) -> pa.Table:
     return state.take(pc.sort_indices(state, sort_keys=STATE_SORT))
 
 
+def _as_of_seqs(lake_dir: str, as_of_epoch: int | None) -> dict[int, int] | None:
+    """The target epoch's manifest ``frontier_seqs`` snapshot as {part:
+    seq}, read ONCE for a whole-lake scan (per-partition ``commit_seq``
+    would re-parse the manifest O(parts) times). None when unavailable."""
+    if as_of_epoch is None:
+        return None
+    man = cl.read_manifest(lake_dir, as_of_epoch)
+    if man is not None and "frontier_seqs" in man:
+        return {int(k): int(v) for k, v in man["frontier_seqs"].items()}
+    return None
+
+
+def _files_as_of(
+    lake_dir: str,
+    part: int,
+    files: list[tuple[int, int, str, str]],
+    as_of_epoch: int | None,
+    seqs: dict[int, int] | None = None,
+) -> list[tuple[int, int, str, str]]:
+    """Time-travel filter for a partition's (seq, epoch, path, kind) files.
+
+    Exact cut: the target epoch's commit record names the partition's
+    frontier data file — include files up to that SEQ (true commit order).
+    This stays correct when epoch NUMBERS are not commit order: out-of-band
+    admin epochs (repair 90M+, DML 200M+) followed by small stream epochs,
+    and out-of-order backfills. Falls back to the numeric ``epoch <=
+    as_of_epoch`` cut when the target epoch left no commit record for this
+    partition (pre-seq lakes, vacuumed epochs, epochs that predate the
+    partition) — exact for in-order histories, the old behavior.
+
+    ``seqs`` is an optional pre-read :func:`_as_of_seqs` snapshot so
+    whole-lake scans parse the manifest once, not once per partition."""
+    if as_of_epoch is None:
+        return files
+    s = seqs.get(part) if seqs is not None else None
+    if s is None:
+        s = cl.commit_seq(lake_dir, as_of_epoch, part)
+    if s is not None:
+        return [f for f in files if f[0] <= s]
+    return [f for f in files if f[1] <= as_of_epoch]
+
+
 def resolve_partition_state(
     lake_dir: str, part: int, as_of_epoch: int | None = None
 ) -> pa.Table:
@@ -192,9 +234,9 @@ def resolve_partition_state(
     For a pure copy-on-write partition this is a single file read. Cost is
     O(base + deltas-since-compaction) — the merge-on-read read amplification
     that ``compact_partition`` bounds."""
-    files = cl.list_part_files(lake_dir, part)
-    if as_of_epoch is not None:
-        files = [f for f in files if f[1] <= as_of_epoch]
+    files = _files_as_of(
+        lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch
+    )
     if not files:
         return STATE_SCHEMA.empty_table()
     base_i = 0
@@ -1359,10 +1401,11 @@ def lake_read_plan(
     with pushdown); a dirty partition has trailing merge-on-read deltas and
     needs an LWW resolution task. ``as_of_epoch`` time-travels both."""
     clean, dirty = [], []
+    seqs = _as_of_seqs(lake_dir, as_of_epoch)
     for part in _lake_parts(lake_dir):
-        files = cl.list_part_files(lake_dir, part)
-        if as_of_epoch is not None:
-            files = [f for f in files if f[1] <= as_of_epoch]
+        files = _files_as_of(
+            lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch, seqs
+        )
         if not files:
             continue
         if files[-1][3] == "state":
@@ -1378,12 +1421,18 @@ def lake_state_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]
 
     ``as_of_epoch`` reads the lake as of the END of that epoch (time travel
     over the copy-on-write history; only works for epochs not yet vacuumed).
+    The cut is by commit SEQ when the epoch's commit record survives (exact
+    even around out-of-band admin epochs), numeric-epoch otherwise.
     """
     out = []
+    seqs = _as_of_seqs(lake_dir, as_of_epoch)
     for part in _lake_parts(lake_dir):
-        ref = cl.latest_state(lake_dir, part, max_epoch=as_of_epoch)
-        if ref is not None:
-            out.append(ref[0])
+        files = _files_as_of(
+            lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch, seqs
+        )
+        states = [f for f in files if f[3] == "state"]
+        if states:
+            out.append(states[-1][2])
     return out
 
 
@@ -1434,6 +1483,50 @@ def committed_frontier(lake_dir: str) -> int | None:
     return es[-1] if es else None
 
 
+def lake_unified_schema(
+    lake_dir: str, as_of_epoch: int | None = None
+) -> pa.Schema | None:
+    """Union of every frontier file's schema (newest base + trailing
+    merge-on-read deltas, per partition) — the lake's full logical schema
+    after column-add evolution. Footer-only reads (no data pages), O(live
+    files) driver-side like the listing itself; ``None`` for an empty lake.
+
+    Filtered reads need this: a predicate on an evolved column must see the
+    column as NULL in partitions whose state files predate it, not raise
+    ArrowInvalid in the parquet fragment scan."""
+    return _lake_frontier_schemas(lake_dir, as_of_epoch)[0]
+
+
+def _lake_frontier_schemas(
+    lake_dir: str, as_of_epoch: int | None = None
+) -> tuple[pa.Schema | None, bool]:
+    """(unified schema, homogeneous) over the lake's frontier files.
+    ``homogeneous`` is True when every file already carries the unified
+    schema — the common un-evolved case, where scans need no schema
+    override at all (see :func:`read_lake`)."""
+    schema: pa.Schema | None = None
+    homogeneous = True
+    seqs = _as_of_seqs(lake_dir, as_of_epoch)
+    for part in _lake_parts(lake_dir):
+        files = _files_as_of(
+            lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch, seqs
+        )
+        if not files:
+            continue
+        base_i = 0
+        for i, (_, _, _, kind) in enumerate(files):
+            if kind == "state":
+                base_i = i
+        for _, _, path, _ in files[base_i:]:
+            s = pq.read_schema(path)
+            if schema is None:
+                schema = s
+            elif not s.equals(schema, check_metadata=False):
+                homogeneous = False
+                schema = unify_schemas(schema, s)
+    return schema, homogeneous
+
+
 def read_lake(
     lake_dir: str,
     columns: list[str] | None = None,
@@ -1470,12 +1563,22 @@ def read_lake(
     tombstone_filter = pc.field("deleted") == False  # noqa: E712 (pyarrow expr)
     if filter is not None:
         tombstone_filter = tombstone_filter & filter
+    # a predicate may reference an evolved column some partitions' files
+    # don't carry yet: give the scan the lake's unified schema so those
+    # fragments read the column as null instead of raising ArrowInvalid.
+    # Skipped entirely for homogeneous (un-evolved) lakes — the common case,
+    # where the plain scan is already exact and the override only costs.
+    unified = None
+    if filter is not None:
+        unified, homogeneous = _lake_frontier_schemas(lake_dir, as_of_epoch)
+        if homogeneous:
+            unified = None
 
     parts_ds = None
     if dirty_parts:
         resolve = ray.remote(num_cpus=1)(_resolved_live_block)
         refs = [
-            resolve.remote(lake_dir, p, columns, filter, as_of_epoch)
+            resolve.remote(lake_dir, p, columns, filter, as_of_epoch, unified)
             for p in dirty_parts
         ]
         parts_ds = ray.data.from_arrow_refs(refs)
@@ -1487,7 +1590,16 @@ def read_lake(
     if not clean_files:
         return parts_ds
     kwargs: dict[str, Any] = {"filter": tombstone_filter}
-    if columns is not None:
+    if unified is not None:
+        # schema override + columns kwarg can't combine (ray 2.49 checks
+        # output blocks against the FULL provided schema and the projected
+        # blocks mismatch it) — read with the override, project after; the
+        # filter still needs the un-projected evolved columns anyway
+        ds = ray.data.read_parquet(
+            clean_files, partitioning=None, schema=unified, **kwargs
+        )
+        ds = ds.select_columns(columns) if columns is not None else ds.drop_columns(["deleted"])
+    elif columns is not None:
         kwargs["columns"] = columns
         ds = ray.data.read_parquet(clean_files, **kwargs)
     else:
@@ -1502,13 +1614,21 @@ def _resolved_live_block(
     columns: list[str] | None,
     filter: Any | None,
     as_of_epoch: int | None = None,
+    unified: pa.Schema | None = None,
 ) -> pa.Table:
     """Resolve one merge-on-read partition to its LIVE rows (tombstones and
     the 'deleted' flag dropped), with column/filter applied post-resolve —
-    the per-partition read task behind read_lake's dirty path."""
+    the per-partition read task behind read_lake's dirty path. ``unified``
+    (the lake-wide schema, when a filter is pushed) null-extends evolved
+    columns this partition's files don't carry so the filter can evaluate."""
     tbl = _drop_tombstones(
         resolve_partition_state(lake_dir, part, as_of_epoch=as_of_epoch)
     )
+    if unified is not None:
+        target = unify_schemas(
+            tbl.schema, pa.schema([f for f in unified if f.name != "deleted"])
+        )
+        tbl = conform_table(tbl, target)
     if filter is not None:
         import pyarrow.dataset as pads
 

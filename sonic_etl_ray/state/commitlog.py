@@ -267,11 +267,69 @@ def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
     return None
 
 
+def _frontier_seqs(lake_dir: str) -> dict[str, int]:
+    """Every partition's newest committed data-file SEQ right now — the
+    lake-wide commit-order cursor a manifest snapshots (see commit_seq)."""
+    out: dict[str, int] = {}
+    if not os.path.isdir(lake_dir):
+        return out
+    for name in os.listdir(lake_dir):
+        if name.startswith("part="):
+            try:
+                part = int(name.split("=")[1])
+            except ValueError:
+                continue
+            f = latest_file(lake_dir, part)
+            if f is not None:
+                out[str(part)] = f[2]
+    return out
+
+
 def write_manifest(lake_dir: str, epoch: int, summary: dict[str, Any]) -> None:
+    """Atomically publish the epoch's driver manifest. Every manifest also
+    snapshots ``frontier_seqs`` — each partition's committed data-file seq
+    at manifest time — which makes time travel exact in COMMIT order even
+    for partitions the epoch itself never touched (no commit record).
+    Captured under the single-writer discipline the apply loop already
+    assumes; a concurrent writer racing the manifest write could inflate a
+    frontier by its own just-committed files (run under the writer lease
+    for serial semantics)."""
+    summary = dict(summary)
+    summary.setdefault("frontier_seqs", _frontier_seqs(lake_dir))
     os.makedirs(os.path.join(lake_dir, "_commits"), exist_ok=True)
     _atomic_write(
         manifest_path(lake_dir, epoch), json.dumps(summary, sort_keys=True).encode()
     )
+
+
+def commit_seq(lake_dir: str, epoch: int, part: int) -> int | None:
+    """The partition's data-file SEQ at the end of ``epoch`` — the exact
+    time-travel cursor in COMMIT order, read off the (epoch, part) commit
+    record's ``data_file`` name (noop commits reference the prior frontier,
+    which is exactly the right cursor). Epoch NUMBERS are not commit order:
+    out-of-band admin epochs (repair 90M+, DML 200M+) commit between small
+    stream epochs, and out-of-order backfills commit big-epoch data early —
+    per-partition seq is the only total order. Partitions the epoch never
+    touched have no commit record; their cursor comes from the epoch
+    manifest's ``frontier_seqs`` snapshot instead. ``None`` only when
+    neither exists (pre-feature lake, vacuumed epoch, or a partition
+    created after the epoch): callers fall back to epoch-number
+    filtering."""
+    import re as _re
+
+    rec = read_commit(lake_dir, epoch, part)
+    if rec is not None:
+        m = _re.search(
+            r"seq=(\d+)", os.path.basename(str(rec.get("data_file") or ""))
+        )
+        if m:
+            return int(m.group(1))
+    man = read_manifest(lake_dir, epoch)
+    if man is not None:
+        s = man.get("frontier_seqs", {}).get(str(part))
+        if s is not None:
+            return int(s)
+    return None
 
 
 def read_manifest(lake_dir: str, epoch: int) -> dict[str, Any] | None:
