@@ -258,17 +258,26 @@ def parse_predicate(terms: list[str]) -> "pc.Expression":
         raise ValueError("at least one predicate term required")
     expr = None
     for term in terms:
+        # EARLIEST operator wins (longest on a tie, so <= beats < at the
+        # same offset): a quoted value may contain operator characters
+        # (--where "tag>'a<b'") and scanning ops in fixed declaration order
+        # would split inside the quotes, silently targeting a nonexistent
+        # column instead of the intended rows
+        best: tuple[int, str, Any] | None = None
         for op, build in _PRED_OPS:
-            if op in term:
-                col, _, raw = term.partition(op)
-                col, raw = col.strip(), raw.strip()
-                if not col or not raw:
-                    raise ValueError(f"malformed predicate term: {term!r}")
-                e = build(pc.field(col), _coerce(raw))
-                expr = e if expr is None else expr & e
-                break
-        else:
+            i = term.find(op)
+            if i >= 0 and (
+                best is None or i < best[0] or (i == best[0] and len(op) > len(best[1]))
+            ):
+                best = (i, op, build)
+        if best is None:
             raise ValueError(f"no operator in predicate term: {term!r}")
+        i, op, build = best
+        col, raw = term[:i].strip(), term[i + len(op):].strip()
+        if not col or not raw:
+            raise ValueError(f"malformed predicate term: {term!r}")
+        e = build(pc.field(col), _coerce(raw))
+        expr = e if expr is None else expr & e
     return expr
 
 

@@ -196,6 +196,39 @@ def _as_of_seqs(lake_dir: str, as_of_epoch: int | None) -> dict[int, int] | None
     return None
 
 
+_CORE_TYPES = {f.name: f.type for f in STATE_SCHEMA}
+
+
+def _note_if_evolved(lake: str, schema: pa.Schema) -> None:
+    """Sticky evolution marker (commitlog.note_schema_evolution) whenever a
+    committed file's schema differs from the core state schema — column
+    adds AND type widening (nested evolution changes types, not names).
+    Gates read_lake's footer walk: never-evolved lakes skip it entirely."""
+    if {f.name: f.type for f in schema} != _CORE_TYPES:
+        cl.note_schema_evolution(lake)
+
+
+def _cut_files_at_seq(
+    files: list[tuple[int, int, str, str]], s: int
+) -> list[tuple[int, int, str, str]]:
+    """Files whose state a seq-``s`` cut can read: seqs <= s, PLUS a
+    compaction base at exactly seq s+1 — a compaction base folds every file
+    with a smaller seq (single-writer), so its content IS the state at seq
+    s and it substitutes when vacuum already removed the originals (without
+    it, time travel to a compacted-then-vacuumed cut silently reads an
+    empty partition). A copy-on-write state at s+1 is NOT a substitute (it
+    contains epoch s+1's changes) — the ``.compaction.json`` lineage marker
+    distinguishes them, and vacuum keeps it alongside a retained base."""
+    if s < 0:
+        return []
+    kept = [f for f in files if f[0] <= s]
+    for f in files:
+        if f[0] == s + 1 and f[3] == "state" and os.path.exists(f[2] + ".compaction.json"):
+            kept.append(f)
+            break
+    return kept
+
+
 def _files_as_of(
     lake_dir: str,
     part: int,
@@ -209,34 +242,30 @@ def _files_as_of(
     frontier data file — include files up to that SEQ (true commit order).
     This stays correct when epoch NUMBERS are not commit order: out-of-band
     admin epochs (repair 90M+, DML 200M+) followed by small stream epochs,
-    and out-of-order backfills. Falls back to the numeric ``epoch <=
-    as_of_epoch`` cut when the target epoch left no commit record for this
-    partition (pre-seq lakes, vacuumed epochs, epochs that predate the
-    partition) — exact for in-order histories, the old behavior.
+    and out-of-order backfills. A manifest ``frontier_seqs`` snapshot that
+    exists but lacks the partition is authoritative emptiness: the
+    partition had no committed files at that point in commit order, so the
+    cut is empty (NOT the numeric fallback — that would leak files
+    committed after the epoch into the time-travel read). Falls back to
+    the numeric ``epoch <= as_of_epoch`` cut only when no seq evidence
+    exists at all (pre-seq lakes, vacuumed manifests) — exact for in-order
+    histories, the old behavior.
 
     ``seqs`` is an optional pre-read :func:`_as_of_seqs` snapshot so
     whole-lake scans parse the manifest once, not once per partition."""
     if as_of_epoch is None:
         return files
-    s = seqs.get(part) if seqs is not None else None
-    if s is None:
-        s = cl.commit_seq(lake_dir, as_of_epoch, part)
+    if seqs is not None:
+        return _cut_files_at_seq(files, seqs.get(part, -1))
+    s = cl.commit_seq(lake_dir, as_of_epoch, part)
     if s is not None:
-        return [f for f in files if f[0] <= s]
+        return _cut_files_at_seq(files, s)
     return [f for f in files if f[1] <= as_of_epoch]
 
 
-def resolve_partition_state(
-    lake_dir: str, part: int, as_of_epoch: int | None = None
-) -> pa.Table:
-    """A partition's full state table (tombstones included) resolved across
-    its newest base STATE file and any trailing merge-on-read DELTA files.
-    For a pure copy-on-write partition this is a single file read. Cost is
-    O(base + deltas-since-compaction) — the merge-on-read read amplification
-    that ``compact_partition`` bounds."""
-    files = _files_as_of(
-        lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch
-    )
+def _resolve_files(files: list[tuple[int, int, str, str]]) -> pa.Table:
+    """Resolve a (seq, epoch, path, kind) file list to its state table:
+    newest base STATE file + any trailing merge-on-read DELTA files."""
     if not files:
         return STATE_SCHEMA.empty_table()
     base_i = 0
@@ -247,6 +276,19 @@ def resolve_partition_state(
     if len(live) == 1 and live[0][3] == "state":
         return pq.read_table(live[0][2])
     return _lww_resolve([pq.read_table(p) for _, _, p, _ in live])
+
+
+def resolve_partition_state(
+    lake_dir: str, part: int, as_of_epoch: int | None = None
+) -> pa.Table:
+    """A partition's full state table (tombstones included) resolved across
+    its newest base STATE file and any trailing merge-on-read DELTA files.
+    For a pure copy-on-write partition this is a single file read. Cost is
+    O(base + deltas-since-compaction) — the merge-on-read read amplification
+    that ``compact_partition`` bounds."""
+    return _resolve_files(
+        _files_as_of(lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch)
+    )
 
 
 def compact_partition(lake_dir: str, part: int) -> dict[str, Any]:
@@ -569,6 +611,7 @@ class MergeApplier:
                 noop=False,
                 schema={f.name: str(f.type) for f in delta.schema},
             )
+            _note_if_evolved(lake, delta.schema)
             cl.write_commit(lake, record)
             return record, None, None
 
@@ -649,6 +692,7 @@ class MergeApplier:
             noop=False,
             schema={f.name: str(f.type) for f in state.schema},
         )
+        _note_if_evolved(lake, state.schema)
         cl.write_commit(lake, record)  # atomic commit point
         return record, state, seq
 
@@ -935,8 +979,24 @@ def apply_epoch(
         "input": input_desc or {},
         "num_partitions": num_partitions,
     }
-    cl.write_manifest(lake_dir, epoch, summary)
+    cl.write_manifest(
+        lake_dir, epoch, summary, frontier_updates=_frontier_updates(records)
+    )
     return records
+
+
+def _frontier_updates(records: list[dict[str, Any]]) -> dict[int, int]:
+    """{part: seq} frontier advances read off an epoch's commit records —
+    write_manifest folds them into the rolling cursor instead of re-listing
+    every partition (O(touched), not O(lake))."""
+    out: dict[int, int] = {}
+    for r in records:
+        s = cl.seq_of_data_file(r.get("data_file"))
+        if s is not None:
+            p = int(r["part"])
+            if s > out.get(p, -1):
+                out[p] = s
+    return out
 
 
 REPAIR_EPOCH_BASE = 90_000_000  # repair epochs live far above stream epochs
@@ -1374,6 +1434,10 @@ def _run_ingest_fused(
                 "fused": True,
                 "elapsed_sec": elapsed,
             },
+            # manifests write in ascending-epoch order (= per-partition
+            # commit order inside the fused batch), so folding each epoch's
+            # own record seqs keeps every manifest's frontier exact
+            frontier_updates=_frontier_updates(recs),
         )
     return {
         "epochs_applied": len(pending),
@@ -1566,10 +1630,12 @@ def read_lake(
     # a predicate may reference an evolved column some partitions' files
     # don't carry yet: give the scan the lake's unified schema so those
     # fragments read the column as null instead of raising ArrowInvalid.
-    # Skipped entirely for homogeneous (un-evolved) lakes — the common case,
-    # where the plain scan is already exact and the override only costs.
+    # Gated twice for the common case: the sticky evolution marker (written
+    # by the merge the moment it commits a non-core schema) skips even the
+    # footer walk on never-evolved lakes, and a walk that finds homogeneous
+    # frontiers skips the override (the plain scan is already exact).
     unified = None
-    if filter is not None:
+    if filter is not None and cl.schema_ever_evolved(lake_dir):
         unified, homogeneous = _lake_frontier_schemas(lake_dir, as_of_epoch)
         if homogeneous:
             unified = None
@@ -1661,9 +1727,9 @@ def _lookup_partition(
     up keys). Exact (repo, path) match + tombstone drop happen in-task."""
     import pyarrow.dataset as pads
 
-    files = cl.list_part_files(lake_dir, part)
-    if as_of_epoch is not None:
-        files = [f for f in files if f[1] <= as_of_epoch]
+    files = _files_as_of(
+        lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch
+    )
     if not files:
         return _drop_tombstones(STATE_SCHEMA.empty_table())
     base_i = 0
@@ -1814,24 +1880,29 @@ def _diff_partition_states(
     lake_dir: str, part: int, epoch: int, include_preimages: bool = False
 ) -> pa.Table:
     """Logical change rows for one partition in one epoch: diff of the live
-    state as of ``epoch`` vs ``epoch - 1`` (in-task hash joins over the two
-    time-travel states — co-partitioned by construction, so no shuffle
-    exists in the whole feed read). For copy-on-write partitions each side
-    is one file read; merge-on-read partitions resolve base ∪ deltas first."""
+    state at the epoch's commit vs the state just before it, cut by the
+    partition's commit SEQ — true commit order, so a DML/admin epoch's
+    changes appear under ITS epoch and never move when later (numerically
+    smaller) stream epochs commit. The two sides are in-task hash joins —
+    co-partitioned by construction, so no shuffle exists in the whole feed
+    read. For copy-on-write partitions each side is one file read;
+    merge-on-read partitions resolve base ∪ deltas first. A partition the
+    epoch never touched (no commit record) or touched as a no-op changed
+    nothing and diffs empty."""
     empty = _empty_feed_table()
-    files = cl.list_part_files(lake_dir, part)
-    cur_files = [f for f in files if f[1] <= epoch]
-    if not cur_files:
+    rec = cl.read_commit(lake_dir, epoch, part)
+    if rec is None or rec.get("noop"):
         return empty
-    prev_files = [f for f in files if f[1] <= epoch - 1]
-    if prev_files and prev_files[-1][2] == cur_files[-1][2]:
-        return empty  # partition untouched in this epoch (same frontier)
-    cur_t = resolve_partition_state(lake_dir, part, as_of_epoch=epoch)
-    prev_t = (
-        resolve_partition_state(lake_dir, part, as_of_epoch=epoch - 1)
-        if prev_files
-        else None
-    )
+    s = cl.seq_of_data_file(rec.get("data_file"))
+    if s is None:
+        return empty  # pre-seq record: no exact cut exists
+    files = cl.list_part_files(lake_dir, part)
+    cur_files = _cut_files_at_seq(files, s)
+    if not cur_files:
+        return empty  # epoch's own file already vacuumed
+    prev_files = _cut_files_at_seq(files, s - 1)
+    cur_t = _resolve_files(cur_files)
+    prev_t = _resolve_files(prev_files) if prev_files else None
     # evolved (post-base-schema) columns ride the feed; union of both sides
     extra_fields: list[pa.Field] = []
     seen = set(STATE_SCHEMA.names)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Any
 
@@ -267,9 +268,22 @@ def read_commit(lake_dir: str, epoch: int, part: int) -> dict[str, Any] | None:
     return None
 
 
+_SEQ_RE = re.compile(r"seq=(\d+)")
+
+
+def seq_of_data_file(path: Any) -> int | None:
+    """Per-partition commit SEQ parsed off a data-file name (state-seq=N /
+    delta-seq=N). None for empty/unparseable paths (pre-feature records)."""
+    m = _SEQ_RE.search(os.path.basename(str(path or "")))
+    return int(m.group(1)) if m else None
+
+
 def _frontier_seqs(lake_dir: str) -> dict[str, int]:
     """Every partition's newest committed data-file SEQ right now — the
-    lake-wide commit-order cursor a manifest snapshots (see commit_seq)."""
+    lake-wide commit-order cursor a manifest snapshots (see commit_seq).
+    O(partitions) listing + per-file commit checks: the cold-start /
+    unknown-caller fallback only; the apply loop maintains the same cursor
+    incrementally via ``frontier_updates`` (see write_manifest)."""
     out: dict[str, int] = {}
     if not os.path.isdir(lake_dir):
         return out
@@ -285,18 +299,76 @@ def _frontier_seqs(lake_dir: str) -> dict[str, int]:
     return out
 
 
-def write_manifest(lake_dir: str, epoch: int, summary: dict[str, Any]) -> None:
+def _rolling_frontier_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_commits", "_frontier.json")
+
+
+def _evolution_marker_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_commits", "_schema_evolved")
+
+
+def note_schema_evolution(lake_dir: str) -> None:
+    """Sticky marker: some committed data file's schema differs from the
+    core STATE schema (column adds / type widening). Written by the merge
+    the moment it commits an evolved file; never cleared (conservative —
+    compaction may later re-homogenize, the marker only gates an
+    optimization). Lets filtered reads skip the O(live files) footer walk
+    entirely on never-evolved lakes (see ingest.read_lake)."""
+    path = _evolution_marker_path(lake_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a"):
+            pass
+
+
+def schema_ever_evolved(lake_dir: str) -> bool:
+    return os.path.exists(_evolution_marker_path(lake_dir))
+
+
+def write_manifest(
+    lake_dir: str,
+    epoch: int,
+    summary: dict[str, Any],
+    frontier_updates: dict[int, int] | None = None,
+) -> None:
     """Atomically publish the epoch's driver manifest. Every manifest also
     snapshots ``frontier_seqs`` — each partition's committed data-file seq
     at manifest time — which makes time travel exact in COMMIT order even
     for partitions the epoch itself never touched (no commit record).
+
+    ``frontier_updates`` ({part: seq} for the partitions this epoch
+    committed, read off the commit records the caller already holds) makes
+    the snapshot O(touched): it folds into the rolling ``_frontier.json``
+    cursor instead of re-listing every partition — the full-lake scan a
+    sparse epoch on a 10^4-partition lake must not pay per commit. Without
+    it (unknown callers, pre-feature lakes) the full scan runs, which is
+    always correct. The rolling cursor is written BEFORE the manifest: a
+    crash between the two leaves the cursor reflecting files that ARE
+    committed, and the epoch replay folds the same updates idempotently.
     Captured under the single-writer discipline the apply loop already
     assumes; a concurrent writer racing the manifest write could inflate a
     frontier by its own just-committed files (run under the writer lease
     for serial semantics)."""
     summary = dict(summary)
-    summary.setdefault("frontier_seqs", _frontier_seqs(lake_dir))
     os.makedirs(os.path.join(lake_dir, "_commits"), exist_ok=True)
+    if "frontier_seqs" not in summary:
+        rolling = _rolling_frontier_path(lake_dir)
+        base: dict[str, int] | None = None
+        if frontier_updates is not None and os.path.exists(rolling):
+            try:
+                with open(rolling, "rb") as f:
+                    base = json.loads(f.read())
+            except (OSError, ValueError):
+                base = None
+        if base is None:
+            base = _frontier_seqs(lake_dir)
+        if frontier_updates:
+            for p, s in frontier_updates.items():
+                k = str(int(p))
+                if int(s) > int(base.get(k, -1)):
+                    base[k] = int(s)
+        summary["frontier_seqs"] = base
+        _atomic_write(rolling, json.dumps(base, sort_keys=True).encode())
     _atomic_write(
         manifest_path(lake_dir, epoch), json.dumps(summary, sort_keys=True).encode()
     )
@@ -311,24 +383,21 @@ def commit_seq(lake_dir: str, epoch: int, part: int) -> int | None:
     stream epochs, and out-of-order backfills commit big-epoch data early —
     per-partition seq is the only total order. Partitions the epoch never
     touched have no commit record; their cursor comes from the epoch
-    manifest's ``frontier_seqs`` snapshot instead. ``None`` only when
-    neither exists (pre-feature lake, vacuumed epoch, or a partition
-    created after the epoch): callers fall back to epoch-number
-    filtering."""
-    import re as _re
-
+    manifest's ``frontier_seqs`` snapshot — a snapshot that EXISTS but lacks
+    the partition is authoritative emptiness (the partition had no committed
+    files at that point in commit order) and returns -1, so time-travel
+    reads exclude files committed after the epoch instead of leaking them
+    through the numeric fallback. ``None`` only when neither record nor
+    snapshot exists (pre-feature lake, vacuumed epoch): callers fall back
+    to epoch-number filtering."""
     rec = read_commit(lake_dir, epoch, part)
     if rec is not None:
-        m = _re.search(
-            r"seq=(\d+)", os.path.basename(str(rec.get("data_file") or ""))
-        )
-        if m:
-            return int(m.group(1))
-    man = read_manifest(lake_dir, epoch)
-    if man is not None:
-        s = man.get("frontier_seqs", {}).get(str(part))
+        s = seq_of_data_file(rec.get("data_file"))
         if s is not None:
-            return int(s)
+            return s
+    man = read_manifest(lake_dir, epoch)
+    if man is not None and "frontier_seqs" in man:
+        return int(man["frontier_seqs"].get(str(part), -1))
     return None
 
 

@@ -140,3 +140,34 @@ def test_feed_matches_snapshot_diff(tmp_path):
         for key, row in live.iterrows():
             assert int(row["lsn"]) == int(snap.loc[key, "applied_lsn"])
             assert row["content_sha256"] == snap.loc[key, "content_sha256"]
+
+
+def test_change_feed_commit_order_stable_around_dml():
+    """A DML epoch's changes appear under ITS epoch and do not vanish when
+    a later (numerically smaller) stream epoch commits — the feed for an
+    already-consumed epoch must never mutate."""
+    import pyarrow.compute as pc
+
+    from sonic_etl_ray.pipelines.dml import delete_where
+
+    def feed(lake, epoch):
+        refs = read_change_feed(lake, epoch).to_arrow_refs()
+        return pa.concat_tables([ray.get(r) for r in refs])
+
+    lake = scratch_lake_dir("cfdml")
+    apply_epoch(
+        _events([(1, "insert", "rA", "a.py", "alpha"),
+                 (2, "insert", "rA", "b.py", "beta")]),
+        lake, epoch=0, num_partitions=4,
+    )
+    res = delete_where(lake, pc.field("path") == "b.py")
+    feed_at_dml = feed(lake, res["epoch"])
+    assert feed_at_dml.num_rows == 1
+    assert feed_at_dml["change_type"].to_pylist() == ["delete"]
+    # reinsert under a later stream epoch with a smaller epoch NUMBER
+    apply_epoch(_events([(50, "insert", "rA", "b.py", "beta-v2")]),
+                lake, epoch=1, num_partitions=4)
+    assert feed(lake, res["epoch"]).equals(feed_at_dml)  # consumed feed immutable
+    e1 = feed(lake, 1)
+    assert e1["change_type"].to_pylist() == ["insert"]
+    assert e1.filter(pc.equal(e1["path"], "b.py"))["content"].to_pylist() == ["beta-v2"]

@@ -412,3 +412,66 @@ def test_filtered_read_with_columns_on_evolved_and_plain_lakes():
     ).to_pandas()
     assert sorted(got2.columns) == ["path", "repo"]
     assert got2["path"].tolist() == ["a.py"]
+
+
+def test_time_travel_empty_partition_excludes_later_commits():
+    """A partition EMPTY at the target epoch (present in the manifest's
+    frontier snapshot only by absence) must stay empty in the time-travel
+    read — the numeric fallback would leak a later stream epoch's insert
+    whose epoch number is smaller than the DML's."""
+    lake = _base_lake("dmltt3")
+    res = delete_where(lake, pc.field("repo") == "rA")  # epoch ~200M
+    # pick a key that hashes to a partition with NO committed files yet
+    from sonic_etl_ray.pipelines.ingest import _lake_parts
+    from sonic_etl_ray.stages.keys import key_strings, stable_hash64
+
+    existing = set(_lake_parts(lake))
+    probe = None
+    for i in range(200):
+        repo, path = f"rNew{i}", f"n{i}.py"
+        h = stable_hash64(key_strings(pa.table({"repo": [repo], "path": [path]})))
+        if int(h[0]) % 4 not in existing:
+            probe = (repo, path)
+            break
+    assert probe is not None
+    apply_epoch(
+        _events([(60, "insert", probe[0], probe[1], "fresh")]),
+        lake, epoch=1, num_partitions=4,
+    )
+    at_dml = lake_final_table(lake, as_of_epoch=res["epoch"])
+    assert probe[0] not in at_dml["repo"].to_pylist()
+
+
+def test_lookup_keys_agrees_with_scan_around_dml_epochs():
+    """The point-read surface must give the same time-travel answer as the
+    scan surface for the same as_of_epoch (commit order, not numeric)."""
+    from sonic_etl_ray.pipelines.ingest import lookup_keys
+
+    lake = _base_lake("dmltt4")
+    res = delete_where(lake, pc.field("path") == "b.md")  # tombstone b.md
+    apply_epoch(
+        _events([(70, "insert", "rA", "b.md", "beta-v2")]),  # resurrect later
+        lake, epoch=1, num_partitions=4,
+    )
+    at_dml = lake_final_table(lake, as_of_epoch=res["epoch"])
+    assert "b.md" not in at_dml["path"].to_pylist()
+    got = lookup_keys(lake, [("rA", "b.md")], as_of_epoch=res["epoch"])
+    assert got.num_rows == 0  # matches the scan: deleted as of the DML
+    now = lookup_keys(lake, [("rA", "b.md")])
+    assert now["content"].to_pylist() == ["beta-v2"]
+
+
+def test_parse_predicate_quoted_value_containing_operator_chars():
+    """The earliest operator wins: quoted values may contain op characters
+    and must not split the term inside the quotes."""
+    from sonic_etl_ray.pipelines.dml import parse_predicate
+    import pyarrow.dataset as pads
+
+    t = pa.table({"tag": ["a<b", "zzz"], "n": [1, 2]})
+    got = pads.dataset(t).to_table(filter=parse_predicate(["tag='a<b'"]))
+    assert got["n"].to_pylist() == [1]
+    got2 = pads.dataset(t).to_table(filter=parse_predicate(["tag>'a<b'"]))
+    assert got2["n"].to_pylist() == [2]
+    t3 = pa.table({"v": ["x=y", "q"], "n": [1, 2]})
+    got3 = pads.dataset(t3).to_table(filter=parse_predicate(["v!='x=y'"]))
+    assert got3["n"].to_pylist() == [2]

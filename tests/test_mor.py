@@ -15,8 +15,10 @@ from __future__ import annotations
 import glob
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+import ray
 
 from sonic_etl_ray.generator import StreamSpec, generate_stream
 from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
@@ -306,3 +308,25 @@ def test_mor_pruned_read_lake(tmp_path):
     got_t = pa.concat_tables([t for t in ray.get(got) if t.num_rows])
     assert got_t.num_rows == want.num_rows
     assert set(got_t.column("path").to_pylist()) == set(want.column("path").to_pylist())
+
+
+def test_time_travel_survives_compaction_plus_vacuum(tmp_path):
+    """as_of the last epoch (and consistent reads pinned to it) must read
+    the compacted base when vacuum removed the pre-compaction files — the
+    base at seq s+1 is an exact substitute for the cut at s (it folds
+    exactly the files the cut named). Regression: the commit-order seq cut
+    dropped the only surviving file and silently returned empty."""
+    spec = StreamSpec(n_events=6000, n_repos=8, seed=31, segment_size=600)
+    files, cow, mor = _twin_lakes(
+        tmp_path, spec, num_partitions=4, segments_per_epoch=5
+    )
+    golden = lake_final_table(cow)
+    last_epoch = max(cl.committed_epochs(mor))
+    compact_lake_states(mor)
+    vacuum(mor, keep_epochs=1)
+    assert lake_final_table(mor, as_of_epoch=last_epoch).equals(golden)
+    from sonic_etl_ray.pipelines.ingest import read_lake
+
+    got = read_lake(mor, consistent=True).to_arrow_refs()
+    got = pa.concat_tables([ray.get(r) for r in got])
+    assert got.num_rows == golden.num_rows
