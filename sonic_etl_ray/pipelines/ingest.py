@@ -208,6 +208,22 @@ def _note_if_evolved(lake: str, schema: pa.Schema) -> None:
         cl.note_schema_evolution(lake)
 
 
+def _backfill_evolution_marker(lake_dir: str) -> None:
+    """One-time upgrade probe: a lake whose files were committed before the
+    evolution marker existed carries no marker even if it evolved, and the
+    rolling frontier cursor is how we know which era wrote it. Before the
+    first post-upgrade manifest creates that cursor, walk every committed
+    file's footer once and backfill the marker — afterwards marker absence
+    is authoritative (see read_lake) and the O(files) probe never reruns."""
+    if cl.has_rolling_frontier(lake_dir) or cl.schema_ever_evolved(lake_dir):
+        return
+    for part in _lake_parts(lake_dir):
+        for _, _, path, _ in cl.list_part_files(lake_dir, part):
+            if {f.name: f.type for f in pq.read_schema(path)} != _CORE_TYPES:
+                cl.note_schema_evolution(lake_dir)
+                return
+
+
 def _cut_files_at_seq(
     files: list[tuple[int, int, str, str]], s: int
 ) -> list[tuple[int, int, str, str]]:
@@ -263,16 +279,25 @@ def _files_as_of(
     return [f for f in files if f[1] <= as_of_epoch]
 
 
+def _live_frontier(
+    files: list[tuple[int, int, str, str]]
+) -> list[tuple[int, int, str, str]]:
+    """The files a read must consult: the newest base STATE file (it
+    shadows everything before it) plus any trailing merge-on-read DELTAs —
+    the single frontier-selection invariant every read surface shares."""
+    base_i = 0
+    for i, (_, _, _, kind) in enumerate(files):
+        if kind == "state":
+            base_i = i
+    return files[base_i:]
+
+
 def _resolve_files(files: list[tuple[int, int, str, str]]) -> pa.Table:
     """Resolve a (seq, epoch, path, kind) file list to its state table:
     newest base STATE file + any trailing merge-on-read DELTA files."""
     if not files:
         return STATE_SCHEMA.empty_table()
-    base_i = 0
-    for i, (_, _, _, kind) in enumerate(files):
-        if kind == "state":
-            base_i = i  # newest base shadows everything before it
-    live = files[base_i:]
+    live = _live_frontier(files)
     if len(live) == 1 and live[0][3] == "state":
         return pq.read_table(live[0][2])
     return _lww_resolve([pq.read_table(p) for _, _, p, _ in live])
@@ -301,11 +326,7 @@ def compact_partition(lake_dir: str, part: int) -> dict[str, Any]:
     files = cl.list_part_files(lake_dir, part)
     if not files or files[-1][3] == "state":
         return {"part": part, "compacted": 0, "n_rows": -1}
-    base_i = 0
-    for i, (_, _, _, kind) in enumerate(files):
-        if kind == "state":
-            base_i = i
-    live = files[base_i:] if files[base_i][3] == "state" else files
+    live = _live_frontier(files)
     state = _lww_resolve([pq.read_table(p) for _, _, p, _ in live])
     seq = files[-1][0] + 1
     epoch = max(f[1] for f in live)
@@ -899,6 +920,7 @@ def apply_epoch(
     commit record.
     """
     os.makedirs(lake_dir, exist_ok=True)
+    _backfill_evolution_marker(lake_dir)  # no-op after the first manifest
     ds = ds.map_batches(
         validate_and_derive,
         batch_format="pyarrow",
@@ -1365,6 +1387,14 @@ def _run_ingest_fused(
     from ..stages.transform import EPOCH_COLUMN  # noqa: F401 (doc reference)
 
     os.makedirs(lake_dir, exist_ok=True)
+    _backfill_evolution_marker(lake_dir)
+    # seed the rolling frontier BEFORE the batch commits anything: the
+    # batch's manifests all write after every epoch's files are on disk, so
+    # a full-scan fallback at manifest time would stamp epoch 0's manifest
+    # with the END-of-batch frontier (leaking epochs 1..n into time travel).
+    # Write-if-absent also keeps a crash-resume folding from the original
+    # pre-batch cursor instead of rescanning the crashed batch's files.
+    cl.ensure_rolling_frontier(lake_dir)
     t0 = time.perf_counter()
     parts_ds = []
     epoch_inputs: dict[int, dict[str, Any]] = {}
@@ -1577,11 +1607,7 @@ def _lake_frontier_schemas(
         )
         if not files:
             continue
-        base_i = 0
-        for i, (_, _, _, kind) in enumerate(files):
-            if kind == "state":
-                base_i = i
-        for _, _, path, _ in files[base_i:]:
+        for _, _, path, _ in _live_frontier(files):
             s = pq.read_schema(path)
             if schema is None:
                 schema = s
@@ -1634,11 +1660,18 @@ def read_lake(
     # by the merge the moment it commits a non-core schema) skips even the
     # footer walk on never-evolved lakes, and a walk that finds homogeneous
     # frontiers skips the override (the plain scan is already exact).
+    # Marker ABSENCE is only authoritative for lakes the marker-aware era
+    # wrote (the rolling frontier cursor proves that); a pre-marker lake
+    # walks unconditionally, and the walk backfills the marker it finds.
     unified = None
-    if filter is not None and cl.schema_ever_evolved(lake_dir):
+    if filter is not None and (
+        cl.schema_ever_evolved(lake_dir) or not cl.has_rolling_frontier(lake_dir)
+    ):
         unified, homogeneous = _lake_frontier_schemas(lake_dir, as_of_epoch)
         if homogeneous:
             unified = None
+        else:
+            cl.note_schema_evolution(lake_dir)
 
     parts_ds = None
     if dirty_parts:
@@ -1718,25 +1751,24 @@ def lake_num_partitions(lake_dir: str) -> int:
 def _lookup_partition(
     lake_dir: str, part: int, repos: list[str], keyset: list[str],
     as_of_epoch: int | None,
+    seqs: dict[int, int] | None = None,
 ) -> pa.Table:
     """Point-read one partition: a clean frontier is a single Parquet read
     with a repo filter (state files are (repo, path)-sorted, so Parquet
     row-group stats prune within the file too); a merge-on-read frontier
     resolves base ∪ deltas with the same repo filter pushed into every file
     read (safe: LWW is per key, and the filter keeps ALL rows of the looked-
-    up keys). Exact (repo, path) match + tombstone drop happen in-task."""
+    up keys). Exact (repo, path) match + tombstone drop happen in-task.
+    ``seqs`` is the caller's pre-read manifest snapshot (one parse on the
+    driver, not one per touched partition)."""
     import pyarrow.dataset as pads
 
     files = _files_as_of(
-        lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch
+        lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch, seqs
     )
     if not files:
         return _drop_tombstones(STATE_SCHEMA.empty_table())
-    base_i = 0
-    for i, (_, _, _, kind) in enumerate(files):
-        if kind == "state":
-            base_i = i
-    live = files[base_i:]
+    live = _live_frontier(files)
     repo_filter = pc.field("repo").isin(repos)
     tabs = [
         pads.dataset(p, format="parquet").to_table(filter=repo_filter)
@@ -1777,11 +1809,12 @@ def lookup_keys(
     for i, p in enumerate(parts):
         by_part.setdefault(int(p), []).append(i)
     task = ray.remote(num_cpus=1)(_lookup_partition)
+    seqs = _as_of_seqs(lake_dir, as_of_epoch)  # one manifest parse, shared
     refs = []
     for part, idxs in sorted(by_part.items()):
         repos = sorted({keys[i][0] for i in idxs})
         keyset = sorted({keys[i][0] + KEY_SEP + keys[i][1] for i in idxs})
-        refs.append(task.remote(lake_dir, part, repos, keyset, as_of_epoch))
+        refs.append(task.remote(lake_dir, part, repos, keyset, as_of_epoch, seqs))
     tabs = [t for t in ray.get(refs) if t.num_rows]
     if not tabs:
         return _drop_tombstones(STATE_SCHEMA.empty_table())
@@ -1901,6 +1934,13 @@ def _diff_partition_states(
     if not cur_files:
         return empty  # epoch's own file already vacuumed
     prev_files = _cut_files_at_seq(files, s - 1)
+    if s > 0 and not prev_files:
+        # seqs are dense: an empty s-1 cut with s > 0 proves vacuum removed
+        # the pre-epoch history (and no compaction base substitutes). An
+        # exact diff is impossible — return empty rather than fabricating
+        # an 'insert' for every live key (the feed for an already-consumed
+        # epoch must never grow rows it did not report before)
+        return empty
     cur_t = _resolve_files(cur_files)
     prev_t = _resolve_files(prev_files) if prev_files else None
     # evolved (post-base-schema) columns ride the feed; union of both sides

@@ -475,3 +475,32 @@ def test_parse_predicate_quoted_value_containing_operator_chars():
     t3 = pa.table({"v": ["x=y", "q"], "n": [1, 2]})
     got3 = pads.dataset(t3).to_table(filter=parse_predicate(["v!='x=y'"]))
     assert got3["n"].to_pylist() == [2]
+
+
+def test_filtered_read_on_pre_marker_evolved_lake():
+    """A lake that evolved BEFORE the evolution marker existed carries no
+    marker: marker absence is only authoritative when the rolling frontier
+    cursor (same era) exists, so stripping both must make filtered reads
+    walk the footers (regression: the fast path skipped the walk and the
+    parquet scan raised ArrowInvalid), and the walk backfills the marker."""
+    import os
+
+    from sonic_etl_ray.pipelines.ingest import read_lake
+    from sonic_etl_ray.state import commitlog as cl
+
+    lake = _base_lake("dmlpremark")
+    update_where(lake, pc.field("path") == "a.py", {"branch": "main"})
+    assert cl.schema_ever_evolved(lake)
+    # simulate the pre-upgrade era: no marker, no rolling cursor
+    os.remove(os.path.join(lake, "_commits", "_schema_evolved"))
+    os.remove(os.path.join(lake, "_commits", "_frontier.json"))
+    got = read_lake(lake, filter=pc.field("branch") == "main").to_pandas()
+    assert got["path"].tolist() == ["a.py"]
+    assert cl.schema_ever_evolved(lake)  # the walk backfilled the marker
+    # and the next apply on a still-unmarked pre-upgrade lake probes once
+    os.remove(os.path.join(lake, "_commits", "_schema_evolved"))
+    apply_epoch(
+        _events([(90, "insert", "rD", "f.py", "fox")]),
+        lake, epoch=3, num_partitions=4,
+    )
+    assert cl.schema_ever_evolved(lake)

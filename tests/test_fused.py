@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
 from sonic_etl_ray.generator import StreamSpec, generate_stream
 from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
 from sonic_etl_ray.pipelines.ingest import (
@@ -74,3 +78,30 @@ def test_fused_empty_epoch_gets_manifest(tmp_path):
     s2 = run_ingest(allfiles, lake, num_partitions=2, segments_per_epoch=2, fused=True)
     assert s2["epochs_applied"] == 0 and s2["epochs_skipped"] == 3
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+
+def test_fused_manifests_carry_per_epoch_frontier(tmp_path):
+    """Time travel into a fused batch must match the sequential twin: the
+    rolling frontier cursor is seeded BEFORE the batch commits anything, so
+    epoch 0's manifest snapshots the pre-batch frontier + its own commits,
+    not the end-of-batch state (regression: a fresh lake's first fused run
+    stamped every manifest with the final frontier and as_of epoch 0 read
+    the whole batch)."""
+    from sonic_etl_ray.pipelines.ingest import read_lake
+
+    spec = StreamSpec(n_events=4000, n_repos=8, seed=55, segment_size=500)
+    files = generate_stream(str(tmp_path / "segs"), spec)
+    fused, seq = scratch_lake_dir("fusedtt"), scratch_lake_dir("seqtt")
+    run_ingest(files, fused, num_partitions=4, segments_per_epoch=2, fused=True)
+    run_ingest(files, seq, num_partitions=4, segments_per_epoch=2)
+    for e in (0, 1):
+        want = lake_final_table(seq, as_of_epoch=e)
+        assert lake_final_table(fused, as_of_epoch=e).equals(want)
+        got = pa.concat_tables(
+            [ray.get(r) for r in read_lake(fused, as_of_epoch=e).to_arrow_refs()]
+        )
+        got = got.take(
+            pc.sort_indices(got, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+        )
+        assert got.num_rows == want.num_rows  # final tables are live rows
+    assert lake_final_table(fused).equals(lake_final_table(seq))

@@ -330,3 +330,44 @@ def test_time_travel_survives_compaction_plus_vacuum(tmp_path):
     got = read_lake(mor, consistent=True).to_arrow_refs()
     got = pa.concat_tables([ray.get(r) for r in got])
     assert got.num_rows == golden.num_rows
+
+
+def test_change_feed_returns_empty_after_history_vacuumed(tmp_path):
+    """A consumed epoch's feed must never GROW: once vacuum removes the
+    pre-epoch history (and no compaction base substitutes for it), the
+    exact diff is impossible and the feed returns empty — regression: it
+    fabricated an 'insert' for every live key by diffing against None."""
+    import pyarrow.compute as pc
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch, read_change_feed
+
+    def events(rows):
+        lsn, op, repo, path, content = map(list, zip(*rows))
+        return ray.data.from_arrow(pa.table({
+            "lsn": pa.array(lsn, pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array([f"c{n}" for n in lsn], pa.string()),
+            "lang": pa.array(["py"] * len(lsn), pa.string()),
+            "content": content,
+        }))
+
+    lake = scratch_lake_dir("morfeedvac")
+    apply_epoch(events([(1, "insert", "rA", "a.py", "alpha"),
+                        (2, "insert", "rA", "b.py", "beta")]),
+                lake, epoch=0, num_partitions=2, merge_mode="mor")
+    apply_epoch(events([(3, "insert", "rA", "c.py", "charlie")]),
+                lake, epoch=1, num_partitions=2, merge_mode="mor")
+
+    def feed(epoch):
+        refs = read_change_feed(lake, epoch).to_arrow_refs()
+        return pa.concat_tables([ray.get(r) for r in refs])
+
+    before = feed(1)
+    assert before["change_type"].to_pylist() == ["insert"]
+    assert before["path"].to_pylist() == ["c.py"]
+    compact_lake_states(lake)
+    vacuum(lake, keep_epochs=1)
+    after = feed(1)
+    assert after.num_rows == 0  # exact diff impossible; never fabricate
