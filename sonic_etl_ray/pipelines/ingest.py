@@ -219,8 +219,8 @@ def _backfill_evolution_marker(lake_dir: str) -> None:
         return
     for part in _lake_parts(lake_dir):
         for _, _, path, _ in cl.list_part_files(lake_dir, part):
-            if {f.name: f.type for f in pq.read_schema(path)} != _CORE_TYPES:
-                cl.note_schema_evolution(lake_dir)
+            _note_if_evolved(lake_dir, pq.read_schema(path))
+            if cl.schema_ever_evolved(lake_dir):
                 return
 
 
@@ -1663,6 +1663,10 @@ def read_lake(
     # Marker ABSENCE is only authoritative for lakes the marker-aware era
     # wrote (the rolling frontier cursor proves that); a pre-marker lake
     # walks unconditionally, and the walk backfills the marker it finds.
+    # (A never-evolved pre-marker ARCHIVE lake — one that is never written
+    # again — re-walks per filtered read: reads must not create the cursor,
+    # a crashed pre-cursor fused batch could be scanned into it. Any single
+    # post-upgrade apply ends that era.)
     unified = None
     if filter is not None and (
         cl.schema_ever_evolved(lake_dir) or not cl.has_rolling_frontier(lake_dir)
@@ -1671,7 +1675,10 @@ def read_lake(
         if homogeneous:
             unified = None
         else:
-            cl.note_schema_evolution(lake_dir)
+            try:  # best-effort cache: reads must work on read-only storage
+                cl.note_schema_evolution(lake_dir)
+            except OSError:
+                pass
 
     parts_ds = None
     if dirty_parts:
@@ -1910,7 +1917,8 @@ def _feed_payload_rows(
 
 
 def _diff_partition_states(
-    lake_dir: str, part: int, epoch: int, include_preimages: bool = False
+    lake_dir: str, part: int, epoch: int, include_preimages: bool = False,
+    on_vacuumed: str = "empty",
 ) -> pa.Table:
     """Logical change rows for one partition in one epoch: diff of the live
     state at the epoch's commit vs the state just before it, cut by the
@@ -1921,7 +1929,15 @@ def _diff_partition_states(
     read. For copy-on-write partitions each side is one file read;
     merge-on-read partitions resolve base ∪ deltas first. A partition the
     epoch never touched (no commit record) or touched as a no-op changed
-    nothing and diffs empty."""
+    nothing and diffs empty.
+
+    ``on_vacuumed`` picks the semantics when vacuum removed the pre-epoch
+    history and the exact diff is impossible: ``"empty"`` (feed semantics —
+    a consumed epoch's feed may shrink to empty but never grow rows it did
+    not report) or ``"snapshot"`` (replication semantics — emit the CUT's
+    full state, live rows as inserts and tombstones as deletes at their
+    winning LSNs, which per-key LWW makes convergent for a downstream
+    replica that could no longer replay the vacuumed prefix)."""
     empty = _empty_feed_table()
     rec = cl.read_commit(lake_dir, epoch, part)
     if rec is None or rec.get("noop"):
@@ -1932,15 +1948,19 @@ def _diff_partition_states(
     files = cl.list_part_files(lake_dir, part)
     cur_files = _cut_files_at_seq(files, s)
     if not cur_files:
-        return empty  # epoch's own file already vacuumed
+        # the epoch's own file is vacuumed: even snapshot mode defers — the
+        # partition's LAST-touching epoch always has a surviving cut (vacuum
+        # keeps the frontier) and its snapshot covers this one
+        return empty
     prev_files = _cut_files_at_seq(files, s - 1)
+    snapshot_mode = False
     if s > 0 and not prev_files:
         # seqs are dense: an empty s-1 cut with s > 0 proves vacuum removed
-        # the pre-epoch history (and no compaction base substitutes). An
-        # exact diff is impossible — return empty rather than fabricating
-        # an 'insert' for every live key (the feed for an already-consumed
-        # epoch must never grow rows it did not report before)
-        return empty
+        # the pre-epoch history (and no compaction base substitutes) — the
+        # exact diff is impossible
+        if on_vacuumed != "snapshot":
+            return empty
+        snapshot_mode = True
     cur_t = _resolve_files(cur_files)
     prev_t = _resolve_files(prev_files) if prev_files else None
     # evolved (post-base-schema) columns ride the feed; union of both sides
@@ -1987,9 +2007,14 @@ def _diff_partition_states(
     # payload columns are null — the post-image of a delete is no row —
     # unless pre-images are requested, in which case they carry the deleted
     # row's last live values, Delta-CDF delete semantics)
-    gone_keys = prev_live.select(["repo", "path"]).join(
-        cur_live.select(["repo", "path"]), keys=["repo", "path"], join_type="left anti"
-    )
+    if snapshot_mode:
+        # snapshot semantics: EVERY tombstone in the cut is a delete (the
+        # replica may have applied pre-vacuum epochs that inserted the key)
+        gone_keys = tomb.select(["repo", "path"])
+    else:
+        gone_keys = prev_live.select(["repo", "path"]).join(
+            cur_live.select(["repo", "path"]), keys=["repo", "path"], join_type="left anti"
+        )
     if include_preimages and prev_full is not None:
         gone = prev_full.drop_columns(["applied_lsn"]).join(
             gone_keys.join(tomb, keys=["repo", "path"], join_type="left outer"),
@@ -2029,7 +2054,8 @@ def _diff_partition_states(
 
 
 def read_change_feed(
-    lake_dir: str, epoch: int, include_preimages: bool = False
+    lake_dir: str, epoch: int, include_preimages: bool = False,
+    on_vacuumed: str = "empty",
 ) -> ray.data.Dataset:
     """The applied-changes feed for one epoch as a Dataset — the change-data-
     feed surface of the lake (Delta CDF analog; the queryable form of the
@@ -2039,7 +2065,10 @@ def read_change_feed(
     delete, the post-image payload columns (null for deletes), and the
     winning LSN. Execution is one task per touched partition diffing two
     copy-on-write state files (time-travel reads) — partition-parallel,
-    zero shuffle, output canonically sorted within each partition."""
+    zero shuffle, output canonically sorted within each partition.
+    ``on_vacuumed="snapshot"`` swaps vacuumed-prefix epochs from strict
+    feed semantics (empty) to replica-bootstrap semantics (full-state
+    emit) — see :func:`_diff_partition_states`."""
     parts = []
     if os.path.isdir(lake_dir):
         for name in sorted(os.listdir(lake_dir)):
@@ -2049,10 +2078,13 @@ def read_change_feed(
         return ray.data.from_arrow(_empty_feed_table())
 
     def diff_batch(
-        b: pa.Table, lake_dir: str, epoch: int, include_preimages: bool
+        b: pa.Table, lake_dir: str, epoch: int, include_preimages: bool,
+        on_vacuumed: str,
     ) -> pa.Table:
         tables = [
-            _diff_partition_states(lake_dir, int(p), epoch, include_preimages)
+            _diff_partition_states(
+                lake_dir, int(p), epoch, include_preimages, on_vacuumed
+            )
             for p in b.column("part").to_pylist()
         ]
         # partitions may disagree on evolved columns (one touched, one not)
@@ -2069,6 +2101,7 @@ def read_change_feed(
             "lake_dir": lake_dir,
             "epoch": epoch,
             "include_preimages": include_preimages,
+            "on_vacuumed": on_vacuumed,
         },
         batch_format="pyarrow",
         batch_size=1,
@@ -2198,7 +2231,11 @@ def replicate_lake(
     Resumable per epoch via the destination's own manifests; correct under
     re-run (idempotent commits) and independent of the destination's
     partition count or merge mode. The destination's final table is
-    bit-equal to the source's (per-key LWW over the same winning LSNs)."""
+    bit-equal to the source's (per-key LWW over the same winning LSNs) —
+    including sources whose early history was already vacuumed: the feed
+    runs in snapshot mode, so the first reconstructible epoch per partition
+    emits the cut's full state (LWW makes the replay convergent) instead of
+    the strict feed's empty table."""
     src_parts = lake_num_partitions(src_lake)
     if num_partitions is None:
         num_partitions = src_parts or 32
@@ -2207,7 +2244,7 @@ def replicate_lake(
         if cl.epoch_manifest_exists(dst_lake, e):
             skipped += 1
             continue
-        feed = read_change_feed(src_lake, e)
+        feed = read_change_feed(src_lake, e, on_vacuumed="snapshot")
 
         def to_events(t: pa.Table) -> pa.Table:
             op = pc.if_else(

@@ -70,3 +70,67 @@ def test_replicate_schema_evolution(tmp_path):
     assert "branch" in b.schema.names
     assert a.schema.names == b.schema.names
     assert a.equals(b)
+
+
+def test_replicate_bootstraps_from_vacuumed_source(tmp_path):
+    """A fresh replica of a source whose early history was compacted and
+    vacuumed must still converge bit-equal: the replication feed runs in
+    snapshot mode, so the first reconstructible epoch per partition emits
+    the cut's full state (regression: the strict-feed vacuum guard made
+    every feed empty and the replica came up permanently empty, while its
+    manifests marked the epochs done)."""
+    from sonic_etl_ray.pipelines.ingest import compact_lake_states, vacuum
+
+    files = _segments(
+        tmp_path, StreamSpec(n_events=5000, n_repos=9, seed=13, segment_size=500)
+    )
+    src = scratch_lake_dir("rvacsrc")
+    run_ingest(
+        files, src, num_partitions=4, segments_per_epoch=4, merge_mode="mor"
+    )
+    compact_lake_states(src)
+    vacuum(src, keep_epochs=1)
+    dst = scratch_lake_dir("rvacdst")
+    replicate_lake(src, dst, num_partitions=3)
+    assert lake_final_table(dst).equals(lake_final_table(src))
+    assert_state_equal(lake_final_table(dst), oracle_final_state(files))
+    # idempotent re-run
+    assert replicate_lake(src, dst, num_partitions=3)["epochs_applied"] == 0
+
+
+def test_replicate_vacuumed_source_with_deletes(tmp_path):
+    """Snapshot-mode bootstrap must carry tombstones as deletes: a replica
+    that already applied pre-vacuum epochs (incremental subscriber) must
+    drop keys the source deleted in the vacuumed window."""
+    import pyarrow as pa
+    import ray
+
+    from sonic_etl_ray.pipelines.ingest import (
+        apply_epoch, compact_lake_states, vacuum,
+    )
+
+    def events(rows):
+        lsn, op, repo, path, content = map(list, zip(*rows))
+        return ray.data.from_arrow(pa.table({
+            "lsn": pa.array(lsn, pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array([f"c{n}" for n in lsn], pa.string()),
+            "lang": pa.array(["py"] * len(lsn), pa.string()),
+            "content": content,
+        }))
+
+    src, dst = scratch_lake_dir("rvdsrc"), scratch_lake_dir("rvddst")
+    apply_epoch(events([(1, "insert", "rA", "a.py", "alpha"),
+                        (2, "insert", "rA", "b.py", "beta")]),
+                src, epoch=0, num_partitions=2, merge_mode="mor")
+    replicate_lake(src, dst, num_partitions=2)  # subscriber is caught up
+    apply_epoch(events([(3, "delete", "rA", "b.py", None),
+                        (4, "insert", "rA", "c.py", "charlie")]),
+                src, epoch=1, num_partitions=2, merge_mode="mor")
+    compact_lake_states(src)
+    vacuum(src, keep_epochs=1)
+    replicate_lake(src, dst, num_partitions=2)
+    assert lake_final_table(dst).equals(lake_final_table(src))
+    assert "b.py" not in lake_final_table(dst)["path"].to_pylist()
