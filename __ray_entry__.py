@@ -417,6 +417,16 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_incremental(sf_dir)
 
 
+def _q_dedup_incremental_sharded(sf_dir: str):
+    """The hash-sharded-Bloom variant of the same anti-join: one fixed-size
+    filter per key shard, probe co-located with its shard (no worker holds
+    the whole filter) — the 10^10-lake-key shape. Same oracle: the shard
+    count affects cost, not results."""
+    from sonic_etl_ray.functions.dedup import dedup_incremental
+
+    return dedup_incremental(sf_dir, num_bloom_shards=8)
+
+
 def _q_scrub_text(sf_dir: str):
     from sonic_etl_ray.functions.text import scrub_text
 
@@ -686,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_sharded": _q_dedup_incremental_sharded,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
@@ -1168,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE l.doc_id < cut.c
             AND substr(COALESCE(l.text,''),1,40) = substr(COALESCE(d.text,''),1,40))
         ORDER BY d.doc_id"""
+    sql["dedup_incremental_sharded"] = sql["dedup_incremental"]
 
     sql["scrub_text"] = r"""
         SELECT doc_id,

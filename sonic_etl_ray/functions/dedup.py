@@ -573,7 +573,10 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def dedup_incremental(
-    sf_dir: str, split_frac: float = 0.8, prefix_len: int = 40
+    sf_dir: str,
+    split_frac: float = 0.8,
+    prefix_len: int = 40,
+    num_bloom_shards: int | None = None,
 ) -> pd.DataFrame:
     """Admit only incoming documents whose prefix fingerprint
     (``substr(text, 1, prefix_len)`` — the URL/boilerplate-prefix blocking
@@ -592,13 +595,20 @@ def dedup_incremental(
          the fingerprint string, so exchange volume tracks the dup rate,
          not the corpus size. Confirmed-dup ids are tiny and broadcast into
          one final filter pass.
-    At 10^10 lake keys a single 16 KiB filter saturates; swap in a
-    hash-partitioned Bloom (one filter per key range, same OR-reduce) —
-    the candidate-confirm join is already key-partitioned and unchanged.
+    At 10^10 lake keys a single 16 KiB filter saturates; pass
+    ``num_bloom_shards=P`` to swap in the hash-sharded Bloom
+    (:func:`..functions.sketch.bloom_build_sharded`): each key hashes to one
+    of P independent fixed-size filters (capacity grows linearly in P), the
+    per-shard partials OR-reduce through a hash groupby (volume = blocks × P
+    × bitmap, never rows), and the PROBE co-locates with its filter — the
+    incoming side exchanges by shard id and each probe task fetches exactly
+    one shard's bitmap, so no worker ever holds the whole P-shard filter.
+    The candidate-confirm join is unchanged either way, so both paths return
+    identical rows; the shard count affects cost, not results.
     """
     import ray
 
-    from .sketch import _bloom_positions, bloom_build
+    from .sketch import _bloom_positions, bloom_build, bloom_build_sharded, bloom_shard_of
     from .text import md5_u64
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -621,24 +631,50 @@ def dedup_incremental(
         add_fp, batch_format="pyarrow"
     )
 
-    bitmap_ref = ray.put(bloom_build(lake.select_columns(["fp_key"]), "fp_key"))
+    if num_bloom_shards:
+        shard_refs = bloom_build_sharded(
+            lake.select_columns(["fp_key"]), "fp_key", num_bloom_shards
+        )
 
-    class ArrowBloomPrune:
-        def __init__(self, ref):
-            self.bits = np.unpackbits(ray.get(ref)).astype(bool)
+        def add_shard(t: pa.Table) -> pa.Table:
+            keys = t.column("fp_key").to_numpy().astype(np.int64)
+            return t.append_column(
+                "shard", pa.array(bloom_shard_of(keys, num_bloom_shards), pa.int64())
+            )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            pos = _bloom_positions(t.column("fp_key").to_numpy())
-            return t.filter(pa.array(self.bits[pos].all(axis=0)))
+        def probe_shard(g: pa.Table) -> pa.Table:
+            # one shard per group: fetch ONLY this shard's bitmap
+            if g.num_rows == 0:
+                return g.drop_columns(["shard"])
+            shard = int(g.column("shard")[0].as_py())
+            bits = np.unpackbits(ray.get(shard_refs[shard])).astype(bool)
+            pos = _bloom_positions(g.column("fp_key").to_numpy())
+            return g.filter(pa.array(bits[pos].all(axis=0))).drop_columns(["shard"])
 
-    candidates = incoming.map_batches(
-        ArrowBloomPrune,
-        fn_constructor_args=(bitmap_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+        candidates = (
+            incoming.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(probe_shard, batch_format="pyarrow")
+        )
+    else:
+        bitmap_ref = ray.put(bloom_build(lake.select_columns(["fp_key"]), "fp_key"))
+
+        class ArrowBloomPrune:
+            def __init__(self, ref):
+                self.bits = np.unpackbits(ray.get(ref)).astype(bool)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t
+                pos = _bloom_positions(t.column("fp_key").to_numpy())
+                return t.filter(pa.array(self.bits[pos].all(axis=0)))
+
+        candidates = incoming.map_batches(
+            ArrowBloomPrune,
+            fn_constructor_args=(bitmap_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
     confirmed = safe_join(
         candidates.select_columns(["doc_id", "fp"]),
         lake.select_columns(["fp"]),

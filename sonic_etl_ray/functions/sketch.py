@@ -170,19 +170,100 @@ _SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
 
 
-def _bloom_positions(keys: np.ndarray) -> np.ndarray:
-    """k bit positions per key via double hashing of two splitmix64-style
-    mixes — fully vectorized over the batch. Internal only (no oracle parity
-    needed: the final join re-verifies, so the filter affects cost, not
-    results)."""
+def _bloom_mix(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The two splitmix64-style mixes behind both the bit positions and the
+    shard assignment — vectorized over the batch."""
     x = keys.astype(np.uint64)
     x = (x ^ (x >> np.uint64(30))) * _SPLITMIX_C1
     x = (x ^ (x >> np.uint64(27))) * _SPLITMIX_C2
     h1 = x ^ (x >> np.uint64(31))
     y = h1 * _SPLITMIX_C1
     h2 = (y ^ (y >> np.uint64(29))) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_positions(keys: np.ndarray, bits: int = BLOOM_BITS) -> np.ndarray:
+    """k bit positions per key via double hashing of two splitmix64-style
+    mixes — fully vectorized over the batch. Internal only (no oracle parity
+    needed: the final join re-verifies, so the filter affects cost, not
+    results)."""
+    h1, h2 = _bloom_mix(keys)
     ks = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
-    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(BLOOM_BITS)).astype(np.int64)
+    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(bits)).astype(np.int64)
+
+
+def bloom_shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    """Shard id per key for the sharded Bloom filter. Uses the TOP bits of
+    the first mix while the bit positions use its low-order residues, so a
+    key's shard is uncorrelated with where it lands inside the shard."""
+    h1, _ = _bloom_mix(keys)
+    return ((h1 >> np.uint64(33)) % np.uint64(num_shards)).astype(np.int64)
+
+
+def bloom_build_sharded(
+    ds: ray.data.Dataset,
+    key_col: str,
+    num_shards: int,
+    bits_per_shard: int = BLOOM_BITS,
+) -> list["ray.ObjectRef"]:
+    """Hash-sharded Bloom build — the 10^10-key shape the single-bitmap
+    :func:`bloom_build` docstring promises. Each key hashes to exactly one
+    of ``num_shards`` independent filters, so total capacity grows linearly
+    with the shard count while every individual filter stays a fixed-size
+    bitmap.
+
+    Build shape: each block task emits one (shard, partial-bitmap) row per
+    shard its keys touch; a hash ``groupby("shard")`` routes all partials
+    for a shard to ONE reduce task which ORs them — the all-to-all volume is
+    O(blocks × shards × bitmap), never rows, and per-reduce memory is one
+    bitmap. The driver materializes only the P reduced bitmaps (P × bitmap
+    bytes) and ``ray.put``s each one separately, so a probe task can fetch
+    ONLY its shard. Beyond ~10^4 shards, persist the reduced bitmaps to lake
+    storage (one object per shard) instead of driver-side ``ray.put`` — the
+    build and probe shapes are unchanged.
+    """
+    nbytes = bits_per_shard // 8
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy().astype(np.int64)
+        shard = bloom_shard_of(keys, num_shards)
+        pos = _bloom_positions(keys, bits_per_shard)  # (k, n)
+        out_shards, out_maps = [], []
+        for s in np.unique(shard):
+            bits = np.zeros(bits_per_shard, dtype=bool)
+            bits[pos[:, shard == s].ravel()] = True
+            out_shards.append(int(s))
+            out_maps.append(np.packbits(bits).tobytes())
+        return pa.table(
+            {"shard": pa.array(out_shards, pa.int64()),
+             "bitmap": pa.array(out_maps, pa.binary())}
+        )
+
+    def or_reduce(g: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for buf in g.column("bitmap").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pa.table(
+            {"shard": g.column("shard").slice(0, 1),
+             "bitmap": pa.array([acc.tobytes()], pa.binary())}
+        )
+
+    reduced = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(or_reduce, batch_format="pyarrow")
+        .take_all()
+    )
+    refs: list = [None] * num_shards
+    empty = None
+    for row in reduced:
+        refs[int(row["shard"])] = ray.put(np.frombuffer(row["bitmap"], dtype=np.uint8))
+    for s in range(num_shards):
+        if refs[s] is None:  # shard no key hashed to: provably-empty filter
+            if empty is None:
+                empty = ray.put(np.zeros(nbytes, dtype=np.uint8))
+            refs[s] = empty
+    return refs
 
 
 def bloom_build(ds: ray.data.Dataset, key_col: str) -> np.ndarray:

@@ -383,6 +383,53 @@ def test_dedup_incremental_bloom_anti_join():
     assert 0 < len(out) <= n_incoming
 
 
+def test_dedup_incremental_sharded_bloom_same_rows():
+    """The hash-sharded Bloom path (one fixed-size filter per key shard,
+    probe co-located with its shard) must return exactly the single-bitmap
+    path's rows — the shard count affects cost, not results."""
+    from sonic_etl_ray.functions.dedup import dedup_incremental
+
+    base = dedup_incremental(SF)
+    sharded = dedup_incremental(SF, num_bloom_shards=8)
+    assert sharded.reset_index(drop=True).equals(base.reset_index(drop=True))
+
+
+def test_bloom_build_sharded_no_false_negatives():
+    """Every built key must probe positive in its own shard, and shards no
+    key hashed to must come back as provably-empty filters."""
+    import ray
+    import ray.data
+
+    from sonic_etl_ray.functions.sketch import (
+        _bloom_positions, bloom_build_sharded, bloom_shard_of,
+    )
+
+    keys = np.arange(-500, 500, dtype=np.int64) * 7919
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    num_shards = 16
+    refs = bloom_build_sharded(ds, "k", num_shards)
+    assert len(refs) == num_shards
+    shard = bloom_shard_of(keys, num_shards)
+    pos = _bloom_positions(keys)
+    for s in range(num_shards):
+        bits = np.unpackbits(ray.get(refs[s])).astype(bool)
+        mine = shard == s
+        if mine.any():
+            assert bits[pos[:, mine]].all(axis=0).all()
+    # a key absent from the build has SOME empty/near-empty shard signal:
+    # overall FP rate over a disjoint probe set stays well under 50%
+    probe = (np.arange(2000, dtype=np.int64) + 10_000_000) * 104729
+    pshard = bloom_shard_of(probe, num_shards)
+    ppos = _bloom_positions(probe)
+    hits = 0
+    for s in range(num_shards):
+        bits = np.unpackbits(ray.get(refs[s])).astype(bool)
+        mine = pshard == s
+        if mine.any():
+            hits += int(bits[ppos[:, mine]].all(axis=0).sum())
+    assert hits < 200  # 1000 built keys in 16×128Kbit filters → tiny FP rate
+
+
 def test_distinctive_terms_definition():
     """Rank within a doc is by tf/df descending with (df, term) tie-break,
     checked against a brute-force recomputation from the raw pairs."""
