@@ -566,6 +566,40 @@ def cdc_replicate(sf_dir: str) -> pa.Table:
     return lake_final_table(dst_lake).select(FINAL_COLUMNS)
 
 
+def cdc_lake_diff(sf_dir: str) -> pa.Table:
+    """Replica drift detection: lake A = full replay (P=8), lake B = replay
+    of only the stream's first half (P=4 — deliberately mismatched, so the
+    gate exercises :func:`..pipelines.ingest.diff_lakes`' rehash path, B
+    exchanged into A's partitioning while A never moves). The diff emits
+    ONLY differing keys with a status: ``only_a`` (key appeared after the
+    cut), ``only_b`` (key deleted after the cut), ``differs`` (content
+    updated after the cut). Oracle: FULL OUTER JOIN of the two LWW
+    snapshots."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.ingest import diff_lakes
+
+    lake_a = scratch_lake_dir("cdcdiffa")
+    apply_epoch(_events_as_cdc(sf_dir), lake_a, epoch=0, num_partitions=8)
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    cut = int(pc.max(ev["event_id"]).as_py()) // 2
+    lake_b = scratch_lake_dir("cdcdiffb")
+    apply_epoch(
+        _events_as_cdc(sf_dir).filter(expr=f"lsn <= {cut}"),
+        lake_b, epoch=0, num_partitions=4,
+    )
+    refs = [t for t in ray.get(diff_lakes(lake_a, lake_b).to_arrow_refs()) if t.num_rows]
+    if not refs:
+        return pa.schema([
+            ("repo", pa.string()), ("path", pa.string()), ("status", pa.string()),
+            ("a_lsn", pa.int64()), ("b_lsn", pa.int64()),
+        ]).empty_table()
+    t = pa.concat_tables(refs, promote_options="default")
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+    ))
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -946,6 +980,30 @@ ORACLES: dict[str, str] = {
     GROUP BY 1 ORDER BY 1""",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # lake-to-lake drift: full replay vs first-half replay, differing keys only
+    "cdc_lake_diff": ORACLE_SRC + """
+    , cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS c FROM events),
+    last_b AS (
+      SELECT s.* FROM src s, cut
+      WHERE s.lsn <= cut.c
+      QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) = 1
+    ),
+    final_b AS (
+      SELECT repo, path, sha256(content) AS content_sha256, lsn AS applied_lsn
+      FROM last_b WHERE op <> 'delete'
+    )
+    SELECT COALESCE(a.repo, b.repo) AS repo,
+           COALESCE(a.path, b.path) AS path,
+           CASE WHEN a.repo IS NULL THEN 'only_b'
+                WHEN b.repo IS NULL THEN 'only_a'
+                ELSE 'differs' END AS status,
+           a.applied_lsn AS a_lsn,
+           b.applied_lsn AS b_lsn
+    FROM final a FULL OUTER JOIN final_b b
+      ON a.repo = b.repo AND a.path = b.path
+    WHERE a.repo IS NULL OR b.repo IS NULL
+       OR a.content_sha256 <> b.content_sha256
+    ORDER BY 1, 2""",
     "cdc_split_decoded_tables": ORACLE_SRC + r"""
     SELECT CASE lang WHEN 'click' THEN 'clicks' ELSE 'purchases' END AS tbl,
            lsn, repo, path,

@@ -2373,6 +2373,130 @@ def read_snapshot(out_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(files)
 
 
+def _diff_side(tbl: pa.Table, prefix: str) -> pa.Table:
+    t = tbl.select(["repo", "path", "content_sha256", "applied_lsn"])
+    return t.rename_columns(["repo", "path", f"{prefix}_sha256", f"{prefix}_lsn"])
+
+
+def _diff_pair_table(ja: pa.Table, jb: pa.Table) -> pa.Table:
+    """Full-outer compare of two same-keyspace live-state sides (already
+    projected by :func:`_diff_side`); emits ONLY differing keys."""
+    j = ja.join(jb, keys=["repo", "path"], join_type="full outer")
+    a_null = pc.is_null(j.column("a_sha256"))
+    b_null = pc.is_null(j.column("b_sha256"))
+    differs = pc.and_kleene(
+        pc.and_(pc.invert(a_null), pc.invert(b_null)),
+        pc.not_equal(j.column("a_sha256"), j.column("b_sha256")),
+    )
+    status = pc.if_else(
+        a_null, pa.scalar("only_b"), pc.if_else(b_null, pa.scalar("only_a"), pa.scalar("differs"))
+    )
+    keep = pc.or_(pc.or_(a_null, b_null), pc.fill_null(differs, False))
+    out = j.append_column("status", status).filter(keep)
+    out = out.select(["repo", "path", "status", "a_lsn", "b_lsn"])
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+
+def _diff_partition_pair(
+    lake_a: str, lake_b: str, part: int,
+    as_of_a: int | None, as_of_b: int | None,
+) -> pa.Table:
+    ta = _drop_tombstones(resolve_partition_state(lake_a, part, as_of_epoch=as_of_a))
+    tb = _drop_tombstones(resolve_partition_state(lake_b, part, as_of_epoch=as_of_b))
+    return _diff_pair_table(_diff_side(ta, "a"), _diff_side(tb, "b"))
+
+
+def diff_lakes(
+    lake_a: str,
+    lake_b: str,
+    as_of_a: int | None = None,
+    as_of_b: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key difference between two lakes' live states — the replica-
+    verification / drift-detection surface (``only_a`` / ``only_b`` /
+    ``differs`` on the ``content_sha256`` invariant; equal keys are never
+    emitted, so output is O(differences), not O(lake)).
+
+    Two execution shapes, picked by the lakes' partition counts:
+
+    - SAME count: both lakes route keys with the identical hash
+      (``stages/keys.stable_hash64 % P``), so partition p of A and p of B
+      hold exactly the same key space — one Ray task per partition reads
+      both frontiers and full-outer-joins IN TASK. Zero shuffle: at 100 TB
+      the diff of two replicas costs one parallel scan of each.
+    - DIFFERENT counts (e.g. a P=4 replica of a P=8 source): B's live rows
+      are re-hashed into A's partitioning (the same exchange the merge
+      uses) via a hash ``groupby``; each group's task then joins against
+      its single A partition. One all-to-all over B only — A never moves.
+
+    ``as_of_a`` / ``as_of_b`` pin either side to a time-travel frontier, so
+    a replica can be compared against the source AS OF the epoch it last
+    consumed (lag-tolerant verification)."""
+    pa_n, pb_n = lake_num_partitions(lake_a), lake_num_partitions(lake_b)
+    parts = sorted(set(_lake_parts(lake_a)) | set(_lake_parts(lake_b)))
+    if not parts:
+        return ray.data.from_arrow(_diff_pair_table(
+            _diff_side(_drop_tombstones(STATE_SCHEMA.empty_table()), "a"),
+            _diff_side(_drop_tombstones(STATE_SCHEMA.empty_table()), "b"),
+        ))
+    if pa_n == pb_n:
+        def diff_batch(b: pa.Table) -> pa.Table:
+            tabs = [
+                _diff_partition_pair(lake_a, lake_b, int(p), as_of_a, as_of_b)
+                for p in b.column("part").to_pylist()
+            ]
+            return pa.concat_tables(tabs, promote_options="default")
+
+        return ray.data.from_arrow(
+            pa.table({"part": pa.array(parts, pa.int64())})
+        ).map_batches(diff_batch, batch_format="pyarrow", batch_size=1)
+
+    # rehash path: exchange B into A's partitioning, then per-partition join.
+    # Marker rows (null repo) seed EVERY A partition so keys that exist only
+    # in A still surface from partitions B has no rows for.
+    from ..stages.keys import stable_hash64
+
+    a_parts = sorted(_lake_parts(lake_a)) or list(range(pa_n))
+    ds_b = read_lake(
+        lake_b, columns=["repo", "path", "content_sha256", "applied_lsn"],
+        as_of_epoch=as_of_b,
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        part = stable_hash64(key_strings(t)) % np.uint64(pa_n)
+        return t.append_column("part", pa.array(part.astype("int64"), pa.int64()))
+
+    markers = pa.table({
+        "repo": pa.array([None] * len(a_parts), pa.string()),
+        "path": pa.array([None] * len(a_parts), pa.string()),
+        "content_sha256": pa.array([None] * len(a_parts), pa.string()),
+        "applied_lsn": pa.array([None] * len(a_parts), pa.int64()),
+        "part": pa.array(a_parts, pa.int64()),
+    })
+
+    def diff_group(g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
+        g = g.filter(pc.is_valid(g.column("repo"))).drop_columns(["part"])
+        ta = _drop_tombstones(
+            resolve_partition_state(lake_a, part, as_of_epoch=as_of_a)
+        )
+        return _diff_pair_table(
+            _diff_side(ta, "a"),
+            g.rename_columns(["repo", "path", "b_sha256", "b_lsn"]),
+        )
+
+    return (
+        ds_b.map_batches(add_part, batch_format="pyarrow")
+        .union(ray.data.from_arrow(markers))
+        .groupby("part")
+        .map_groups(diff_group, batch_format="pyarrow")
+    )
+
+
 def vacuum(lake_dir: str, keep_epochs: int = 2) -> dict[str, int]:
     """Garbage-collect superseded copy-on-write state files.
 

@@ -134,3 +134,76 @@ def test_replicate_vacuumed_source_with_deletes(tmp_path):
     replicate_lake(src, dst, num_partitions=2)
     assert lake_final_table(dst).equals(lake_final_table(src))
     assert "b.py" not in lake_final_table(dst)["path"].to_pylist()
+
+
+def _diff_df(d):
+    import pandas as pd
+
+    df = d.to_pandas()
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_diff_lakes_replica_verification(tmp_path):
+    """A faithful replica diffs empty against its source (the operational
+    use: verify replication), on BOTH execution shapes — same partition
+    count (zero-shuffle zip) and mismatched counts (rehash path)."""
+    from sonic_etl_ray.pipelines.ingest import diff_lakes
+
+    files = _segments(
+        tmp_path, StreamSpec(n_events=6000, n_repos=10, seed=31, segment_size=500)
+    )
+    src = scratch_lake_dir("dlsrc")
+    run_ingest(files, src, num_partitions=6, segments_per_epoch=4)
+    same_p, other_p = scratch_lake_dir("dlsame"), scratch_lake_dir("dlother")
+    replicate_lake(src, same_p, num_partitions=6)
+    replicate_lake(src, other_p, num_partitions=4)
+    assert diff_lakes(src, same_p).count() == 0  # fast path
+    assert diff_lakes(src, other_p).count() == 0  # rehash path
+    assert diff_lakes(other_p, src).count() == 0  # rehash, A the smaller side
+
+
+def test_diff_lakes_statuses_and_path_equivalence(tmp_path):
+    """only_a / only_b / differs all surface, the two execution shapes agree
+    row-for-row, and as_of pins make a lagging replica diff empty."""
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.pipelines.ingest import diff_lakes
+
+    files = _segments(
+        tmp_path, StreamSpec(n_events=8000, n_repos=12, seed=32, segment_size=500)
+    )
+    full_6, full_4 = scratch_lake_dir("dlf6"), scratch_lake_dir("dlf4")
+    run_ingest(files, full_6, num_partitions=6, segments_per_epoch=4)
+    run_ingest(files, full_4, num_partitions=4, segments_per_epoch=4)
+    half_6, half_4 = scratch_lake_dir("dlh6"), scratch_lake_dir("dlh4")
+    run_ingest(files[: len(files) // 2], half_6, num_partitions=6,
+               segments_per_epoch=4)
+    run_ingest(files[: len(files) // 2], half_4, num_partitions=4,
+               segments_per_epoch=4)
+
+    fast = _diff_df(diff_lakes(full_6, half_6))
+    rehash = _diff_df(diff_lakes(full_6, half_4))
+    assert fast.equals(rehash)
+    assert set(fast["status"]) >= {"only_a", "differs"}
+
+    # brute-force oracle over the final tables
+    a = lake_final_table(full_6).to_pandas()[["repo", "path", "content_sha256"]]
+    b = lake_final_table(half_6).to_pandas()[["repo", "path", "content_sha256"]]
+    m = a.merge(b, on=["repo", "path"], how="outer", suffixes=("_a", "_b"))
+    only_a = m["content_sha256_b"].isna() & m["content_sha256_a"].notna()
+    only_b = m["content_sha256_a"].isna() & m["content_sha256_b"].notna()
+    differs = (
+        m["content_sha256_a"].notna() & m["content_sha256_b"].notna()
+        & (m["content_sha256_a"] != m["content_sha256_b"])
+    )
+    want = m[only_a | only_b | differs].copy()
+    assert len(fast) == len(want)
+    got_counts = fast["status"].value_counts().to_dict()
+    assert got_counts.get("only_a", 0) == int(only_a.sum())
+    assert got_counts.get("only_b", 0) == int(only_b.sum())
+    assert got_counts.get("differs", 0) == int(differs.sum())
+
+    # lag-tolerant verification: pin A to the epoch the half-replica last saw
+    n_half_epochs = (len(files) // 2 + 3) // 4
+    lagged = diff_lakes(full_6, half_6, as_of_a=n_half_epochs - 1)
+    assert lagged.count() == 0
