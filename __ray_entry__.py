@@ -427,6 +427,15 @@ def _q_dedup_incremental_sharded(sf_dir: str):
     return dedup_incremental(sf_dir, num_bloom_shards=8)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup at the exact-recall config (k=1: one cluster = brute force,
+    so the within-cluster rule is SQL's NOT EXISTS); the k≫1 cluster path
+    is pytest-pinned."""
+    from sonic_etl_ray.functions.similarity import semantic_dedup
+
+    return semantic_dedup(sf_dir, threshold=0.35, k=1)
+
+
 def _q_scrub_text(sf_dir: str):
     from sonic_etl_ray.functions.text import scrub_text
 
@@ -703,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_sharded": _q_dedup_incremental_sharded,
+        "semantic_dedup": _q_semantic_dedup,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "simhash_fingerprints": _q_simhash,
@@ -1470,6 +1480,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35
         ORDER BY vec_a, vec_b"""
+
+    sql["semantic_dedup"] = """
+        SELECT d.vec_id, CAST(0 AS BIGINT) AS cluster
+        FROM embeddings d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM embeddings u
+          WHERE u.vec_id < d.vec_id
+            AND list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                                       CAST(d.embedding AS DOUBLE[])) >= 0.35
+        ) ORDER BY d.vec_id"""
 
     sql["prep_corpus"] = r"""
         WITH scored AS (

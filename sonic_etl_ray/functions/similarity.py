@@ -496,6 +496,75 @@ def quantize_embeddings(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def semantic_dedup(
+    sf_dir: str, threshold: float = 0.35, k: int = 1
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding space, then WITHIN each cluster drop every
+    vector whose cosine to a lower-``vec_id`` cluster-mate reaches the
+    threshold — the deterministic keep-the-smallest-id representative rule.
+    Returns the surviving (vec_id, cluster) rows.
+
+    Scale shape: centroids come from the bounded-sample
+    :func:`fit_centroids` (driver sees ≤ sample_rows); assignment is a
+    broadcast-centroid actor-pool ``map_batches``; the pairwise work runs
+    inside ``groupby(cluster).map_groups`` as one normalized gram matrix
+    per cluster, so cost is Σ|cluster|² instead of n² and the groupby is
+    the only shuffle. ``k=1`` is the EXACT-RECALL config (one cluster =
+    brute force, SQL-expressible NOT EXISTS — the driver-gate config);
+    real corpora run k ≫ 1 where within-cluster dedup is the documented
+    approximation (cross-cluster near-dups are intentionally not compared,
+    exactly SemDeDup's trade)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    if k <= 1:
+        assign = ds.map_batches(
+            lambda t: t.append_column(
+                "cluster", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        cent_ref = ray.put(fit_centroids(sf_dir, k=k))
+
+        class Assigner:
+            def __init__(self):
+                self.c = _normalize(ray.get(cent_ref))  # (k, d) once per actor
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                m = _normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
+                b = b.copy()
+                b["cluster"] = (m @ self.c.T).argmax(axis=1).astype(np.int64)
+                return b
+
+        assign = ds.map_batches(Assigner, batch_format="pandas", concurrency=(1, 4))
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="stable")
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = np.triu(m @ m.T, k=1)  # [i, j] with i < j only
+        dropped = (sims >= threshold).any(axis=0)
+        keep = g.loc[~dropped]
+        return pd.DataFrame(
+            {
+                "vec_id": keep["vec_id"].astype("int64"),
+                "cluster": keep["cluster"].astype("int64"),
+            }
+        )
+
+    out = (
+        assign.groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"), "cluster": pd.Series(dtype="int64")}
+        )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def kmeans_embeddings(
     sf_dir: str, k: int = 8, iters: int = 3
 ) -> tuple[np.ndarray, pd.DataFrame]:

@@ -78,7 +78,35 @@ def _events_as_cdc(sf_dir: str, duplicate: bool = False) -> ray.data.Dataset:
     return ds.map_batches(_to_change_events, batch_format="pyarrow")
 
 
+_VANILLA_LAKE_CACHE: dict[str, tuple[tuple, str]] = {}
+
+
+def _vanilla_lake(sf_dir: str) -> str:
+    """The single-epoch P=8 full replay that every READ-ONLY gate query
+    shares — built once per input (keyed on the events file's mtime+size,
+    same staleness discipline as ``_DML_LAKE_CACHE``), so the gate pays one
+    apply instead of one per query. Contract: callers must never apply
+    further epochs or admin ops to this lake; a query that mutates builds
+    its own scratch lake."""
+    import os
+    import shutil
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = _VANILLA_LAKE_CACHE.get(sf_dir)
+    if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
+        return hit[1]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    lake = scratch_lake_dir("cdcvan")
+    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    _VANILLA_LAKE_CACHE[sf_dir] = (stamp, lake)
+    return lake
+
+
 def _run_engine(sf_dir: str, duplicate: bool = False) -> pa.Table:
+    if not duplicate:
+        return lake_final_table(_vanilla_lake(sf_dir))
     lake = scratch_lake_dir("cdcq")
     apply_epoch(_events_as_cdc(sf_dir, duplicate), lake, epoch=0, num_partitions=8)
     return lake_final_table(lake)
@@ -102,8 +130,7 @@ def cdc_export_snapshot(sf_dir: str) -> pa.Table:
     snapshot as read through the manifest — must equal the LWW oracle."""
     from ..pipelines.ingest import export_snapshot, read_snapshot
 
-    lake = scratch_lake_dir("cdcexp")
-    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
     out_dir = scratch_lake_dir("cdcexp_out")
     export_snapshot(lake, out_dir)
     tbl = pa.concat_tables(
@@ -119,8 +146,7 @@ def cdc_range_scan(sf_dir: str) -> pd.DataFrame:
     Parquet scan (state files are (repo, path)-sorted, so row-group stats
     prune within files; tombstones filter at the same level). Returns the
     per-repo count/bytes aggregate over the pruned read only."""
-    lake = scratch_lake_dir("cdcrange")
-    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
     from ..pipelines.ingest import read_lake
 
     flt = (pc.field("repo") >= "r1") & (pc.field("repo") < "r4")
@@ -152,8 +178,7 @@ def cdc_incremental_repo_stats(sf_dir: str) -> pd.DataFrame:
     aggregate, which is exactly what the SQL oracle computes."""
     from ..pipelines.ingest import repo_stats_view
 
-    lake = scratch_lake_dir("cdcmv")
-    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
     return repo_stats_view(lake).to_pandas()
 
 
@@ -522,8 +547,7 @@ def cdc_point_lookup(sf_dir: str) -> pa.Table:
     snapshot joined to the same key set."""
     from ..pipelines.ingest import lookup_keys
 
-    lake = scratch_lake_dir("cdclkp")
-    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
 
     def key_rows(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -579,8 +603,7 @@ def cdc_lake_diff(sf_dir: str) -> pa.Table:
 
     from ..pipelines.ingest import diff_lakes
 
-    lake_a = scratch_lake_dir("cdcdiffa")
-    apply_epoch(_events_as_cdc(sf_dir), lake_a, epoch=0, num_partitions=8)
+    lake_a = _vanilla_lake(sf_dir)  # shared read-only replay
     ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
     cut = int(pc.max(ev["event_id"]).as_py()) // 2
     lake_b = scratch_lake_dir("cdcdiffb")
@@ -671,8 +694,7 @@ def cdc_rebucket(sf_dir: str) -> pa.Table:
     final state (the oracle never sees the migration)."""
     from ..pipelines.ingest import rebucket_lake
 
-    src = scratch_lake_dir("cdcrb_src")
-    apply_epoch(_events_as_cdc(sf_dir), src, epoch=0, num_partitions=8)
+    src = _vanilla_lake(sf_dir)  # shared read-only replay (rebucket reads src only)
     dst = scratch_lake_dir("cdcrb_dst")
     rebucket_lake(src, dst, num_partitions=5)
     return lake_final_table(dst).select(FINAL_COLUMNS)

@@ -1030,3 +1030,50 @@ def test_text_operators_tolerate_null_text(tmp_path):
     out = prep_corpus(str(sf), max_stop_ratio=1.0, min_tokens=1, max_tokens=100)
     assert 2 not in out["doc_id"].tolist()  # null doc filtered (0 tokens)
     assert {1, 3} <= set(out["doc_id"])
+
+
+def test_semantic_dedup_exact_and_clustered():
+    """k=1 must equal the brute-force lowest-id-representative rule; k>1
+    must equal an in-memory replay of the same algorithm (same centroids,
+    same within-cluster rule), and every cluster id must come from the
+    fitted assignment."""
+    import ray
+
+    from sonic_etl_ray.functions.similarity import (
+        _normalize, fit_centroids, semantic_dedup,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = _normalize(np.stack(emb["embedding"].to_numpy())[order].astype(np.float64))
+    th = 0.35
+
+    def survivors(members):  # indices into ids, ascending vec_id
+        mm = m[members]
+        sims = np.triu(mm @ mm.T, k=1)
+        return np.asarray(members)[~(sims >= th).any(axis=0)]
+
+    # exact-recall config: one cluster = brute force
+    out1 = semantic_dedup(SF, threshold=th, k=1)
+    want1 = ids[survivors(np.arange(len(ids)))]
+    assert out1["vec_id"].to_numpy().tolist() == sorted(want1.tolist())
+    assert (out1["cluster"] == 0).all()
+    assert len(out1) < len(ids)  # the corpus does contain semantic dups
+
+    # clustered config: replay fit + assign + within-cluster rule in memory
+    k = 4
+    cents = _normalize(fit_centroids(SF, k=k))
+    assign = (m @ cents.T).argmax(axis=1)
+    outk = semantic_dedup(SF, threshold=th, k=k)
+    want = {}
+    for c in range(k):
+        members = np.where(assign == c)[0]
+        if len(members):
+            for i in survivors(members):
+                want[int(ids[i])] = c
+    got = dict(zip(outk["vec_id"].astype(int), outk["cluster"].astype(int)))
+    assert got == want
+    # clustering only ever RELAXES the filter (cross-cluster dups survive)
+    assert set(out1["vec_id"]) <= set(outk["vec_id"])
