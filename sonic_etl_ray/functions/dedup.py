@@ -648,7 +648,9 @@ def dedup_incremental(
                 return g.drop_columns(["shard"])
             shard = int(g.column("shard")[0].as_py())
             bits = np.unpackbits(ray.get(shard_refs[shard])).astype(bool)
-            pos = _bloom_positions(g.column("fp_key").to_numpy())
+            # probe geometry derives from the FETCHED bitmap so it can never
+            # disagree with the built filter's bits_per_shard
+            pos = _bloom_positions(g.column("fp_key").to_numpy(), bits=bits.size)
             return g.filter(pa.array(bits[pos].all(axis=0))).drop_columns(["shard"])
 
         candidates = (

@@ -543,7 +543,10 @@ def semantic_dedup(
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="stable")
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = np.triu(m @ m.T, k=1)  # [i, j] with i < j only
+        sims = m @ m.T
+        # only i < j entries count: mask diagonal+lower with -inf (a zero
+        # fill would spuriously drop EVERY vector at threshold <= 0)
+        sims[np.tril_indices(len(sims), 0)] = -np.inf
         dropped = (sims >= threshold).any(axis=0)
         keep = g.loc[~dropped]
         return pd.DataFrame(

@@ -78,7 +78,28 @@ def _events_as_cdc(sf_dir: str, duplicate: bool = False) -> ray.data.Dataset:
     return ds.map_batches(_to_change_events, batch_format="pyarrow")
 
 
-_VANILLA_LAKE_CACHE: dict[str, tuple[tuple, str]] = {}
+_VANILLA_LAKE_CACHE: dict[str, tuple] = {}
+
+
+def _memo_scratch_lake(cache: dict, sf_dir: str, tag: str, build_fn) -> tuple:
+    """The one memoized-scratch-lake discipline every cached gate lake
+    shares: stamp = events file mtime_ns+size, evict on stale stamp or a
+    vanished dir, build once via ``build_fn(lake_dir) -> extra tuple``,
+    cache ``(stamp, lake, *extra)``. Returns ``(lake, *extra)``."""
+    import os
+    import shutil
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
+        return hit[1:]
+    if hit is not None:
+        shutil.rmtree(hit[1], ignore_errors=True)
+    lake = scratch_lake_dir(tag)
+    extra = tuple(build_fn(lake) or ())
+    cache[sf_dir] = (stamp, lake) + extra
+    return (lake,) + extra
 
 
 def _vanilla_lake(sf_dir: str) -> str:
@@ -88,20 +109,12 @@ def _vanilla_lake(sf_dir: str) -> str:
     apply instead of one per query. Contract: callers must never apply
     further epochs or admin ops to this lake; a query that mutates builds
     its own scratch lake."""
-    import os
-    import shutil
 
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    stamp = (st.st_mtime_ns, st.st_size)
-    hit = _VANILLA_LAKE_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
-        return hit[1]
-    if hit is not None:
-        shutil.rmtree(hit[1], ignore_errors=True)
-    lake = scratch_lake_dir("cdcvan")
-    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
-    _VANILLA_LAKE_CACHE[sf_dir] = (stamp, lake)
-    return lake
+    def build(lake: str) -> tuple:
+        apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+        return ()
+
+    return _memo_scratch_lake(_VANILLA_LAKE_CACHE, sf_dir, "cdcvan", build)[0]
 
 
 def _run_engine(sf_dir: str, duplicate: bool = False) -> pa.Table:
@@ -1247,63 +1260,54 @@ def _dml_lake(sf_dir: str) -> tuple[str, int, int, int]:
     :mod:`~sonic_etl_ray.pipelines.dml` (synthetic change events under
     admin epochs on the exactly-once path); the three gate queries read
     the ONE lake at different epochs — time travel separates the steps."""
-    import os
-    import shutil
-
     from .dml import delete_where, reconcile_snapshot, update_where
 
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    stamp = (st.st_mtime_ns, st.st_size)
-    hit = _DML_LAKE_CACHE.get(sf_dir)
-    if hit is not None and hit[0] == stamp and os.path.isdir(hit[1]):
-        return hit[1], hit[2], hit[3], hit[4]
-    if hit is not None:
-        shutil.rmtree(hit[1], ignore_errors=True)
-    lake = scratch_lake_dir("cdcdml")
-    apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
-    rd = delete_where(lake, pc.field("lang") == "purchase")
-    ru = update_where(
-        lake,
-        pc.field("lang") == "click",
-        {
-            "lang": "clicked",
-            "content": lambda t: pc.binary_join_element_wise(t["content"], "!", ""),
-        },
-    )
-    # authoritative snapshot = current state, minus error keys, view
-    # content touched, plus fresh keys entering at max(event_id)+1
-    from ..pipelines.ingest import lake_final_table
+    def build(lake: str) -> tuple[int, int, int]:
+        apply_epoch(_events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8)
+        rd = delete_where(lake, pc.field("lang") == "purchase")
+        ru = update_where(
+            lake,
+            pc.field("lang") == "click",
+            {
+                "lang": "clicked",
+                "content": lambda t: pc.binary_join_element_wise(t["content"], "!", ""),
+            },
+        )
+        # authoritative snapshot = current state, minus error keys, view
+        # content touched, plus fresh keys entering at max(event_id)+1
+        from ..pipelines.ingest import lake_final_table
 
-    cur = lake_final_table(lake).select(["repo", "path", "commit", "lang", "content"])
-    cur = cur.filter(pc.invert(pc.equal(cur["lang"], "error")))
-    touched = pc.if_else(
-        pc.equal(cur["lang"], "view"),
-        pc.binary_join_element_wise(cur["content"], "~r", ""),
-        cur["content"],
-    )
-    cur = cur.set_column(cur.schema.get_field_index("content"), "content", touched)
-    fresh = pa.table(
-        {
-            "repo": pa.array(["zz/new"] * N_RECONCILE_NEW),
-            "path": pa.array([f"n{i}" for i in range(N_RECONCILE_NEW)]),
-            "commit": pa.array([f"c{i}" for i in range(N_RECONCILE_NEW)]),
-            "lang": pa.array(["fresh"] * N_RECONCILE_NEW),
-            "content": pa.array([f"fresh-{i}" for i in range(N_RECONCILE_NEW)]),
-        }
-    )
-    from ray.data.aggregate import Max
+        cur = lake_final_table(lake).select(["repo", "path", "commit", "lang", "content"])
+        cur = cur.filter(pc.invert(pc.equal(cur["lang"], "error")))
+        touched = pc.if_else(
+            pc.equal(cur["lang"], "view"),
+            pc.binary_join_element_wise(cur["content"], "~r", ""),
+            cur["content"],
+        )
+        cur = cur.set_column(cur.schema.get_field_index("content"), "content", touched)
+        fresh = pa.table(
+            {
+                "repo": pa.array(["zz/new"] * N_RECONCILE_NEW),
+                "path": pa.array([f"n{i}" for i in range(N_RECONCILE_NEW)]),
+                "commit": pa.array([f"c{i}" for i in range(N_RECONCILE_NEW)]),
+                "lang": pa.array(["fresh"] * N_RECONCILE_NEW),
+                "content": pa.array([f"fresh-{i}" for i in range(N_RECONCILE_NEW)]),
+            }
+        )
+        from ray.data.aggregate import Max
 
-    hi = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id"]
-    ).aggregate(Max("event_id"))["max(event_id)"]
-    rr = reconcile_snapshot(
-        lake,
-        pa.concat_tables([cur, fresh]),
-        delete_missing=True,
-        at_lsn=int(hi) + 1,
-    )
-    _DML_LAKE_CACHE[sf_dir] = (stamp, lake, rd["epoch"], ru["epoch"], rr["epoch"])
-    return lake, rd["epoch"], ru["epoch"], rr["epoch"]
+        hi = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id"]
+        ).aggregate(Max("event_id"))["max(event_id)"]
+        rr = reconcile_snapshot(
+            lake,
+            pa.concat_tables([cur, fresh]),
+            delete_missing=True,
+            at_lsn=int(hi) + 1,
+        )
+        return rd["epoch"], ru["epoch"], rr["epoch"]
+
+    return _memo_scratch_lake(_DML_LAKE_CACHE, sf_dir, "cdcdml", build)
 
 
 def cdc_delete_where(sf_dir: str) -> pa.Table:

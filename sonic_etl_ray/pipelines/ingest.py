@@ -2053,6 +2053,17 @@ def _diff_partition_states(
     )
 
 
+def _per_part_dataset(parts: list[int]) -> ray.data.Dataset:
+    """One BLOCK per partition id. ``from_arrow`` of a single tiny table is
+    ONE block — ``map_batches(batch_size=1)`` over it would split batches
+    inside one task, running every per-partition diff serially in a single
+    worker. The repartition makes each partition id its own block, so the
+    downstream stage schedules one task per partition (the parallel-scan
+    shape the per-partition readers rely on)."""
+    t = pa.table({"part": pa.array(sorted(parts), pa.int64())})
+    return ray.data.from_arrow(t).repartition(max(t.num_rows, 1))
+
+
 def read_change_feed(
     lake_dir: str, epoch: int, include_preimages: bool = False,
     on_vacuumed: str = "empty",
@@ -2094,8 +2105,7 @@ def read_change_feed(
             else _empty_feed_table()
         )
 
-    parts_ds = ray.data.from_arrow(pa.table({"part": pa.array(parts, pa.int64())}))
-    return parts_ds.map_batches(
+    return _per_part_dataset(parts).map_batches(
         diff_batch,
         fn_kwargs={
             "lake_dir": lake_dir,
@@ -2449,14 +2459,31 @@ def diff_lakes(
             ]
             return pa.concat_tables(tabs, promote_options="default")
 
-        return ray.data.from_arrow(
-            pa.table({"part": pa.array(parts, pa.int64())})
-        ).map_batches(diff_batch, batch_format="pyarrow", batch_size=1)
+        return _per_part_dataset(parts).map_batches(
+            diff_batch, batch_format="pyarrow", batch_size=1
+        )
+
+    if pa_n == 0:
+        # A has no committed partitions at all: everything live in B is
+        # only_b — no exchange needed (and no modulus to hash into)
+        def all_only_b(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "repo": t.column("repo"), "path": t.column("path"),
+                "status": pa.array(["only_b"] * n, pa.string()),
+                "a_lsn": pa.array([None] * n, pa.int64()),
+                "b_lsn": t.column("applied_lsn").cast(pa.int64()),
+            })
+
+        return read_lake(
+            lake_b, columns=["repo", "path", "content_sha256", "applied_lsn"],
+            as_of_epoch=as_of_b,
+        ).map_batches(all_only_b, batch_format="pyarrow")
 
     # rehash path: exchange B into A's partitioning, then per-partition join.
     # Marker rows (null repo) seed EVERY A partition so keys that exist only
     # in A still surface from partitions B has no rows for.
-    from ..stages.keys import stable_hash64
+    from ..stages.keys import PART_COLUMN, add_partition_column
 
     a_parts = sorted(_lake_parts(lake_a)) or list(range(pa_n))
     ds_b = read_lake(
@@ -2465,10 +2492,11 @@ def diff_lakes(
     )
 
     def add_part(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        part = stable_hash64(key_strings(t)) % np.uint64(pa_n)
-        return t.append_column("part", pa.array(part.astype("int64"), pa.int64()))
+        # the SAME routing the merge shuffle uses (stages/keys) — the
+        # exchange must agree with lake A's physical layout by construction
+        t = add_partition_column(t, pa_n)
+        part = t.column(PART_COLUMN).cast(pa.int64())
+        return t.drop_columns([PART_COLUMN]).append_column("part", part)
 
     markers = pa.table({
         "repo": pa.array([None] * len(a_parts), pa.string()),

@@ -1077,3 +1077,13 @@ def test_semantic_dedup_exact_and_clustered():
     assert got == want
     # clustering only ever RELAXES the filter (cross-cluster dups survive)
     assert set(out1["vec_id"]) <= set(outk["vec_id"])
+
+
+def test_semantic_dedup_nonpositive_threshold_keeps_representative():
+    """At threshold <= 0 every pair 'matches', so exactly the lowest-id
+    vector must survive (regression: zero-padded triangle dropped ALL)."""
+    from sonic_etl_ray.functions.similarity import semantic_dedup
+
+    out = semantic_dedup(SF, threshold=-1.0, k=1)
+    ids = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    assert out["vec_id"].tolist() == [int(ids["vec_id"].to_numpy().min())]

@@ -207,3 +207,20 @@ def test_diff_lakes_statuses_and_path_equivalence(tmp_path):
     n_half_epochs = (len(files) // 2 + 3) // 4
     lagged = diff_lakes(full_6, half_6, as_of_a=n_half_epochs - 1)
     assert lagged.count() == 0
+
+
+def test_diff_lakes_empty_side_and_parallel_shape(tmp_path):
+    """An empty/nonexistent A side short-circuits to all-only_b (no modulus
+    to hash into); the same-P path schedules one block per partition."""
+    from sonic_etl_ray.pipelines.ingest import _per_part_dataset, diff_lakes
+
+    files = _segments(
+        tmp_path, StreamSpec(n_events=2000, n_repos=5, seed=33, segment_size=500)
+    )
+    b = scratch_lake_dir("dlonlyb")
+    run_ingest(files, b, num_partitions=4, segments_per_epoch=4)
+    d = _diff_df(diff_lakes(scratch_lake_dir("dlnone"), b))
+    assert (d["status"] == "only_b").all()
+    assert len(d) == lake_final_table(b).num_rows
+    assert d["a_lsn"].isna().all() and d["b_lsn"].notna().all()
+    assert _per_part_dataset(list(range(6))).materialize().num_blocks() == 6
