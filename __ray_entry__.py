@@ -634,6 +634,12 @@ def _q_cdc_errors(sf_dir: str):
     return cdc_error_channel(sf_dir)
 
 
+def _q_cdc_windowed_tail(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_windowed_tail
+
+    return cdc_windowed_tail(sf_dir)
+
+
 def _q_cdc_lake_diff(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_lake_diff
 
@@ -776,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_log": _q_cdc_schema_log,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_lake_diff": _q_cdc_lake_diff,
+        "cdc_windowed_tail": _q_cdc_windowed_tail,
         "cdc_split_decoded_tables": _q_cdc_split_decoded,
         "cdc_apply_blocklisted": _q_cdc_blocklist,
         "cdc_schema_evolution": _q_cdc_evolve,

@@ -636,6 +636,23 @@ def cdc_lake_diff(sf_dir: str) -> pa.Table:
     ))
 
 
+def cdc_windowed_tail(sf_dir: str) -> pa.Table:
+    """Watermark-gated tumbling windows over the applied stream (the
+    streaming-window operator): windows of 997 LSNs finalize exactly when
+    the lake's applied watermark passes their end — the tail partial window
+    is never emitted. The oracle aggregates the same prefix cut; the
+    exactly-once/resume/pruning semantics are pytest-driven
+    (``tests/test_windows.py``)."""
+    from ..pipelines.windows import TumblingWindowView
+
+    lake = _vanilla_lake(sf_dir)
+    v = TumblingWindowView(
+        lake, window=997, view_root=scratch_lake_dir("cdcwin")
+    )
+    v.refresh(_events_as_cdc(sf_dir))
+    return v.table()
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -1015,6 +1032,15 @@ ORACLES: dict[str, str] = {
     GROUP BY 1 ORDER BY 1""",
     "cdc_apply_mor": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
     "cdc_replicate": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # watermark-gated tumbling windows: the applied-prefix cut, tail withheld
+    "cdc_windowed_tail": ORACLE_SRC + """
+    , cutw AS (SELECT ((MAX(lsn) + 1) // 997) * 997 AS c FROM src)
+    SELECT CAST(lsn // 997 AS BIGINT) AS window_id, repo,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deletes
+    FROM src, cutw WHERE lsn < cutw.c
+    GROUP BY 1, 2 ORDER BY 1, 2""",
     # lake-to-lake drift: full replay vs first-half replay, differing keys only
     "cdc_lake_diff": ORACLE_SRC + """
     , cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS c FROM events),

@@ -48,6 +48,7 @@ class Tailer:
         merge_mode: str = "cow",
         compact_states_every: int | None = None,
         track_history: bool = False,
+        window_views: list | None = None,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -71,6 +72,11 @@ class Tailer:
         # (compact_states_every) — a long tail would otherwise accumulate
         # one tiny file per (epoch, partition) forever
         self.track_history = track_history
+        # watermark-gated streaming views (pipelines/windows.py): refreshed
+        # after each tick's applies so windows finalize as the watermark
+        # passes them — exactly-once via each view's own manifest, so a
+        # crashed tick re-finalizes idempotently on the next one
+        self.window_views = window_views or []
         self._applied_since_compact = 0
         self._applied_since_state_compact = 0
         self._stop = False
@@ -153,8 +159,14 @@ class Tailer:
 
                 compact_history(self.lake_dir)
             self._applied_since_state_compact = 0
+        windows_finalized = 0
+        for view in self.window_views:
+            windows_finalized += view.refresh(files)["windows_finalized"]
         self._metrics.record_tick(head, applied, skipped)
-        return {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
+        out = {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
+        if self.window_views:
+            out["windows_finalized"] = windows_finalized
+        return out
 
     def run(
         self,

@@ -1,0 +1,263 @@
+"""Watermark-gated tumbling-window aggregates over the change stream.
+
+The streaming-window operator for the tail (SURVEY §2.8 family): windows
+tile the LSN axis (the stream's native event-time, dense and monotone —
+``sonic_config/mod.rs:264``'s block-number clock), and a window finalizes
+EXACTLY ONCE when the lake's applied watermark passes the window end plus
+the allowed lateness. Finalized windows are published as idempotent
+per-window Parquet artifacts under the lake's ``_views`` dir with an
+atomic manifest, so a killed tick re-runs as a no-op and a restarted
+tailer resumes where it left off — the same commit discipline as the
+merge path, applied to a derived view.
+
+Scale shape: a refresh reads ONLY the segments whose footer LSN range
+overlaps the newly finalized span (parquet row-group stats prune inside
+the files too), aggregates them with a per-batch Arrow combiner into
+fixed-size (window, group) partials, and one small hash groupby reduces
+the partials — per-tick cost is O(new windows), never O(stream). The
+watermark comes from the epoch manifests alone (no data reads): epochs
+apply in stream order, so the committed frontier's ``applied_lsn_max`` is
+the exact applied-prefix bound. Out-of-order admin/backfill epochs are
+the caller's signal to pick a non-zero ``lateness``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..state import commitlog as cl
+
+
+def applied_watermark(lake_dir: str) -> int:
+    """The exact applied-prefix bound: every event with ``lsn <=`` this is
+    in the lake. Read from the committed frontier's manifest only (epochs
+    apply in stream order; a partially-committed in-flight epoch never
+    advances the frontier). -1 on an empty lake."""
+    from .ingest import committed_frontier
+
+    e = committed_frontier(lake_dir)
+    if e is None:
+        return -1
+    m = cl.read_manifest(lake_dir, e) or {}
+    return int(m.get("applied_lsn_max", -1))
+
+
+def _segment_lsn_range(path: str) -> tuple[int, int] | None:
+    """(min, max) of the segment's ``lsn`` column from the Parquet footer —
+    a stats-only read, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            if col.path_in_schema == "lsn" and col.statistics is not None:
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+class TumblingWindowView:
+    """Finalized tumbling-window aggregates (``n_events``, ``n_deletes``
+    per ``group_col``) maintained incrementally under the lake.
+
+    Layout: ``<lake>/_views/win-<group>-w<W>-l<L>/window=<K>.parquet`` plus
+    ``VIEW.json`` recording ``next_window`` (the first not-yet-final id).
+    Window files are written tmp+rename BEFORE the manifest advances, and
+    their content is a deterministic function of the stream, so any crash
+    point replays idempotently; readers see only manifest-listed windows.
+    """
+
+    def __init__(
+        self,
+        lake_dir: str,
+        window: int,
+        lateness: int = 0,
+        group_col: str = "repo",
+        view_root: str | None = None,
+    ):
+        """``view_root`` relocates the published view (default: under the
+        lake's ``_views``) — for read-only lake storage or shared lakes."""
+        if window <= 0:
+            raise ValueError("window must be positive")
+        self.lake_dir = lake_dir
+        self.window = int(window)
+        self.lateness = int(lateness)
+        self.group_col = group_col
+        self.view_dir = os.path.join(
+            view_root or os.path.join(lake_dir, "_views"),
+            f"win-{group_col}-w{window}-l{lateness}",
+        )
+
+    # ------------------------------------------------------------ manifest
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.view_dir, "VIEW.json")
+
+    def next_window(self) -> int:
+        try:
+            with open(self._manifest_path()) as f:
+                return int(json.load(f)["next_window"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return 0
+
+    def finalizable(self) -> int:
+        """First window id NOT yet final under the current watermark: window
+        K covers [K*W, (K+1)*W) and finalizes when
+        ``(K+1)*W + lateness <= watermark + 1``."""
+        wm = applied_watermark(self.lake_dir)
+        return max(0, (wm + 1 - self.lateness) // self.window)
+
+    # ------------------------------------------------------------- refresh
+
+    def refresh(self, stream: "list[str] | ray.data.Dataset") -> dict[str, Any]:
+        """Finalize every newly finalizable window from ``stream`` (the
+        segment file list — pruned by footer LSN stats — or an equivalent
+        Dataset with ``lsn``/``op``/group columns for in-memory sources).
+        Returns {"windows_finalized": n, "next_window": k}."""
+        done, hi = self.next_window(), self.finalizable()
+        if hi <= done:
+            return {"windows_finalized": 0, "next_window": done}
+        lo_lsn, hi_lsn = done * self.window, hi * self.window
+        flt = (pc.field("lsn") >= lo_lsn) & (pc.field("lsn") < hi_lsn)
+        if isinstance(stream, list):
+            files = []
+            for f in stream:
+                rng = _segment_lsn_range(f)
+                if rng is not None and rng[0] < hi_lsn and rng[1] >= lo_lsn:
+                    files.append(f)
+            if not files:
+                ds = ray.data.from_arrow(self._empty_partials())
+            else:
+                ds = ray.data.read_parquet(
+                    files, columns=["lsn", "op", self.group_col], filter=flt
+                )
+        else:
+            ds = stream.filter(expr=f"lsn >= {lo_lsn} and lsn < {hi_lsn}")
+
+        W, group_col = self.window, self.group_col
+
+        def partials(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return self._empty_partials()
+            win = pc.cast(
+                pc.floor(pc.divide(pc.cast(t.column("lsn"), pa.float64()), W)),
+                pa.int64(),
+            )
+            is_del = pc.cast(
+                pc.equal(t.column("op"), pa.scalar("delete")), pa.int64()
+            )
+            g = pa.table(
+                {
+                    "window_id": win,
+                    group_col: t.column(group_col),
+                    "one": pa.array([1] * t.num_rows, pa.int64()),
+                    "del_": is_del,
+                }
+            ).group_by(["window_id", group_col]).aggregate(
+                [("one", "sum"), ("del_", "sum")]
+            )
+            return g.rename_columns(
+                ["window_id", group_col, "n_events", "n_deletes"]
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["window_id", group_col])
+            .aggregate(
+                Sum("n_events", alias_name="n_events"),
+                Sum("n_deletes", alias_name="n_deletes"),
+            )
+        )
+        pdf = agg.to_pandas()
+        cols = ["window_id", self.group_col, "n_events", "n_deletes"]
+        if pdf.empty or any(c not in pdf.columns for c in cols):
+            out = self._empty_partials()
+        else:
+            out = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+        # per-window files, tmp+rename, BEFORE the manifest advance
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.view_dir, exist_ok=True)
+        for k in range(done, hi):
+            wt = (
+                out.filter(pc.equal(out.column("window_id"), k))
+                if out.num_rows
+                else self._empty_partials()
+            )
+            wt = wt.cast(self._schema())
+            wt = wt.take(
+                pc.sort_indices(wt, sort_keys=[(self.group_col, "ascending")])
+            )
+            path = os.path.join(self.view_dir, f"window={k:08d}.parquet")
+            pq.write_table(wt, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "next_window": hi,
+                    "window": self.window,
+                    "lateness": self.lateness,
+                    "group_col": self.group_col,
+                },
+                f,
+            )
+        os.replace(tmp, self._manifest_path())
+        return {"windows_finalized": hi - done, "next_window": hi}
+
+    # --------------------------------------------------------------- reads
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema(
+            [
+                ("window_id", pa.int64()),
+                (self.group_col, pa.string()),
+                ("n_events", pa.int64()),
+                ("n_deletes", pa.int64()),
+            ]
+        )
+
+    def _empty_partials(self) -> pa.Table:
+        return self._schema().empty_table()
+
+    def read(self) -> ray.data.Dataset:
+        """Finalized windows as a Dataset (manifest-listed files only)."""
+        n = self.next_window()
+        files = [
+            os.path.join(self.view_dir, f"window={k:08d}.parquet")
+            for k in range(n)
+        ]
+        if not files:
+            return ray.data.from_arrow(self._empty_partials())
+        return ray.data.read_parquet(files)
+
+    def table(self) -> pa.Table:
+        """All finalized windows as one sorted Arrow table (view-sized)."""
+        refs = [t for t in ray.get(self.read().to_arrow_refs()) if t.num_rows]
+        if not refs:
+            return self._empty_partials()
+        t = pa.concat_tables([r.cast(self._schema()) for r in refs])
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("window_id", "ascending"),
+                    (self.group_col, "ascending"),
+                ],
+            )
+        )
