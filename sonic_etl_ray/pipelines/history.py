@@ -37,6 +37,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..config import parquet_write_kwargs
 from ..state import commitlog as cl
 
 HISTORY_DIR = "_history"
@@ -373,7 +374,7 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         os.makedirs(pdir, exist_ok=True)
         data_file = os.path.join(pdir, f"run-seq={seq:08d}.parquet")
         tmp = f"{data_file}.tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(merged, tmp, compression="snappy")
+        pq.write_table(merged, tmp, **parquet_write_kwargs())
         os.rename(tmp, data_file)
         marker = {
             "data_file": data_file,

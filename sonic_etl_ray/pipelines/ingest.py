@@ -57,6 +57,7 @@ from ..stages.transform import (
     reduce_last_per_key,
     validate_and_derive,
 )
+from ..config import parquet_write_kwargs
 from ..state import commitlog as cl
 
 log = logging.getLogger(__name__)
@@ -332,7 +333,7 @@ def compact_partition(lake_dir: str, part: int) -> dict[str, Any]:
     epoch = max(f[1] for f in live)
     out = cl.state_path(lake_dir, part, epoch, seq)
     tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
-    pq.write_table(state, tmp, compression="snappy")
+    pq.write_table(state, tmp, **parquet_write_kwargs())
     os.rename(tmp, out)
     _write_stats_sidecar(state, out)  # stats view freshness = last compaction
     n_deltas = sum(1 for f in live if f[3] == "delta")
@@ -395,7 +396,7 @@ def _write_stats_sidecar(state: pa.Table, state_file: str) -> str:
     )
     stats_file = state_file.replace("state-", "stats-")
     stmp = f"{stats_file}.tmp.{uuid.uuid4().hex[:8]}"
-    pq.write_table(stats, stmp)
+    pq.write_table(stats, stmp, **parquet_write_kwargs())
     os.rename(stmp, stats_file)
     return stats_file
 
@@ -526,7 +527,7 @@ class MergeApplier:
             )
             os.makedirs(os.path.dirname(decoded_file), exist_ok=True)
             dtmp = f"{decoded_file}.tmp.{uuid.uuid4().hex[:8]}"
-            pq.write_table(decoded, dtmp)
+            pq.write_table(decoded, dtmp, **parquet_write_kwargs())
             os.rename(dtmp, decoded_file)  # atomic; commit record gates it
             n_decoded += decoded.num_rows
             decoded_files[tname] = decoded_file
@@ -546,7 +547,7 @@ class MergeApplier:
                 os.makedirs(os.path.dirname(epath), exist_ok=True)
                 etmp = f"{epath}.tmp.{uuid.uuid4().hex[:8]}"
                 drop = [c for c in (PART_COLUMN, W_COLUMN) if c in errors.column_names]
-                pq.write_table(errors.drop_columns(drop), etmp)
+                pq.write_table(errors.drop_columns(drop), etmp, **parquet_write_kwargs())
                 os.rename(etmp, epath)
             group = group.filter(pc.invert(err_mask)).drop_columns([ERROR_COLUMN])
 
@@ -592,7 +593,7 @@ class MergeApplier:
                 )
                 os.makedirs(os.path.dirname(hfile), exist_ok=True)
                 htmp = f"{hfile}.tmp.{uuid.uuid4().hex[:8]}"
-                pq.write_table(versions, htmp, compression="snappy")
+                pq.write_table(versions, htmp, **parquet_write_kwargs())
                 os.rename(htmp, hfile)  # atomic; commit record gates it
                 record["history_file"] = hfile
                 record["n_history_rows"] = versions.num_rows
@@ -622,7 +623,7 @@ class MergeApplier:
             out = cl.delta_path(lake, part, epoch, seq)
             os.makedirs(os.path.dirname(out), exist_ok=True)
             tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
-            pq.write_table(delta, tmp, compression="snappy")
+            pq.write_table(delta, tmp, **parquet_write_kwargs())
             os.rename(tmp, out)  # atomic; commit record is the commit point
             record.update(
                 n_rows=-1,  # resolved row count unknown by design (no base read)
@@ -697,7 +698,7 @@ class MergeApplier:
         out = cl.state_path(lake, part, epoch, seq)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(state, tmp, compression="snappy")
+        pq.write_table(state, tmp, **parquet_write_kwargs())
         os.rename(tmp, out)  # atomic publish of the data file
 
         # incremental materialized view: per-repo aggregate sidecar for this
@@ -2298,7 +2299,7 @@ def _export_partition(
     os.makedirs(f"{out_dir}/part={part}", exist_ok=True)
     path = f"{out_dir}/part={part}/snapshot.parquet"
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
+    pq.write_table(tbl, tmp, **parquet_write_kwargs())
     os.replace(tmp, path)
     digest = hashlib.sha256(
         "\n".join(tbl.column("content_sha256").to_pylist()).encode()

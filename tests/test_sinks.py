@@ -42,3 +42,18 @@ def test_write_bucketed_parquet(tmp_path):
     assert dirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
     got = pq.read_table(out)
     assert got.num_rows == 100
+
+
+def test_parquet_compression_knob(monkeypatch):
+    """SONIC_ETL_COMPRESSION picks the codec for every lake artifact write
+    (end-to-end proof in BASELINE.md: identical state sha256 under snappy
+    and zstd, zstd 38% smaller on the synthetic content)."""
+    from sonic_etl_ray.config import parquet_write_kwargs
+
+    monkeypatch.delenv("SONIC_ETL_COMPRESSION", raising=False)
+    monkeypatch.delenv("SONIC_ETL_COMPRESSION_LEVEL", raising=False)
+    assert parquet_write_kwargs() == {"compression": "snappy"}
+    monkeypatch.setenv("SONIC_ETL_COMPRESSION", "zstd")
+    assert parquet_write_kwargs() == {"compression": "zstd", "compression_level": 1}
+    monkeypatch.setenv("SONIC_ETL_COMPRESSION_LEVEL", "3")
+    assert parquet_write_kwargs() == {"compression": "zstd", "compression_level": 3}
