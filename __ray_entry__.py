@@ -714,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
         "cdc_reconcile_snapshot": _q_cdc_reconcile_snapshot,
+        "cdc_lake_diff": _q_cdc_lake_diff,
+        "cdc_windowed_tail": _q_cdc_windowed_tail,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -781,8 +783,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_from_feed": _q_cdc_scd2_feed,
         "cdc_schema_log": _q_cdc_schema_log,
         "cdc_replicate": _q_cdc_replicate,
-        "cdc_lake_diff": _q_cdc_lake_diff,
-        "cdc_windowed_tail": _q_cdc_windowed_tail,
         "cdc_split_decoded_tables": _q_cdc_split_decoded,
         "cdc_apply_blocklisted": _q_cdc_blocklist,
         "cdc_schema_evolution": _q_cdc_evolve,
