@@ -700,6 +700,12 @@ def _q_interdoc_ngram(sf_dir: str):
     return interdoc_ngram_dup(sf_dir)
 
 
+def _q_dup_spans(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import dup_spans
+
+    return dup_spans(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # COVERAGE-FIRST ORDERING: the round-2 driver gate stopped at exactly
     # the first 50 dict entries, leaving everything after `repetition_stats`
@@ -716,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_reconcile_snapshot": _q_cdc_reconcile_snapshot,
         "cdc_lake_diff": _q_cdc_lake_diff,
         "cdc_windowed_tail": _q_cdc_windowed_tail,
+        "substring_dup_spans": _q_dup_spans,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -1423,6 +1430,30 @@ def oracle_sql() -> dict[str, str]:
                           THEN 2.0 * COALESCE(top_pair, 0) / len(toks)
                           ELSE 0.0 END, {_ROUND}) AS top_2gram_frac
         FROM l LEFT JOIN top2 USING (doc_id) ORDER BY doc_id"""
+
+    # exact substring-level dedup (dup_spans): the oracle groups by the
+    # window STRING where the engine groups by its 64-bit rolling hash —
+    # they agree unless two distinct 8-token strings collide in 64 bits
+    # (join-by-space is injective because tokens cannot contain spaces)
+    sql["substring_dup_spans"] = f"""
+        WITH l AS (SELECT doc_id, {_NTOK} AS toks FROM documents),
+        spans AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, g.i, g.i + 7), ' ') AS span
+          FROM l, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+          WHERE len(toks) >= 8
+        ),
+        dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
+        per AS (
+          SELECT s.doc_id, COUNT(*) AS n_spans, COUNT(d.span) AS n_dup_spans
+          FROM spans s LEFT JOIN dup d ON s.span = d.span GROUP BY s.doc_id
+        )
+        SELECT l.doc_id,
+               CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               ROUND(CAST(COALESCE(per.n_dup_spans, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(per.n_spans, 0), 1), 6) AS dup_ratio
+        FROM l LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
 
     from sonic_etl_ray.functions.text import (
         CONTAM_EVERY as _CE, CONTAM_HI as _CH, CONTAM_LO as _CL,

@@ -701,3 +701,126 @@ def dedup_incremental(
     ).to_pandas()
     out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ exact dup spans
+
+
+_SPAN_BASE = np.uint64(1000003)
+
+
+class SpanHasher:
+    """Emit one (doc_id, h) row per DISTINCT ``span_len``-token window of
+    each document — the unit of exact substring-level dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better":
+    repeated ≥L-token substrings across documents; `interdoc_ngram_dup` is
+    the occurrence-count variant, this is the distinct-document one).
+
+    Tokenization = the repetition-op convention (collapse whitespace, split
+    on single spaces) so the DuckDB oracle's
+    ``string_split(regexp_replace(text,'\\s+',' ','g'), ' ')`` mirrors it
+    exactly. The window hash is a 64-bit rolling polynomial over per-token
+    md5-64 hashes: ``span_len`` vectorized multiply-adds over the batch's
+    flat token-hash array (the `shingle_hashes` shape lifted from chars to
+    tokens), never a Python loop per window. Tokens cannot contain spaces,
+    so span-string → token-sequence is injective and hash equality stands
+    in for string equality (64-bit collision odds are negligible at test
+    scale; a 10^10-window corpus would switch `_SPAN_BASE` hashing to the
+    128-bit variant — same shape, two uint64 lanes)."""
+
+    def __init__(self, span_len: int = 8):
+        self.L = int(span_len)
+        self.base = _SPAN_BASE
+
+    def __call__(self, b: pd.DataFrame) -> pa.Table:
+        b = b.reset_index(drop=True)
+        # ARROW output block (the NgramPairEmitter lesson): Ray's sort-based
+        # aggregate over pandas blocks drops into a per-group Python path —
+        # measured here too (8.8 s vs 0.5 s on the same 23k spans)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+        )
+        if not len(b):
+            return empty
+        L = self.L
+        norm = b["text"].fillna("").str.replace(r"\s+", " ", regex=True)
+        toks = norm.str.split(" ")
+        counts, starts = _doc_bounds(toks)
+        total = int(counts.sum())
+        if total < L:
+            return empty
+        flat = [t for lst in toks for t in lst]
+        hs = md5_u64(flat)
+        n_starts = total - L + 1
+        with np.errstate(over="ignore"):
+            h = np.zeros(n_starts, dtype=np.uint64)
+            for j in range(L):  # L vector ops, not n_starts python ops
+                h = h * self.base + hs[j : n_starts + j]
+        # a window starting at in-doc position p is valid iff p + L <= doc_len
+        pos = np.arange(n_starts, dtype=np.int64) - np.repeat(starts, counts)[:n_starts]
+        doc_len = np.repeat(counts, counts)[:n_starts]
+        valid = pos <= doc_len - L
+        doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), counts)[:n_starts]
+        df = pd.DataFrame(
+            # int64 bit-reinterpret: Ray's groupby/aggregate round-trips
+            # int64 losslessly while uint64 keys come back widened
+            {"doc_id": b["doc_id"].to_numpy()[doc_idx[valid]], "h": h[valid].view(np.int64)}
+        ).drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def dup_spans(sf_dir: str, span_len: int = 8, min_docs: int = 2) -> pd.DataFrame:
+    """Per-document exact duplicated-span accounting: of a doc's distinct
+    ``span_len``-token windows, how many occur in ≥ ``min_docs`` DISTINCT
+    documents corpus-wide. Output per doc (ALL docs, zero-filled):
+    ``n_spans``, ``n_dup_spans``, ``dup_ratio``.
+
+    Distributed shape (the `interdoc_ngram_dup` three-exchange plan): per-
+    batch vectorized span hashing with within-doc dedup (`SpanHasher`) →
+    the span dataset is materialized ONCE (8-byte key + doc id columns,
+    object-store-spillable) and feeds both sides of ONE native hash join:
+    groupby(h) count — each (h, doc) row is unique, so the count IS the
+    distinct-doc count — joined back to the span rows (small side
+    broadcast when it fits), then a single groupby(doc_id) sums
+    n_spans / n_dup_spans together. Nothing but the per-doc result
+    reaches the driver (the doc spine is a single-column point read; the
+    result itself is O(docs) by definition). Reference analog: the daily
+    MERGE dedup (`daily_qc_airflow/daily_dedupe_mainnet.py:28-81`) is
+    row-identity only; this is the content-substring extension a
+    training-data pipeline needs."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    spans = ds.map_batches(
+        SpanHasher, fn_constructor_args=(span_len,), batch_format="pandas",
+        concurrency=(1, 4),
+    ).materialize()
+    totals = spans.groupby("h").aggregate(Count(alias_name="n_docs"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater_equal(t.column("n_docs"), min_docs), pa.int64())
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table({"doc_id": t["doc_id"], "one": ones, "dup": dup})
+
+    per_doc = (
+        safe_join(
+            spans, totals, join_type="inner",
+            num_partitions=_auto_join_partitions(), on=("h",),
+        )
+        .map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("one", alias_name="n_spans"), Sum("dup", alias_name="n_dup_spans"))
+        .to_pandas()
+    )
+    spine = pd.DataFrame({"doc_id": pd.unique(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pandas()
+    )})
+    out = spine.merge(per_doc, on="doc_id", how="left")
+    out["n_spans"] = out["n_spans"].fillna(0).astype("int64")
+    out["n_dup_spans"] = out["n_dup_spans"].fillna(0).astype("int64")
+    out["dup_ratio"] = (
+        out["n_dup_spans"] / out["n_spans"].clip(lower=1)
+    ).round(6).astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1087,3 +1087,68 @@ def test_semantic_dedup_nonpositive_threshold_keeps_representative():
     out = semantic_dedup(SF, threshold=-1.0, k=1)
     ids = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
     assert out["vec_id"].tolist() == [int(ids["vec_id"].to_numpy().min())]
+
+
+def test_dup_spans_matches_bruteforce(tmp_path):
+    """Exact substring-level dedup: per-doc distinct 8-token-span counts and
+    duplicated-span counts (span in >=2 distinct docs) must equal a pure-
+    python brute force, including short docs (< span length -> all zeros),
+    within-doc repeats (deduped before the distinct-doc count), and an
+    exact planted cross-doc duplicate span."""
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.dedup import dup_spans
+
+    L = 8
+    shared = " ".join(f"s{i}" for i in range(L))  # planted duplicated span
+    docs = {
+        0: shared + " " + " ".join(f"a{i}" for i in range(5)),
+        1: " ".join(f"b{i}" for i in range(3)) + " " + shared,
+        2: " ".join(f"c{i}" for i in range(20)),
+        3: "short doc",                          # < L tokens -> zero spans
+        4: ("rep " * (L + 3)).strip(),            # within-doc repeated span
+        5: shared,                                # exactly one span, duplicated
+    }
+    tbl = pa.table(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(v) for v in docs.values()],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+
+    # brute force on strings
+    import re
+
+    span_sets = {
+        d: {
+            " ".join(toks[i : i + L])
+            for i in range(len(toks) - L + 1)
+        }
+        for d, t in docs.items()
+        for toks in [re.sub(r"\s+", " ", t).split(" ")]
+    }
+    from collections import Counter
+
+    doc_count = Counter(s for spans in span_sets.values() for s in spans)
+    want = {
+        d: (len(spans), sum(1 for s in spans if doc_count[s] >= 2))
+        for d, spans in span_sets.items()
+    }
+
+    out = dup_spans(str(sf), span_len=L)
+    assert list(out["doc_id"]) == sorted(docs)
+    for _, r in out.iterrows():
+        ns, nd = want[int(r["doc_id"])]
+        assert (int(r["n_spans"]), int(r["n_dup_spans"])) == (ns, nd), r["doc_id"]
+        assert abs(r["dup_ratio"] - nd / max(ns, 1)) < 5e-7  # engine rounds to 6dp
+    # the planted span is shared by docs 0, 1 and 5
+    assert int(out.loc[out["doc_id"] == 5, "n_dup_spans"].iloc[0]) == 1
+    assert int(out.loc[out["doc_id"] == 3, "n_spans"].iloc[0]) == 0
+    # doc 4's repeated 'rep' span dedupes within-doc and is NOT cross-doc
+    assert int(out.loc[out["doc_id"] == 4, "n_dup_spans"].iloc[0]) == 0
