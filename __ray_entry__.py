@@ -706,6 +706,12 @@ def _q_dup_spans(sf_dir: str):
     return dup_spans(sf_dir)
 
 
+def _q_kll_quantiles(sf_dir: str):
+    from sonic_etl_ray.functions.sketch import kll_quantiles
+
+    return kll_quantiles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # COVERAGE-FIRST ORDERING: the round-2 driver gate stopped at exactly
     # the first 50 dict entries, leaving everything after `repetition_stats`
@@ -723,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lake_diff": _q_cdc_lake_diff,
         "cdc_windowed_tail": _q_cdc_windowed_tail,
         "substring_dup_spans": _q_dup_spans,
+        "kll_price_quantiles": _q_kll_quantiles,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -1473,6 +1480,15 @@ def oracle_sql() -> dict[str, str]:
         FROM norm d ORDER BY doc_id"""
 
     sql["price_percentiles"] = """
+        WITH v AS (
+          SELECT quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99]) AS p
+          FROM lineitem
+        )
+        SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q, unnest(p) AS price FROM v"""
+
+    # kll_price_quantiles runs the sketch at k >= n (exact-recall config, no
+    # compaction fires), so quantile_disc IS its bit-exact answer
+    sql["kll_price_quantiles"] = """
         WITH v AS (
           SELECT quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99]) AS p
           FROM lineitem

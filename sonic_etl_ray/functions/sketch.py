@@ -491,3 +491,153 @@ JOIN regs r
                      % {CMS_WIDTH} AS BIGINT)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (Karnin, Lang, Liberty 2016)
+# ---------------------------------------------------------------------------
+
+KLL_DEFAULT_K = 200
+
+
+class KllSketch:
+    """Deterministic KLL-style quantile compactor: level *i* holds items of
+    weight 2^i; an over-capacity level sorts itself and promotes every other
+    item to the level above (odd leftover stays behind). Per-level capacity
+    shrinks geometrically (×2/3) below the top level, so total memory is
+    O(k) regardless of stream length, and two sketches merge by levelwise
+    concatenation + recompaction — the partial-aggregate discipline every
+    sketch in this module follows.
+
+    Deviations from the paper, both deliberate: the compaction coin is a
+    deterministic per-level alternation instead of a random bit (replay /
+    resume must be bit-stable; the randomized worst-case bound degrades to
+    an average-case one, pinned by the rank-error test), and with
+    ``k >= n`` nothing ever compacts, so the sketch is EXACT — the gate
+    query runs in that exact-recall configuration (the module's standard
+    trick) while the scale path uses k=200.
+
+    Quantile rule = DuckDB ``quantile_disc``: value at weighted rank
+    ``ceil(q*n) - 1`` (0-based), matching `price_percentiles`."""
+
+    def __init__(self, k: int = KLL_DEFAULT_K):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._coin: list[int] = [0]
+
+    def _cap(self, lvl: int) -> int:
+        h = len(self.levels)
+        return max(int(np.ceil(self.k * (2.0 / 3.0) ** (h - 1 - lvl))), 8)
+
+    def _add_level(self) -> None:
+        self.levels.append(np.empty(0, np.float64))
+        self._coin.append(0)
+
+    def update_many(self, vals) -> None:
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size:
+            self.levels[0] = np.concatenate([self.levels[0], v])
+            self._compress()
+
+    def merge(self, other: "KllSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self._add_level()
+        for i, arr in enumerate(other.levels):
+            if arr.size:
+                self.levels[i] = np.concatenate([self.levels[i], arr])
+        self._compress()
+
+    def _compress(self) -> None:
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(self.levels)):
+                arr = self.levels[i]
+                if arr.size <= self._cap(i) or arr.size < 2:
+                    continue
+                arr = np.sort(arr)
+                m = arr.size - (arr.size % 2)
+                off = self._coin[i]
+                self._coin[i] ^= 1
+                if i + 1 == len(self.levels):
+                    self._add_level()
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], arr[off:m:2]]
+                )
+                self.levels[i] = arr[m:]  # odd leftover stays at this level
+                changed = True
+
+    # -- query / interchange ------------------------------------------------
+
+    def items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([a for a in self.levels if a.size] or [np.empty(0)])
+        wts = np.concatenate(
+            [np.full(a.size, 1 << i, dtype=np.int64) for i, a in enumerate(self.levels) if a.size]
+            or [np.empty(0, np.int64)]
+        )
+        return vals, wts
+
+    @property
+    def n(self) -> int:
+        return int(sum(a.size << i for i, a in enumerate(self.levels)))
+
+    def quantile(self, q: float) -> float:
+        vals, wts = self.items()
+        if not vals.size:
+            return float("nan")
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[order])
+        rank = max(int(np.ceil(q * cum[-1])) - 1, 0)
+        idx = int(np.searchsorted(cum, rank + 1, side="left"))
+        return float(vals[order][min(idx, vals.size - 1)])
+
+    def to_table(self) -> pa.Table:
+        vals, _ = self.items()
+        lvls = np.concatenate(
+            [np.full(a.size, i, dtype=np.int64) for i, a in enumerate(self.levels) if a.size]
+            or [np.empty(0, np.int64)]
+        )
+        return pa.table({"level": pa.array(lvls), "value": pa.array(vals, pa.float64())})
+
+    @classmethod
+    def from_rows(cls, levels: np.ndarray, values: np.ndarray, k: int) -> "KllSketch":
+        sk = cls(k)
+        if len(levels):
+            for lvl in range(int(np.max(levels)) + 1):
+                while len(sk.levels) <= lvl:
+                    sk._add_level()
+                sk.levels[lvl] = values[levels == lvl].astype(np.float64)
+            sk._compress()
+        return sk
+
+
+def kll_quantiles(
+    sf_dir: str,
+    table: str = "lineitem",
+    col: str = "l_extendedprice",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    k: int = 1 << 20,
+) -> pd.DataFrame:
+    """Single-pass mergeable quantiles: each ``map_batches`` task emits its
+    batch's KLL partial as (level, value) rows — O(k·log(n/k)) rows per
+    task, NOT the column — and the driver folds the bounded partials into
+    one sketch (the `hll_estimate` driver-side-finish pattern). Where
+    `price_percentiles` is the exact two-pass path, this is the one-pass
+    fixed-memory path a streaming tail or a per-epoch lineage record can
+    afford. Gate config ``k=2^20 >= n`` is exact (no compaction fires) so
+    the DuckDB ``quantile_disc`` oracle reproduces it bit-for-bit."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = KllSketch(k)
+        sk.update_many(np.asarray(t.column(col), dtype=np.float64))
+        return sk.to_table()
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sk = KllSketch.from_rows(
+        rows["level"].to_numpy(), rows["value"].to_numpy(), k
+    )
+    return pd.DataFrame({"q": list(qs), "price": [sk.quantile(q) for q in qs]})

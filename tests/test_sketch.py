@@ -348,3 +348,88 @@ def test_normalize_text_semantics():
     assert (out["clean_text"] == out["clean_text"].str.lower()).all()
     assert (out["chars_removed"] >= 0).all()
     assert (out["n_chars"] == out["clean_text"].str.len()).all()
+
+
+def test_kll_exact_config_matches_numpy():
+    """k >= n: no compaction fires, every quantile equals the exact
+    quantile_disc order statistic (rank ceil(q*n)-1 of the sorted values)."""
+    import numpy as np
+
+    from sonic_etl_ray.functions.sketch import KllSketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100.0, 25.0, size=5_000)
+    sk = KllSketch(k=10_000)
+    sk.update_many(vals)
+    s = np.sort(vals)
+    for q in (0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0):
+        rank = max(int(np.ceil(q * len(s))) - 1, 0)
+        assert sk.quantile(q) == s[rank], q
+
+
+def test_kll_compacted_rank_error_and_memory():
+    """k=200 over 200k values: every reported quantile's true rank is
+    within 2% of the requested rank, total retained items stay O(k·levels),
+    and the same input stream yields a bit-identical sketch (deterministic
+    compaction coin)."""
+    import numpy as np
+
+    from sonic_etl_ray.functions.sketch import KllSketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.exponential(10.0, size=200_000)
+    def build():
+        sk = KllSketch(k=200)
+        for chunk in np.array_split(vals, 37):
+            sk.update_many(chunk)
+        return sk
+    sk, sk2 = build(), build()
+    assert [a.tolist() for a in sk.levels] == [a.tolist() for a in sk2.levels]
+    retained = sum(a.size for a in sk.levels)
+    assert retained <= 200 * len(sk.levels) * 3  # O(k) per level, geometric below top
+    assert sk.n == len(vals)
+    s = np.sort(vals)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+
+
+def test_kll_merge_equivalent_to_single_stream():
+    """Merging per-chunk sketches answers within the same rank-error bound
+    as one sketch over the whole stream — the per-batch-partial contract
+    the Ray pipeline relies on."""
+    import numpy as np
+
+    from sonic_etl_ray.functions.sketch import KllSketch
+
+    rng = np.random.default_rng(23)
+    vals = rng.uniform(0.0, 1000.0, size=120_000)
+    merged = KllSketch(k=200)
+    for chunk in np.array_split(vals, 16):
+        part = KllSketch(k=200)
+        part.update_many(chunk)
+        merged.merge(part)
+    assert merged.n == len(vals)
+    s = np.sort(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) < 0.03, (q, true_rank)
+
+
+def test_kll_roundtrip_and_nan_handling():
+    """to_table/from_rows round-trips the level structure; NaNs are dropped
+    on update (parquet nulls arrive as NaN through float64 casts)."""
+    import numpy as np
+
+    from sonic_etl_ray.functions.sketch import KllSketch
+
+    sk = KllSketch(k=64)
+    sk.update_many(np.array([5.0, np.nan, 1.0, 3.0, np.nan]))
+    assert sk.n == 3
+    t = sk.to_table()
+    back = KllSketch.from_rows(
+        t.column("level").to_numpy(), t.column("value").to_numpy(), 64
+    )
+    assert back.n == 3 and back.quantile(0.5) == sk.quantile(0.5) == 3.0
