@@ -840,6 +840,90 @@ def _exchange(ds: ray.data.Dataset, num_partitions: int) -> list[list]:
     return per_block_refs
 
 
+def _split_block_into_groups(
+    block: pa.Table, num_groups: int, group_size: int, num_partitions: int
+) -> tuple:
+    """First hop of the two-level exchange: one stable argsort, slices at
+    GROUP boundaries (a group = ``group_size`` consecutive partitions)."""
+    import numpy as np
+
+    if block.num_rows == 0:
+        empty = block.slice(0, 0)
+        return tuple(empty for _ in range(num_groups))
+    pcol = np.asarray(block.column(PART_COLUMN))
+    order = np.argsort(pcol, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    edges = np.minimum(
+        np.arange(num_groups + 1, dtype=np.int64) * group_size, num_partitions
+    )
+    bounds = np.searchsorted(pcol[order], edges)
+    return tuple(
+        sorted_tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(num_groups)
+    )
+
+
+def _regroup_group(lo: int, n_parts: int, *slices: pa.Table):
+    """Second hop: gather one group's slices from every block (in block
+    order), concat once, stable-argsort on the partition column — stable
+    keeps block order within each partition, so the per-partition row
+    order is bit-identical to the one-level exchange's concat — and emit
+    one pre-concatenated slice per partition."""
+    import numpy as np
+
+    live = [s for s in slices if s.num_rows]
+    if not live:
+        empty = slices[0].slice(0, 0)
+        return tuple(empty for _ in range(n_parts)) if n_parts > 1 else empty
+    tbl = pa.concat_tables(live, promote_options="default")
+    pcol = np.asarray(tbl.column(PART_COLUMN))
+    order = np.argsort(pcol, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(pcol[order], np.arange(lo, lo + n_parts + 1))
+    out = tuple(
+        sorted_tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(n_parts)
+    )
+    return out if n_parts > 1 else out[0]
+
+
+def _exchange_two_level(
+    ds: ray.data.Dataset, num_partitions: int, group_size: int | None = None
+) -> list[list]:
+    """Two-hop exchange for large P (the SCALE.md '_exchange holds
+    O(blocks×P) refs' watch item): blocks split into G = ⌈P/group_size⌉
+    group slices, one regroup task per group gathers its column of refs
+    and re-slices per partition. Driver ref count drops from blocks×P to
+    blocks×G + P (group_size ≈ √P minimizes it at blocks ≈ √P·…), at the
+    cost of each event's bytes crossing the object store twice — the
+    classic two-level shuffle trade. Worth it only when blocks×P is large
+    (P ≳ 10³ on a real cluster); the one-level exchange stays the default.
+    Returns the same shape contract as ``_exchange``: one pseudo-block row
+    whose entry p is partition p's single pre-concatenated slice ref."""
+    import math
+
+    if group_size is None:
+        group_size = max(int(math.ceil(math.sqrt(num_partitions))), 2)
+    num_groups = -(-num_partitions // group_size)
+    split = ray.remote(num_returns=num_groups, num_cpus=1)(_split_block_into_groups)
+    rows: list[list] = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            r = split.remote(block_ref, num_groups, group_size, num_partitions)
+            rows.append(list(r) if num_groups > 1 else [r])
+    part_refs: list = [None] * num_partitions
+    for g in range(num_groups):
+        lo = g * group_size
+        n = min(group_size, num_partitions - lo)
+        rg = ray.remote(num_returns=n, num_cpus=1)(_regroup_group)
+        refs = rg.remote(lo, n, *[row[g] for row in rows])
+        if n == 1:
+            refs = [refs]
+        for i, ref in enumerate(refs):
+            part_refs[lo + i] = ref
+    return [part_refs]
+
+
 def _exchange_and_merge(
     ds: ray.data.Dataset,
     lake_dir: str,
@@ -849,6 +933,7 @@ def _exchange_and_merge(
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
     track_history: bool = False,
+    two_level: bool = False,
 ) -> list[dict[str, Any]]:
     """Raw-task hash exchange + merge — the default merge transport.
 
@@ -867,8 +952,16 @@ def _exchange_and_merge(
     exactly-once applier. Partitioning assumption: rows carry ``__part``
     in [0, num_partitions); commit-gate idempotence is unchanged, so task
     retries and resumed runs stay exactly-once.
+
+    ``two_level=True`` routes through :func:`_exchange_two_level` (driver
+    refs O(blocks×√P + P) instead of O(blocks×P); bit-identical lake,
+    pytest-pinned) — pick it when P is in the thousands.
     """
-    per_block_refs = _exchange(ds, num_partitions)
+    per_block_refs = (
+        _exchange_two_level(ds, num_partitions)
+        if two_level
+        else _exchange(ds, num_partitions)
+    )
     applier = MergeApplier(
         lake_dir, epoch, input_desc,
         suppress_unchanged=suppress_unchanged, merge_mode=merge_mode,
@@ -952,10 +1045,11 @@ def apply_epoch(
     import time
 
     t0 = time.perf_counter()
-    if exchange == "tasks" and not use_actor_pool:
+    if exchange in ("tasks", "tasks2") and not use_actor_pool:
         records = _exchange_and_merge(
             ds, lake_dir, epoch, num_partitions, input_desc, suppress_unchanged,
             merge_mode=merge_mode, track_history=track_history,
+            two_level=(exchange == "tasks2"),
         )
     else:
         grouped = ds.groupby(PART_COLUMN, num_partitions=_shuffle_partitions(num_partitions))
@@ -1056,6 +1150,7 @@ def _run_ingest_impl(
     on_epoch: Any | None = None,
     read_fallbacks: list[str] | None = None,
     track_history: bool = False,
+    exchange: str = "tasks",
 ) -> dict[str, Any]:
     """Ingest a segmented change stream epoch by epoch, resumably.
 
@@ -1152,6 +1247,7 @@ def _run_ingest_impl(
             suppress_unchanged=suppress_unchanged,
             merge_mode=merge_mode,
             track_history=track_history,
+            exchange=exchange,
         )
 
     def _apply(epoch: int, efiles: list[str], extra_desc: dict[str, Any] | None = None) -> None:

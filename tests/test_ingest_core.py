@@ -174,7 +174,7 @@ def test_task_exchange_equals_groupby_exchange(tmp_path):
     spec = StreamSpec(n_events=4000, n_repos=6, seed=37, segment_size=1000)
     files = generate_stream(str(tmp_path / "seg"), spec)
     lakes = {}
-    for mode in ("tasks", "groupby"):
+    for mode in ("tasks", "tasks2", "groupby"):
         lake = scratch_lake_dir(f"ex_{mode}")
         apply_epoch(
             ray.data.read_parquet(files), lake, epoch=0,
@@ -182,7 +182,30 @@ def test_task_exchange_equals_groupby_exchange(tmp_path):
         )
         lakes[mode] = lake
     assert_state_equal(lake_final_table(lakes["tasks"]), lake_final_table(lakes["groupby"]))
+    assert_state_equal(lake_final_table(lakes["tasks"]), lake_final_table(lakes["tasks2"]))
     assert_state_equal(lake_final_table(lakes["tasks"]), oracle_final_state(files))
+
+
+def test_two_level_exchange_ragged_groups(tmp_path):
+    """tasks2 with P=7 (group_size √7→3: groups of 3+3+1, exercising the
+    single-partition tail group and empty group slices) must be
+    bit-identical to the one-level exchange and the oracle."""
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+
+    spec = StreamSpec(n_events=3000, n_repos=5, seed=91, segment_size=1000)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+    lakes = {}
+    for mode in ("tasks", "tasks2"):
+        lake = scratch_lake_dir(f"rg_{mode}")
+        apply_epoch(
+            ray.data.read_parquet(files), lake, epoch=0,
+            num_partitions=7, exchange=mode,
+        )
+        lakes[mode] = lake
+    assert_state_equal(lake_final_table(lakes["tasks"]), lake_final_table(lakes["tasks2"]))
+    assert_state_equal(lake_final_table(lakes["tasks2"]), oracle_final_state(files))
 
 
 def test_read_fallback_failover_on_poisoned_primary(tmp_path):
