@@ -617,7 +617,7 @@ def kll_quantiles(
     table: str = "lineitem",
     col: str = "l_extendedprice",
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
-    k: int = 1 << 20,
+    k: int | None = None,
 ) -> pd.DataFrame:
     """Single-pass mergeable quantiles: each ``map_batches`` task emits its
     batch's KLL partial as (level, value) rows — O(k·log(n/k)) rows per
@@ -625,10 +625,20 @@ def kll_quantiles(
     one sketch (the `hll_estimate` driver-side-finish pattern). Where
     `price_percentiles` is the exact two-pass path, this is the one-pass
     fixed-memory path a streaming tail or a per-epoch lineage record can
-    afford. Gate config ``k=2^20 >= n`` is exact (no compaction fires) so
-    the DuckDB ``quantile_disc`` oracle reproduces it bit-for-bit."""
+    afford. ``k=None`` (the gate config) sizes k from the Parquet footer
+    row count, so the exact-recall guarantee (no compaction fires ⇒ the
+    DuckDB ``quantile_disc`` oracle is bit-exact) SELF-ADJUSTS to any sf
+    instead of silently breaking past a fixed k — the price is that the
+    gate config's 'bounded partials' are the whole column, which is the
+    module's standard exact-recall trade (the scale path passes an
+    explicit k and is pinned by the rank-error pytest). A folded-weight
+    check asserts the no-compaction invariant actually held."""
+    import pyarrow.parquet as pq_
     import ray.data
 
+    exact = k is None
+    if exact:
+        k = max(int(pq_.read_metadata(f"{sf_dir}/{table}.parquet").num_rows), 1024)
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -640,4 +650,12 @@ def kll_quantiles(
     sk = KllSketch.from_rows(
         rows["level"].to_numpy(), rows["value"].to_numpy(), k
     )
+    if exact and sum(a.size for a in sk.levels) != sk.n:
+        # retained items < total weight ⇔ some compaction fired ⇔ the
+        # quantile_disc oracle is no longer bit-valid; fail loudly rather
+        # than hand the gate a silently-approximate answer
+        raise AssertionError(
+            f"kll_quantiles exact config violated: retained "
+            f"{sum(a.size for a in sk.levels)} of n={sk.n}"
+        )
     return pd.DataFrame({"q": list(qs), "price": [sk.quantile(q) for q in qs]})

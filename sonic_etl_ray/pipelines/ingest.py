@@ -800,23 +800,30 @@ class FusedMergeApplier(MergeApplier):
         return pa.concat_tables(rows)
 
 
-def _split_block_for_exchange(block: pa.Table, num_partitions: int) -> tuple:
-    """Map-side split of one transformed block into per-partition slices:
-    one stable argsort on the (small-int) partition column, then zero-copy
-    slices at the searchsorted boundaries."""
+def _split_block_at_edges(block: pa.Table, edges) -> tuple:
+    """Shared split kernel: one stable argsort on the (small-int) partition
+    column, then zero-copy slices at the searchsorted ``edges`` boundaries
+    (ascending, len = n_slices + 1)."""
     import numpy as np
 
     if block.num_rows == 0:
         empty = block.slice(0, 0)
-        return tuple(empty for _ in range(num_partitions))
+        return tuple(empty for _ in range(len(edges) - 1))
     pcol = np.asarray(block.column(PART_COLUMN))
     order = np.argsort(pcol, kind="stable")
     sorted_tbl = block.take(pa.array(order))
-    bounds = np.searchsorted(pcol[order], np.arange(num_partitions + 1))
+    bounds = np.searchsorted(pcol[order], edges)
     return tuple(
         sorted_tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-        for i in range(num_partitions)
+        for i in range(len(edges) - 1)
     )
+
+
+def _split_block_for_exchange(block: pa.Table, num_partitions: int) -> tuple:
+    """Map-side split of one transformed block into per-partition slices."""
+    import numpy as np
+
+    return _split_block_at_edges(block, np.arange(num_partitions + 1))
 
 
 def _exchange(ds: ray.data.Dataset, num_partitions: int) -> list[list]:
@@ -843,24 +850,14 @@ def _exchange(ds: ray.data.Dataset, num_partitions: int) -> list[list]:
 def _split_block_into_groups(
     block: pa.Table, num_groups: int, group_size: int, num_partitions: int
 ) -> tuple:
-    """First hop of the two-level exchange: one stable argsort, slices at
-    GROUP boundaries (a group = ``group_size`` consecutive partitions)."""
+    """First hop of the two-level exchange: slices at GROUP boundaries
+    (a group = ``group_size`` consecutive partitions)."""
     import numpy as np
 
-    if block.num_rows == 0:
-        empty = block.slice(0, 0)
-        return tuple(empty for _ in range(num_groups))
-    pcol = np.asarray(block.column(PART_COLUMN))
-    order = np.argsort(pcol, kind="stable")
-    sorted_tbl = block.take(pa.array(order))
     edges = np.minimum(
         np.arange(num_groups + 1, dtype=np.int64) * group_size, num_partitions
     )
-    bounds = np.searchsorted(pcol[order], edges)
-    return tuple(
-        sorted_tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-        for i in range(num_groups)
-    )
+    return _split_block_at_edges(block, edges)
 
 
 def _regroup_group(lo: int, n_parts: int, *slices: pa.Table):
@@ -905,12 +902,18 @@ def _exchange_two_level(
     if group_size is None:
         group_size = max(int(math.ceil(math.sqrt(num_partitions))), 2)
     num_groups = -(-num_partitions // group_size)
+    if num_groups <= 1:
+        # a single group is just the one-level exchange with an extra hop —
+        # and Ray's num_returns=1 would hand _regroup_group the whole split
+        # TUPLE as one object (the same trap _exchange guards for P == 1)
+        return _exchange(ds, num_partitions)
     split = ray.remote(num_returns=num_groups, num_cpus=1)(_split_block_into_groups)
     rows: list[list] = []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            r = split.remote(block_ref, num_groups, group_size, num_partitions)
-            rows.append(list(r) if num_groups > 1 else [r])
+            rows.append(list(split.remote(block_ref, num_groups, group_size, num_partitions)))
+    if not rows:  # zero-block dataset: no slices, merge sees no input
+        return []
     part_refs: list = [None] * num_partitions
     for g in range(num_groups):
         lo = g * group_size

@@ -251,3 +251,21 @@ def test_read_fallback_failover_on_poisoned_primary(tmp_path):
             primary_files, lake3, num_partitions=4, segments_per_epoch=2,
             read_fallbacks=[str(tmp_path / "nonexistent")],
         )
+
+
+def test_two_level_exchange_single_group_and_tiny_p(tmp_path):
+    """tasks2 with P<=2 (num_groups==1) must fall back to the one-level
+    exchange instead of tripping Ray's num_returns=1 tuple-as-one-object
+    trap, and still match the oracle."""
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+
+    spec = StreamSpec(n_events=1500, n_repos=4, seed=17, segment_size=500)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+    lake = scratch_lake_dir("tiny_p_tasks2")
+    apply_epoch(
+        ray.data.read_parquet(files), lake, epoch=0,
+        num_partitions=2, exchange="tasks2",
+    )
+    assert_state_equal(lake_final_table(lake), oracle_final_state(files))
