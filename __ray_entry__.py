@@ -712,6 +712,12 @@ def _q_kll_quantiles(sf_dir: str):
     return kll_quantiles(sf_dir)
 
 
+def _q_cdc_windowed_quantiles(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_windowed_quantiles
+
+    return cdc_windowed_quantiles(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # COVERAGE-FIRST ORDERING: the round-2 driver gate stopped at exactly
     # the first 50 dict entries, leaving everything after `repetition_stats`
@@ -730,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_windowed_tail": _q_cdc_windowed_tail,
         "substring_dup_spans": _q_dup_spans,
         "kll_price_quantiles": _q_kll_quantiles,
+        "cdc_windowed_quantiles": _q_cdc_windowed_quantiles,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

@@ -653,6 +653,22 @@ def cdc_windowed_tail(sf_dir: str) -> pa.Table:
     return v.table()
 
 
+def cdc_windowed_quantiles(sf_dir: str) -> pa.Table:
+    """Watermark-gated per-window payload-size quantiles (p50/p90/p99 of
+    ``strlen(content)``, deletes excluded) via the KLL sketch view — the
+    streaming-percentile operator. ``k = window`` makes each window's
+    sketch exact (a window of 997 LSNs holds ≤ 997 events), so the oracle
+    is per-window ``quantile_disc`` over the same applied-prefix cut."""
+    from ..pipelines.windows import TumblingQuantileView
+
+    lake = _vanilla_lake(sf_dir)
+    v = TumblingQuantileView(
+        lake, window=997, view_root=scratch_lake_dir("cdcwinq")
+    )
+    v.refresh(_events_as_cdc(sf_dir))
+    return v.table()
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -1041,6 +1057,17 @@ ORACLES: dict[str, str] = {
              AS n_deletes
     FROM src, cutw WHERE lsn < cutw.c
     GROUP BY 1, 2 ORDER BY 1, 2""",
+    # per-window payload-size quantiles: same prefix cut, quantile_disc per
+    # window over non-null payloads (the engine's k=window sketch is exact)
+    "cdc_windowed_quantiles": ORACLE_SRC + """
+    , cutw AS (SELECT ((MAX(lsn) + 1) // 997) * 997 AS c FROM src)
+    SELECT window_id, unnest([0.5, 0.9, 0.99]) AS q, unnest(p) AS size
+    FROM (
+      SELECT CAST(lsn // 997 AS BIGINT) AS window_id,
+             quantile_disc(CAST(strlen(content) AS BIGINT), [0.5, 0.9, 0.99]) AS p
+      FROM src, cutw WHERE lsn < cutw.c AND content IS NOT NULL
+      GROUP BY 1)
+    ORDER BY 1, 2""",
     # lake-to-lake drift: full replay vs first-half replay, differing keys only
     "cdc_lake_diff": ORACLE_SRC + """
     , cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS c FROM events),

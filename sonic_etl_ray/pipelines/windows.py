@@ -97,9 +97,19 @@ class TumblingWindowView:
         self.lateness = int(lateness)
         self.group_col = group_col
         self.view_dir = os.path.join(
-            view_root or os.path.join(lake_dir, "_views"),
-            f"win-{group_col}-w{window}-l{lateness}",
+            view_root or os.path.join(lake_dir, "_views"), self._view_name()
         )
+
+    def _view_name(self) -> str:
+        return f"win-{self.group_col}-w{self.window}-l{self.lateness}"
+
+    def _columns(self) -> list[str]:
+        """Stream columns the aggregate needs (read/prune set)."""
+        return ["lsn", "op", self.group_col]
+
+    def _window_sort_keys(self) -> list[tuple[str, str]]:
+        """Within-window deterministic output order."""
+        return [(self.group_col, "ascending")]
 
     # ------------------------------------------------------------ manifest
 
@@ -142,11 +152,44 @@ class TumblingWindowView:
                 ds = ray.data.from_arrow(self._empty_partials())
             else:
                 ds = ray.data.read_parquet(
-                    files, columns=["lsn", "op", self.group_col], filter=flt
+                    files, columns=self._columns(), filter=flt
                 )
         else:
             ds = stream.filter(expr=f"lsn >= {lo_lsn} and lsn < {hi_lsn}")
 
+        out = self._aggregate(ds)
+        # per-window files, tmp+rename, BEFORE the manifest advance
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.view_dir, exist_ok=True)
+        for k in range(done, hi):
+            wt = (
+                out.filter(pc.equal(out.column("window_id"), k))
+                if out.num_rows
+                else self._empty_partials()
+            )
+            wt = wt.cast(self._schema())
+            wt = wt.take(pc.sort_indices(wt, sort_keys=self._window_sort_keys()))
+            path = os.path.join(self.view_dir, f"window={k:08d}.parquet")
+            pq.write_table(wt, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "next_window": hi,
+                    "window": self.window,
+                    "lateness": self.lateness,
+                    "group_col": self.group_col,
+                },
+                f,
+            )
+        os.replace(tmp, self._manifest_path())
+        return {"windows_finalized": hi - done, "next_window": hi}
+
+    def _aggregate(self, ds: "ray.data.Dataset") -> pa.Table:
+        """Reduce the pruned stream slice to one output row set
+        (``window_id`` + :meth:`_schema` columns); subclasses override."""
         W, group_col = self.window, self.group_col
 
         def partials(t: pa.Table) -> pa.Table:
@@ -186,39 +229,8 @@ class TumblingWindowView:
         pdf = agg.to_pandas()
         cols = ["window_id", self.group_col, "n_events", "n_deletes"]
         if pdf.empty or any(c not in pdf.columns for c in cols):
-            out = self._empty_partials()
-        else:
-            out = pa.Table.from_pandas(pdf[cols], preserve_index=False)
-        # per-window files, tmp+rename, BEFORE the manifest advance
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.view_dir, exist_ok=True)
-        for k in range(done, hi):
-            wt = (
-                out.filter(pc.equal(out.column("window_id"), k))
-                if out.num_rows
-                else self._empty_partials()
-            )
-            wt = wt.cast(self._schema())
-            wt = wt.take(
-                pc.sort_indices(wt, sort_keys=[(self.group_col, "ascending")])
-            )
-            path = os.path.join(self.view_dir, f"window={k:08d}.parquet")
-            pq.write_table(wt, path + ".tmp")
-            os.replace(path + ".tmp", path)
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "next_window": hi,
-                    "window": self.window,
-                    "lateness": self.lateness,
-                    "group_col": self.group_col,
-                },
-                f,
-            )
-        os.replace(tmp, self._manifest_path())
-        return {"windows_finalized": hi - done, "next_window": hi}
+            return self._empty_partials()
+        return pa.Table.from_pandas(pdf[cols], preserve_index=False)
 
     # --------------------------------------------------------------- reads
 
@@ -255,9 +267,99 @@ class TumblingWindowView:
         return t.take(
             pc.sort_indices(
                 t,
-                sort_keys=[
-                    ("window_id", "ascending"),
-                    (self.group_col, "ascending"),
-                ],
+                sort_keys=[("window_id", "ascending")] + self._window_sort_keys(),
             )
+        )
+
+
+class TumblingQuantileView(TumblingWindowView):
+    """Per-window payload-size quantiles of the change stream via the KLL
+    sketch (:class:`~sonic_etl_ray.functions.sketch.KllSketch`): each batch
+    emits bounded ``(window_id, level, value)`` partial rows, the driver
+    folds one sketch per finalized window (rows ≤ windows × batches × k —
+    view-sized, never the stream). Deletes carry no payload and are
+    excluded, matching the oracle's ``content IS NOT NULL``.
+
+    A tumbling window bounds its own population — W consecutive LSNs hold
+    at most W events — so the default ``k = window`` makes every window's
+    sketch EXACT with O(W) memory per in-flight window (the quantile rule
+    is ``quantile_disc``'s, same as the sketch). Wide-window deployments
+    pass ``k < window`` for the approximate fixed-memory path whose rank
+    error the sketch tests pin. Publication, watermark gating, lateness,
+    resume and read-back are inherited unchanged from the base view."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        window: int,
+        lateness: int = 0,
+        qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+        k: int | None = None,
+        view_root: str | None = None,
+    ):
+        self.qs = tuple(qs)
+        self.k = int(k) if k else int(window)
+        super().__init__(
+            lake_dir, window, lateness, group_col="repo", view_root=view_root
+        )
+
+    def _view_name(self) -> str:
+        return f"winq-size-w{self.window}-l{self.lateness}-k{self.k}"
+
+    def _columns(self) -> list[str]:
+        return ["lsn", "content"]
+
+    def _window_sort_keys(self) -> list[tuple[str, str]]:
+        return [("q", "ascending")]
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema(
+            [("window_id", pa.int64()), ("q", pa.float64()), ("size", pa.int64())]
+        )
+
+    def _aggregate(self, ds: "ray.data.Dataset") -> pa.Table:
+        import numpy as np
+
+        from ..functions.sketch import KllSketch
+
+        W, k = self.window, self.k
+        empty = pa.schema(
+            [("window_id", pa.int64()), ("level", pa.int64()), ("value", pa.float64())]
+        ).empty_table()
+
+        def partials(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column("content")))
+            if t.num_rows == 0:
+                return empty
+            win = np.asarray(t.column("lsn"), dtype=np.int64) // W
+            size = np.asarray(pc.binary_length(t.column("content")), dtype=np.float64)
+            outs = []
+            for w in np.unique(win):  # batches span few windows (lsn-clustered)
+                sk = KllSketch(k)
+                sk.update_many(size[win == w])
+                part = sk.to_table()
+                outs.append(
+                    part.append_column(
+                        "window_id",
+                        pa.array(np.full(part.num_rows, w, dtype=np.int64)),
+                    )
+                )
+            return pa.concat_tables(outs).select(["window_id", "level", "value"])
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        out_w, out_q, out_s = [], [], []
+        for w, grp in rows.groupby("window_id"):
+            sk = KllSketch.from_rows(
+                grp["level"].to_numpy(), grp["value"].to_numpy(), self.k
+            )
+            for q in self.qs:
+                out_w.append(int(w))
+                out_q.append(float(q))
+                out_s.append(int(sk.quantile(q)))
+        return pa.table(
+            {
+                "window_id": pa.array(out_w, pa.int64()),
+                "q": pa.array(out_q, pa.float64()),
+                "size": pa.array(out_s, pa.int64()),
+            }
         )

@@ -139,3 +139,65 @@ def test_tailer_refreshes_window_views(tmp_path):
     got = v.table().to_pandas()
     want = _brute(files, 300, 0, v.next_window())
     assert len(got) == len(want)
+
+
+def test_windowed_quantile_view_exact_and_incremental(tmp_path):
+    """TumblingQuantileView: per-window size quantiles equal a numpy
+    quantile_disc brute force (k=window => exact), finalize exactly once,
+    resume from the manifest, and deletes (null content) are excluded."""
+    from sonic_etl_ray.pipelines.windows import TumblingQuantileView
+
+    files = _segments(tmp_path)
+    lake = scratch_lake_dir("winqlake")
+    W, qs = 997, (0.5, 0.9, 0.99)
+
+    run_ingest(files[: len(files) // 2], lake, num_partitions=4, segments_per_epoch=3)
+    v = TumblingQuantileView(lake, window=W, qs=qs)
+    r1 = v.refresh(files)
+    assert r1["windows_finalized"] == r1["next_window"] > 0
+    assert v.refresh(files)["windows_finalized"] == 0  # exactly-once
+
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=3)
+    v2 = TumblingQuantileView(lake, window=W, qs=qs)  # fresh object resumes
+    r2 = v2.refresh(files)
+    assert r2["next_window"] > r1["next_window"]
+
+    # brute force: quantile_disc rank rule per window over non-null sizes
+    sizes: dict[int, list[int]] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["lsn", "content"])
+        for lsn, c in zip(t["lsn"].to_pylist(), t["content"].to_pylist()):
+            if c is not None and lsn // W < r2["next_window"]:
+                sizes.setdefault(lsn // W, []).append(len(c.encode("utf-8")))
+    got = v2.table().to_pandas()
+    assert set(got["window_id"]) == set(sizes)
+    for (w, q), grp in got.groupby(["window_id", "q"]):
+        s = np.sort(sizes[int(w)])
+        rank = max(int(np.ceil(q * len(s))) - 1, 0)
+        assert int(grp["size"].iloc[0]) == s[rank], (w, q)
+
+
+def test_windowed_quantile_view_approximate_k(tmp_path):
+    """k << window: the sketch path still finalizes and every reported
+    quantile's true rank stays within the KLL error envelope."""
+    from sonic_etl_ray.pipelines.windows import TumblingQuantileView
+
+    files = _segments(tmp_path)
+    lake = scratch_lake_dir("winqa")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=3)
+    W = 2500
+    v = TumblingQuantileView(lake, window=W, qs=(0.5, 0.9), k=64)
+    r = v.refresh(files)
+    assert r["windows_finalized"] > 0
+    sizes: dict[int, list[int]] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["lsn", "content"])
+        for lsn, c in zip(t["lsn"].to_pylist(), t["content"].to_pylist()):
+            if c is not None and lsn // W < r["next_window"]:
+                sizes.setdefault(lsn // W, []).append(len(c.encode("utf-8")))
+    got = v.table().to_pandas()
+    for (w, q), grp in got.groupby(["window_id", "q"]):
+        s = np.sort(sizes[int(w)])
+        est = int(grp["size"].iloc[0])
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) < 0.15, (w, q, true_rank)  # k=64 envelope
