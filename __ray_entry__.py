@@ -718,6 +718,18 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_text_search(sf_dir: str):
+    from sonic_etl_ray.functions.search import search_docs
+
+    return search_docs(sf_dir, terms=("spark", "window"))
+
+
+def _q_text_search_ranked(sf_dir: str):
+    from sonic_etl_ray.functions.search import search_ranked
+
+    return search_ranked(sf_dir, terms=("spark", "dup", "hash"), k=15)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # COVERAGE-FIRST ORDERING: the round-2 driver gate stopped at exactly
     # the first 50 dict entries, leaving everything after `repetition_stats`
@@ -737,6 +749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": _q_dup_spans,
         "kll_price_quantiles": _q_kll_quantiles,
         "cdc_windowed_quantiles": _q_cdc_windowed_quantiles,
+        "text_search_conjunctive": _q_text_search,
+        "text_search_ranked": _q_text_search_ranked,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -1501,6 +1515,32 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem
         )
         SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q, unnest(p) AS price FROM v"""
+
+    # text_search_*: the bucket-partitioned posting index prunes the read but
+    # never changes results — the oracle is the full-scan tokenization. The
+    # ranked score is integer-only (tf × (1 + floor_log2((N+1)//(df+1))),
+    # bit length as floor_log2), so both engines compute exact integers.
+    sql["text_search_conjunctive"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(lower(COALESCE(text,'')), '\S+'))) AS term
+          FROM documents)
+        SELECT doc_id FROM t WHERE term IN ('spark','window')
+        GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id"""
+
+    sql["text_search_ranked"] = r"""
+        WITH pairs AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(COALESCE(text,'')), '\S+')) AS term
+            FROM documents)
+          GROUP BY 1, 2
+        ), df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT p.doc_id,
+               CAST(SUM(p.tf * (1 + strlen(bin((n.n + 1) // (d.df + 1))) - 1)) AS BIGINT) AS score
+        FROM pairs p JOIN df d USING (term) CROSS JOIN n
+        WHERE p.term IN ('spark','dup','hash')
+        GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 15"""
 
     sql["top_orders_per_segment"] = """
         SELECT c_mktsegment, o_orderkey, o_totalprice,
