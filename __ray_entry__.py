@@ -718,6 +718,12 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from sonic_etl_ray.functions.sketch import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(sf_dir, phi_den=100)
+
+
 def _q_text_search(sf_dir: str):
     from sonic_etl_ray.functions.search import search_docs
 
@@ -751,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_windowed_quantiles": _q_cdc_windowed_quantiles,
         "text_search_conjunctive": _q_text_search,
         "text_search_ranked": _q_text_search_ranked,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -1520,6 +1527,20 @@ def oracle_sql() -> dict[str, str]:
     # never changes results — the oracle is the full-scan tokenization. The
     # ranked score is integer-only (tf × (1 + floor_log2((N+1)//(df+1))),
     # bit length as floor_log2), so both engines compute exact integers.
+    # heavy_hitter_tokens runs Misra-Gries at capacity >= vocabulary
+    # (exact-recall config, asserted in-engine), so exact GROUP BY counts
+    # with an integer threshold compare ARE its answer
+    sql["heavy_hitter_tokens"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS token
+          FROM documents
+        ), c AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS est_count FROM toks GROUP BY 1
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        SELECT token, est_count FROM c CROSS JOIN n
+        WHERE est_count * 100 >= n.n
+        ORDER BY est_count DESC, token"""
+
     sql["text_search_conjunctive"] = r"""
         WITH t AS (
           SELECT doc_id,

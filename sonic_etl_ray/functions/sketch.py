@@ -659,3 +659,114 @@ def kll_quantiles(
             f"{sum(a.size for a in sk.levels)} of n={sk.n}"
         )
     return pd.DataFrame({"q": list(qs), "price": [sk.quantile(q) for q in qs]})
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (Misra & Gries 1982), in the mergeable-summaries
+# form of Agarwal et al. 2013: a capacity-m counter set whose merge is
+# pointwise sum followed by subtracting the (m+1)-th largest count and
+# clipping at zero. Guarantees after ANY merge tree:
+#     true - n/(m+1)  <=  est  <=  true
+# so every token with true count > n/(m+1) survives (no false negatives at
+# the phi >= 1/(m+1) threshold). The gate runs the exact-recall config
+# (capacity >= corpus vocabulary: no compression ever fires, counters are
+# exact counts) so the DuckDB GROUP BY oracle is bit-exact; the scale path
+# passes a small capacity and is pinned by the error-bound pytest.
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 4096
+# '' can never be a \S+ token: rides each partial's TOTAL token count (the n
+# of the error bound) through the same groupby-sum as the counters — no
+# second corpus scan, no driver-side total
+_MG_TOTAL_KEY = ""
+
+
+def _mg_compress(
+    tokens: np.ndarray, counts: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decrement-and-drop to ≤ m counters: subtract the (m+1)-th largest
+    count from the top m and keep the positive remainder."""
+    if len(tokens) <= m:
+        return tokens, counts
+    order = np.argsort(-counts, kind="stable")
+    pivot = counts[order[m]]
+    keep = order[:m]
+    kept = counts[keep] - pivot
+    nz = kept > 0
+    return tokens[keep][nz], kept[nz]
+
+
+def _mg_partial(batch: pd.DataFrame, text_col: str, m: int) -> pa.Table:
+    """Per-batch MG summary over \\S+ tokens: ≤ m+1 rows out regardless of
+    batch size (the +1 is the '' total-count row)."""
+    from .text import TOKEN_RE
+
+    vc = batch[text_col].dropna().str.findall(TOKEN_RE).explode().dropna().value_counts()
+    total = int(vc.to_numpy().sum())
+    toks, cnts = _mg_compress(
+        vc.index.to_numpy(dtype=object), vc.to_numpy(np.int64), m
+    )
+    return pa.table(
+        {
+            "token": pa.array(list(map(str, toks)) + [_MG_TOTAL_KEY], pa.string()),
+            "cnt": pa.array(np.append(cnts, total), pa.int64()),
+        }
+    )
+
+
+def mg_summary(
+    ds: ray.data.Dataset, text_col: str = "text", capacity: int = MG_CAPACITY
+) -> tuple[pd.DataFrame, int]:
+    """Distributed MG build → (counter table ≤ capacity rows, total n).
+
+    Shape: per-batch partials are ≤ capacity+1 rows each; ONE groupby-sum
+    merges them (pointwise sum — the first half of the MG merge); the final
+    subtract-and-clip runs driver-side over the merged table, which is
+    bounded by capacity × read-parallelism rows, not by the corpus. For a
+    very wide cluster the same compress can run as one more
+    repartition+map_batches level (the two-level pattern of
+    ``bloom_build_sharded``); at this repo's parallelism the single
+    driver-side fold is exact and O(capacity·B)."""
+    merged = (
+        ds.map_batches(
+            lambda b: _mg_partial(b, text_col, capacity), batch_format="pandas"
+        )
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    is_total = merged["token"].astype(str) == _MG_TOTAL_KEY
+    n = int(merged.loc[is_total, "cnt"].sum())
+    body = merged.loc[~is_total]
+    toks, cnts = _mg_compress(
+        body["token"].to_numpy(dtype=object),
+        body["cnt"].to_numpy(np.int64),
+        capacity,
+    )
+    out = pd.DataFrame({"token": pd.Series(toks, dtype="object"), "est_count": cnts})
+    return out.reset_index(drop=True), n
+
+
+def heavy_hitter_tokens(
+    sf_dir: str, phi_den: int = 100, capacity: int = MG_CAPACITY
+) -> pd.DataFrame:
+    """Corpus tokens with frequency ≥ 1/phi_den of all token occurrences,
+    by MG summary. The threshold compare is integer-only
+    (``est * phi_den >= n``) so the oracle needs no float ceil. At the
+    default capacity the synthetic corpus vocabulary fits (exact-recall
+    config; asserted), making the SQL GROUP BY + HAVING the true answer."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    summary, n = mg_summary(ds, capacity=capacity)
+    if int(summary["est_count"].sum()) != n:
+        # some compress fired ⇒ counts are lower bounds ⇒ the GROUP BY
+        # oracle is no longer bit-valid; fail loudly (kll_quantiles rule)
+        raise AssertionError(
+            f"heavy_hitter_tokens exact config violated: retained weight "
+            f"{int(summary['est_count'].sum())} of n={n}; raise capacity"
+        )
+    hot = summary[summary["est_count"].to_numpy(np.int64) * phi_den >= n].copy()
+    hot = hot.sort_values(
+        ["est_count", "token"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    hot["est_count"] = hot["est_count"].astype("int64")
+    return hot

@@ -433,3 +433,72 @@ def test_kll_roundtrip_and_nan_handling():
         t.column("level").to_numpy(), t.column("value").to_numpy(), 64
     )
     assert back.n == 3 and back.quantile(0.5) == sk.quantile(0.5) == 3.0
+
+
+# --------------------------------------------------------------- Misra-Gries
+
+
+def test_mg_exact_recall_matches_brute_force(ray_session):
+    import re
+
+    import pyarrow.parquet as pq2
+
+    from sonic_etl_ray.functions.sketch import heavy_hitter_tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = heavy_hitter_tokens(sf, phi_den=100)
+    docs = pq2.read_table(f"{sf}/documents.parquet", columns=["text"]).to_pandas()
+    toks = [t for txt in docs["text"].dropna() for t in re.findall(r"\S+", txt)]
+    vc = pd.Series(toks).value_counts()
+    n = int(vc.sum())
+    want = vc[vc * 100 >= n].reset_index()
+    want.columns = ["token", "est_count"]
+    want = want.sort_values(
+        ["est_count", "token"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"est_count": "int64"}), check_dtype=False
+    )
+    assert len(got) > 0
+
+
+def test_mg_error_bound_holds_at_small_capacity(ray_session):
+    """The approximate regime: capacity far below the vocabulary. MG
+    guarantees true - n/(m+1) <= est <= true for every retained token —
+    verified against brute-force truth end-to-end through the distributed
+    partial -> groupby merge -> final compress path."""
+    import re
+
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from sonic_etl_ray.functions.sketch import mg_summary
+
+    sf = "/root/testdata/sf0.001"
+    m = 4
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    summary, n = mg_summary(ds, capacity=m)
+    assert len(summary) <= m
+    docs = pq2.read_table(f"{sf}/documents.parquet", columns=["text"]).to_pandas()
+    toks = [t for txt in docs["text"].dropna() for t in re.findall(r"\S+", txt)]
+    truth = pd.Series(toks).value_counts()
+    assert n == int(truth.sum())
+    # distributed merge inflates the subtracted mass vs a sequential pass,
+    # but never past n/(m+1) per merge level; the end-to-end bound below is
+    # the mergeable-summaries theorem (sum of decrements <= n/(m+1))
+    for tok, est in zip(summary["token"], summary["est_count"]):
+        true = int(truth.get(tok, 0))
+        assert est <= true, (tok, est, true)
+        assert true - est <= n // (m + 1) + 1, (tok, est, true, n)
+
+
+def test_mg_compress_unit():
+    from sonic_etl_ray.functions.sketch import _mg_compress
+
+    toks = np.array(["a", "b", "c", "d"], dtype=object)
+    cnts = np.array([10, 7, 3, 2], dtype=np.int64)
+    t, c = _mg_compress(toks, cnts, 2)
+    # pivot = 3 (3rd largest): a->7, b->4, c/d dropped
+    assert list(t) == ["a", "b"] and list(c) == [7, 4]
+    t, c = _mg_compress(toks, cnts, 10)
+    assert list(t) == list(toks) and list(c) == list(cnts)
