@@ -718,6 +718,12 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_reservoir(sf_dir: str):
+    from sonic_etl_ray.functions.sampling import reservoir_sample_docs
+
+    return reservoir_sample_docs(sf_dir, k=40)
+
+
 def _q_heavy_hitters(sf_dir: str):
     from sonic_etl_ray.functions.sketch import heavy_hitter_tokens
 
@@ -758,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_conjunctive": _q_text_search,
         "text_search_ranked": _q_text_search_ranked,
         "heavy_hitter_tokens": _q_heavy_hitters,
+        "reservoir_sample": _q_reservoir,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -1401,6 +1408,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM documents
         WHERE md5_number_lower(lang || ':' || CAST(doc_id AS VARCHAR)) % 100 < 20
         ORDER BY doc_id"""
+
+    # reservoir_sample keeps the k smallest md5('rsv:' || id) priorities —
+    # deterministic tags make the "reservoir" an exact ORDER BY ... LIMIT k
+    sql["reservoir_sample"] = """
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5_number_lower('rsv:' || CAST(doc_id AS VARCHAR)) LIMIT 40"""
 
     sql["vocab_topk"] = f"""
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n

@@ -120,3 +120,36 @@ def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
     out = out.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
     out["n"] = out["n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def reservoir_sample(
+    ds: ray.data.Dataset, k: int = 40, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Uniform k-row sample without replacement, by deterministic priority:
+    keep the k rows with the SMALLEST md5 of ``'rsv:' || id``.
+
+    This is distributed reservoir sampling with the random tags replaced by
+    a content-stable hash (Efraimidis-Spirakis priorities, weight 1): each
+    block keeps only its local k smallest (a bounded per-batch sort), the
+    driver folds <= k rows per block, and the winner set is identical under
+    any partitioning, any arrival order, and any engine — hence the exact
+    ``ORDER BY md5 LIMIT k`` SQL oracle. No RNG state, no second pass, no
+    coordination; at 100 TB the driver sees k x num_blocks tag-sized rows,
+    never data."""
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        pri = md5_u64(["rsv:" + str(i) for i in b[id_col]])
+        out = b.copy()
+        out["__pri"] = pri
+        return out.nsmallest(k, "__pri")
+
+    return ds.map_batches(local_topk, batch_format="pandas")
+
+
+def reservoir_sample_docs(sf_dir: str, k: int = 40) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = reservoir_sample(ds, k=k).to_pandas()
+    out = out.nsmallest(k, "__pri").drop(columns="__pri")
+    return out.sort_values("doc_id").reset_index(drop=True)

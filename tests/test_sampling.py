@@ -62,3 +62,49 @@ def test_vocab_topk_matches_bruteforce():
     pd.testing.assert_frame_equal(
         got, brute.astype({"n": "int64"}), check_dtype=False
     )
+
+
+def test_reservoir_sample_matches_brute_force(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq2
+
+    from sonic_etl_ray.functions.sampling import reservoir_sample_docs
+
+    sf = "/root/testdata/sf0.001"
+    k = 40
+    got = reservoir_sample_docs(sf, k=k)
+    docs = pq2.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+
+    def pri(i):
+        return int.from_bytes(hashlib.md5(f"rsv:{i}".encode()).digest()[8:], "little")
+
+    docs["p"] = docs["doc_id"].map(pri)
+    want = (
+        docs.nsmallest(k, "p")
+        .drop(columns="p")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == k
+
+
+def test_reservoir_sample_stable_under_partitioning(ray_session):
+    """Same winners whatever the block layout — the property that lets any
+    node evaluate its blocks independently."""
+    import ray.data
+
+    from sonic_etl_ray.functions.sampling import reservoir_sample
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    a = reservoir_sample(ds, k=10).to_pandas().nsmallest(10, "__pri")
+    b = (
+        reservoir_sample(ds.repartition(7), k=10)
+        .to_pandas()
+        .nsmallest(10, "__pri")
+    )
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
