@@ -718,6 +718,12 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_mixture(sf_dir: str):
+    from sonic_etl_ray.functions.sampling import mixture_by_token_budget
+
+    return mixture_by_token_budget(sf_dir)
+
+
 def _q_reservoir(sf_dir: str):
     from sonic_etl_ray.functions.sampling import reservoir_sample_docs
 
@@ -765,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_ranked": _q_text_search_ranked,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "reservoir_sample": _q_reservoir,
+        "mixture_by_token_budget": _q_mixture,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,
@@ -1408,6 +1415,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM documents
         WHERE md5_number_lower(lang || ':' || CAST(doc_id AS VARCHAR)) % 100 < 20
         ORDER BY doc_id"""
+
+    # mixture_by_token_budget: integer-only plan math (weights, budget,
+    # keep-rates) + md5 hash gate — both engines run the identical pipeline
+    sql["mixture_by_token_budget"] = r"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS BIGINT) AS toks,
+                 1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w
+          FROM documents
+        ), tok AS (
+          SELECT source, any_value(w) AS w, CAST(SUM(toks) AS BIGINT) AS toks
+          FROM d GROUP BY 1
+        ), c AS (
+          SELECT CAST(SUM(toks) AS BIGINT) // 3 AS budget,
+                 CAST(SUM(w) AS BIGINT) AS sw FROM tok
+        ), r AS (
+          SELECT source, LEAST(1000, (c.budget * w * 1000) // (c.sw * toks)) AS rate
+          FROM tok CROSS JOIN c WHERE toks > 0
+        )
+        SELECT d.doc_id, d.source FROM d JOIN r USING (source)
+        WHERE md5_number_lower('mix:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)) % 1000
+              < r.rate
+        ORDER BY d.doc_id"""
 
     # reservoir_sample keeps the k smallest md5('rsv:' || id) priorities —
     # deterministic tags make the "reservoir" an exact ORDER BY ... LIMIT k

@@ -153,3 +153,71 @@ def reservoir_sample_docs(sf_dir: str, k: int = 40) -> pd.DataFrame:
     out = reservoir_sample(ds, k=k).to_pandas()
     out = out.nsmallest(k, "__pri").drop(columns="__pri")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def mixture_by_token_budget(
+    sf_dir: str, budget: int | None = None, rate_den: int = 1000
+) -> pd.DataFrame:
+    """Training-data mixture: down-sample each source so the corpus fits a
+    total token budget allocated across sources by weight.
+
+    Two passes, both distributed: (1) per-source token totals via a
+    per-batch combiner + one tiny groupby (O(#sources) rows ever leave a
+    task); (2) an embarrassingly-parallel hash-gate filter at each source's
+    computed keep-rate. The plan math is INTEGER-only — per-source weight
+    ``1 + (source_number % 3)``, budget ``total_tokens // 3`` when unset,
+    keep-rate ``min(den, (budget·w·den) // (Σw·tokens_s))`` — and the gate
+    is ``md5('mix:'||source||':'||id) % den < rate``, so DuckDB reproduces
+    the whole pipeline bit-for-bit (no float rates, no RNG). The sample is
+    content-stable per source: growing one source never reshuffles
+    another's kept set."""
+    from ray.data.aggregate import Sum
+
+    from .text import TOKEN_RE
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def tok_partial(b: pd.DataFrame) -> pa.Table:
+        n = b["text"].fillna("").str.count(TOKEN_RE).astype("int64")
+        g = pd.DataFrame({"source": b["source"], "toks": n}).groupby(
+            "source", sort=False
+        )["toks"].sum()
+        return pa.table(
+            {
+                "source": pa.array(g.index.astype(str), pa.string()),
+                "toks": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    tok = (
+        ds.map_batches(tok_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()
+    )
+    weights = {s: 1 + int(s[3:]) % 3 for s in tok["source"]}
+    total = int(tok["toks"].sum())
+    if budget is None:
+        budget = total // 3
+    sw = sum(weights.values())
+    rate = {
+        s: min(rate_den, (budget * weights[s] * rate_den) // (sw * int(t)))
+        for s, t in zip(tok["source"], tok["toks"])
+        if int(t) > 0
+    }
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        keys = [f"mix:{s}:{i}" for s, i in zip(b["source"], b["doc_id"])]
+        r = b["source"].map(rate).fillna(0).to_numpy(np.int64)
+        keep = (md5_u64(keys) % np.uint64(rate_den)).astype(np.int64) < r
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[keep],
+                "source": b["source"].to_numpy()[keep],
+            }
+        )
+
+    out = ds.map_batches(gate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

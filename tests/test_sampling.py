@@ -108,3 +108,56 @@ def test_reservoir_sample_stable_under_partitioning(ray_session):
         .nsmallest(10, "__pri")
     )
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_mixture_by_token_budget_matches_brute_force(ray_session):
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq2
+
+    from sonic_etl_ray.functions.sampling import mixture_by_token_budget
+
+    sf = "/root/testdata/sf0.001"
+    got = mixture_by_token_budget(sf)
+    docs = pq2.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pandas()
+    docs["toks"] = docs["text"].map(lambda t: len(re.findall(r"\S+", t or "")))
+    tok = docs.groupby("source")["toks"].sum()
+    w = {s: 1 + int(s[3:]) % 3 for s in tok.index}
+    total = int(tok.sum())
+    budget, sw = total // 3, sum(w.values())
+    rate = {s: min(1000, (budget * w[s] * 1000) // (sw * int(t))) for s, t in tok.items()}
+
+    def h(s, i):
+        return int.from_bytes(
+            hashlib.md5(f"mix:{s}:{i}".encode()).digest()[8:], "little"
+        )
+
+    keep = docs.apply(lambda r: h(r["source"], r["doc_id"]) % 1000 < rate[r["source"]], axis=1)
+    want = (
+        docs.loc[keep, ["doc_id", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the budget actually bites: kept tokens land within [50%, 110%] of it
+    kept_toks = int(docs.loc[keep, "toks"].sum())
+    assert 0.5 * budget <= kept_toks <= 1.1 * budget
+
+
+def test_mixture_respects_weights(ray_session):
+    """Higher-weight sources keep proportionally more of their tokens."""
+    from sonic_etl_ray.functions.sampling import mixture_by_token_budget
+
+    sf = "/root/testdata/sf0.01"
+    got = mixture_by_token_budget(sf)
+    kept = got.groupby("source").size()
+    # weights cycle 1,2,3 by source number; average kept-count of weight-3
+    # sources must exceed weight-1 sources (uniform source sizes)
+    w = {s: 1 + int(s[3:]) % 3 for s in kept.index}
+    by_w = {}
+    for s, n in kept.items():
+        by_w.setdefault(w[s], []).append(n)
+    assert np.mean(by_w[3]) > np.mean(by_w[1])
