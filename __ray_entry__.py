@@ -718,6 +718,12 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_cdc_indexed_value_scan(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_indexed_value_scan
+
+    return cdc_indexed_value_scan(sf_dir)
+
+
 def _q_mixture(sf_dir: str):
     from sonic_etl_ray.functions.sampling import mixture_by_token_budget
 
@@ -772,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "reservoir_sample": _q_reservoir,
         "mixture_by_token_budget": _q_mixture,
+        "cdc_indexed_value_scan": _q_cdc_indexed_value_scan,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

@@ -185,6 +185,41 @@ def cdc_range_scan(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("repo").reset_index(drop=True)
 
 
+def cdc_indexed_value_scan(sf_dir: str) -> pd.DataFrame:
+    """Non-key predicate scan through the secondary value index
+    (:mod:`.colindex`): build the per-partition distinct-``lang`` zone map,
+    then read ``lang = 'purchase'`` opening ONLY indexed-hit partitions —
+    results must equal the unpruned filtered scan (the oracle's WHERE).
+    The index sidecar lives OUTSIDE the shared read-only replay lake."""
+    from .colindex import build_value_index, read_lake_by_value
+
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
+    root = lake + "_colindex"  # sidecar outside the lake dir (contract)
+    build_value_index(lake, "lang", index_root=root)
+    ds = read_lake_by_value(
+        lake, "lang", ["purchase"], columns=["repo", "size_bytes"], index_root=root
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("repo").aggregate([("size_bytes", "sum"), ("repo", "count")])
+        return out.rename_columns(["repo", "total_bytes", "n_files"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("n_files", alias_name="n_files"),
+        )
+        .to_pandas()
+    )
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    out["n_files"] = out["n_files"].astype("int64")
+    return out.sort_values("repo").reset_index(drop=True)
+
+
 def cdc_incremental_repo_stats(sf_dir: str) -> pd.DataFrame:
     """The incrementally-maintained per-repo aggregate view: read from the
     merge-time sidecars only (no lake rescan) — must equal the recomputed
@@ -1039,6 +1074,13 @@ ORACLES: dict[str, str] = {
     FROM reconciled ORDER BY repo, path""",
     # a published snapshot is a faithful copy of the logical table
     "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # zone-map-pruned non-key predicate read == unpruned filtered aggregate
+    "cdc_indexed_value_scan": ORACLE_SRC + """
+    SELECT repo,
+           CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM final WHERE lang = 'purchase'
+    GROUP BY 1 ORDER BY 1""",
     # pruned range read == full-table aggregate restricted to the range
     "cdc_range_scan": ORACLE_SRC + """
     SELECT repo,

@@ -1588,15 +1588,20 @@ def _lake_parts(lake_dir: str) -> list[int]:
 
 
 def lake_read_plan(
-    lake_dir: str, as_of_epoch: int | None = None
+    lake_dir: str, as_of_epoch: int | None = None, parts: list[int] | None = None
 ) -> tuple[list[str], list[int]]:
     """Split the lake into (clean state files, dirty partition ids): a clean
     partition's frontier is a single base STATE file (zero-copy parquet scan
     with pushdown); a dirty partition has trailing merge-on-read deltas and
-    needs an LWW resolution task. ``as_of_epoch`` time-travels both."""
+    needs an LWW resolution task. ``as_of_epoch`` time-travels both.
+    ``parts`` restricts the plan to a partition subset (the secondary value
+    index's pruning hook, :mod:`.colindex`)."""
     clean, dirty = [], []
     seqs = _as_of_seqs(lake_dir, as_of_epoch)
+    want = None if parts is None else set(parts)
     for part in _lake_parts(lake_dir):
+        if want is not None and part not in want:
+            continue
         files = _files_as_of(
             lake_dir, part, cl.list_part_files(lake_dir, part), as_of_epoch, seqs
         )
@@ -1723,8 +1728,14 @@ def read_lake(
     filter: Any | None = None,
     as_of_epoch: int | None = None,
     consistent: bool = False,
+    parts: list[int] | None = None,
 ) -> ray.data.Dataset:
     """The lake's current state as a Dataset (one block per partition file).
+
+    ``parts`` restricts the scan to a partition subset — callers must know
+    the subset is sufficient for their predicate (the secondary value index
+    in :mod:`.colindex` computes such subsets; keys never cross partitions,
+    so a partition subset is always key-complete for the keys it holds).
 
     ``columns`` and ``filter`` (a pyarrow dataset expression, e.g.
     ``pc.field("repo") == "org0/repo0"``) push down to the Parquet read so
@@ -1745,7 +1756,9 @@ def read_lake(
         as_of_epoch = committed_frontier(lake_dir)
         if as_of_epoch is None:
             return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
-    clean_files, dirty_parts = lake_read_plan(lake_dir, as_of_epoch=as_of_epoch)
+    clean_files, dirty_parts = lake_read_plan(
+        lake_dir, as_of_epoch=as_of_epoch, parts=parts
+    )
     if not clean_files and not dirty_parts:
         return ray.data.from_arrow(_drop_tombstones(STATE_SCHEMA.empty_table()))
     # tombstones (deleted keys) are physical rows but not part of the logical
