@@ -185,6 +185,43 @@ def cdc_range_scan(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("repo").reset_index(drop=True)
 
 
+def cdc_repair_replica(sf_dir: str) -> pa.Table:
+    """Anti-entropy repair end-to-end: a replica that (a) only consumed the
+    first half of the stream and (b) holds an extra key the source never
+    had, repaired against the full source via
+    :func:`~sonic_etl_ray.pipelines.dml.repair_replica` — the repaired
+    CONTENT must equal the source's LWW state (oracle: ORACLE_SRC final,
+    minus applied_lsn: repair converges content, not LSN watermarks)."""
+    import pyarrow.parquet as pq_
+
+    from .dml import repair_replica
+
+    src_lake = _vanilla_lake(sf_dir)  # shared read-only replay
+    replica = scratch_lake_dir("repair")
+    n = pq_.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    half = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+        filter=pc.field("event_id") < n // 2,
+    ).map_batches(_to_change_events, batch_format="pyarrow")
+    apply_epoch(half, replica, epoch=0, num_partitions=8)
+    extra = pa.table(
+        {
+            "op": pa.array(["insert"], pa.string()),
+            "lsn": pa.array([10**9], pa.int64()),
+            "repo": pa.array(["zz"], pa.string()),
+            "path": pa.array(["only-in-replica.txt"], pa.string()),
+            "commit": pa.array(["x"], pa.string()),
+            "lang": pa.array(["none"], pa.string()),
+            "content": pa.array(["drift"], pa.string()),
+        }
+    )
+    apply_epoch(ray.data.from_arrow(extra), replica, epoch=1, num_partitions=8)
+    repair_replica(replica, src_lake)
+    cols = [c for c in FINAL_COLUMNS if c != "applied_lsn"]
+    return lake_final_table(replica).select(cols)
+
+
 def cdc_indexed_value_scan(sf_dir: str) -> pd.DataFrame:
     """Non-key predicate scan through the secondary value index
     (:mod:`.colindex`): build the per-partition distinct-``lang`` zone map,
@@ -1074,6 +1111,11 @@ ORACLES: dict[str, str] = {
     FROM reconciled ORDER BY repo, path""",
     # a published snapshot is a faithful copy of the logical table
     "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # anti-entropy repair converges replica content to the source's LWW
+    # state (applied_lsn excluded: repair stamps its own DML epoch LSNs)
+    "cdc_repair_replica": ORACLE_SRC + """
+    SELECT repo, path, "commit", lang, content, content_sha256, size_bytes
+    FROM final ORDER BY repo, path""",
     # zone-map-pruned non-key predicate read == unpruned filtered aggregate
     "cdc_indexed_value_scan": ORACLE_SRC + """
     SELECT repo,

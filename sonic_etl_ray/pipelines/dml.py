@@ -506,3 +506,46 @@ def reconcile_snapshot(
         f"delete_missing={delete_missing} at_lsn={at_lsn}", epoch,
         nparts, track_history, merge_mode,
     )
+
+
+def repair_replica(
+    replica_dir: str,
+    source_dir: str,
+    *,
+    as_of_source: int | None = None,
+    num_partitions: int | None = None,
+    track_history: bool = False,
+    merge_mode: str = "cow",
+) -> dict[str, Any]:
+    """Anti-entropy repair: converge a drifted replica's CONTENT to the
+    source's live state — the action half of :func:`~.ingest.diff_lakes`
+    (which only reports drift).
+
+    Reads the source through ``read_lake`` (zero-copy scan; ``as_of_source``
+    pins a time-travel frontier for lag-tolerant repair) and MERGEs it into
+    the replica via :func:`reconcile_snapshot` with ``delete_missing=True``:
+    missing keys insert, differing keys update, extra replica keys delete.
+    Only differences become events — an in-sync replica commits noops and
+    rewrites nothing, so periodic repair is O(drift), not O(lake).
+
+    Converges the logical content (the ``content_sha256`` invariant
+    ``diff_lakes`` verifies), NOT the per-key ``applied_lsn`` watermarks:
+    repair events are stamped by the replica's own DML epoch (they must win
+    over whatever divergent history the replica holds, including keys whose
+    local LSN ran AHEAD of the source). ``diff_lakes`` on sha256 reads clean
+    after repair; LSN lineage records the repair, as an audit trail should.
+
+    Reference analog: the daily backfill DAG re-publishing missing ranges
+    (`daily_qc_airflow/daily_backfill_mainnet.py:102-159`), upgraded from
+    gap-repair to full content anti-entropy."""
+    from .ingest import read_lake
+
+    src = read_lake(source_dir, as_of_epoch=as_of_source)
+    return reconcile_snapshot(
+        replica_dir,
+        src,
+        delete_missing=True,
+        num_partitions=num_partitions,
+        track_history=track_history,
+        merge_mode=merge_mode,
+    )

@@ -504,3 +504,59 @@ def test_filtered_read_on_pre_marker_evolved_lake():
         lake, epoch=3, num_partitions=4,
     )
     assert cl.schema_ever_evolved(lake)
+
+
+def test_repair_replica_converges_and_diff_reads_clean(ray_session, tmp_path):
+    """Drifted replica (missing keys, divergent content at a HIGHER local
+    lsn, an extra key) → repair_replica → sha256 diff vs source is empty
+    and a second repair commits pure noops (O(drift) idempotence)."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.dml import repair_replica
+    from sonic_etl_ray.pipelines.ingest import apply_epoch, diff_lakes, lake_final_table
+
+    def ev(rows):
+        return pa.table(
+            {
+                "op": pa.array([r[0] for r in rows], pa.string()),
+                "lsn": pa.array([r[1] for r in rows], pa.int64()),
+                "repo": pa.array([r[2] for r in rows], pa.string()),
+                "path": pa.array([r[3] for r in rows], pa.string()),
+                "commit": pa.array([f"c{r[1]}" for r in rows], pa.string()),
+                "lang": pa.array(["t"] * len(rows), pa.string()),
+                "content": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    apply_epoch(
+        ray.data.from_arrow(
+            ev([("insert", i, f"r{i%3}", f"f{i}", f"body {i}") for i in range(30)])
+        ),
+        src, epoch=0, num_partitions=4,
+    )
+    # replica: only even keys; f0 diverges with a HIGHER local lsn; extra key
+    apply_epoch(
+        ray.data.from_arrow(
+            ev(
+                [("insert", i, f"r{i%3}", f"f{i}", f"body {i}") for i in range(0, 30, 2)]
+                + [("insert", 999, "r0", "f0", "diverged"), ("insert", 998, "zz", "extra", "x")]
+            )
+        ),
+        rep, epoch=0, num_partitions=4,
+    )
+    assert diff_lakes(rep, src).count() > 0
+    stats = repair_replica(rep, src)
+    assert diff_lakes(rep, src).count() == 0
+    a = lake_final_table(rep).select(["repo", "path", "content"]).to_pandas()
+    b = lake_final_table(src).select(["repo", "path", "content"]).to_pandas()
+    key = ["repo", "path", "content"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    # idempotence: a second repair changes nothing (all-noop commits)
+    before = lake_final_table(rep)
+    repair_replica(rep, src)
+    assert lake_final_table(rep).equals(before)
