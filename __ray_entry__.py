@@ -718,6 +718,12 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_cdc_clone_branch(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_clone_branch
+
+    return cdc_clone_branch(sf_dir)
+
+
 def _q_cdc_repair_replica(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_repair_replica
 
@@ -786,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_by_token_budget": _q_mixture,
         "cdc_indexed_value_scan": _q_cdc_indexed_value_scan,
         "cdc_repair_replica": _q_cdc_repair_replica,
+        "cdc_clone_branch": _q_cdc_clone_branch,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

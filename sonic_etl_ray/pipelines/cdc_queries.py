@@ -222,6 +222,23 @@ def cdc_repair_replica(sf_dir: str) -> pa.Table:
     return lake_final_table(replica).select(cols)
 
 
+def cdc_clone_branch(sf_dir: str) -> pa.Table:
+    """Branch-and-diverge: zero-copy clone of the replay lake (hardlinked
+    immutable artifacts, :func:`~sonic_etl_ray.pipelines.ingest.clone_lake`),
+    then a bulk DELETE on the BRANCH only. Returns the branch's final state
+    (oracle: LWW final minus the predicate's rows, applied_lsn intact —
+    survivors are byte-identical); the source staying untouched is pinned
+    in pytest."""
+    from .dml import delete_where
+    from ..pipelines.ingest import clone_lake
+
+    src_lake = _vanilla_lake(sf_dir)  # shared read-only replay
+    branch = scratch_lake_dir("branch")
+    clone_lake(src_lake, branch)
+    delete_where(branch, pc.field("lang") == "view")
+    return lake_final_table(branch).select(FINAL_COLUMNS)
+
+
 def cdc_indexed_value_scan(sf_dir: str) -> pd.DataFrame:
     """Non-key predicate scan through the secondary value index
     (:mod:`.colindex`): build the per-partition distinct-``lang`` zone map,
@@ -1111,6 +1128,9 @@ ORACLES: dict[str, str] = {
     FROM reconciled ORDER BY repo, path""",
     # a published snapshot is a faithful copy of the logical table
     "cdc_export_snapshot": ORACLE_SRC + "SELECT * FROM final ORDER BY repo, path",
+    # a branch after clone + DELETE = the LWW state minus the predicate
+    "cdc_clone_branch": ORACLE_SRC
+    + "SELECT * FROM final WHERE lang <> 'view' ORDER BY repo, path",
     # anti-entropy repair converges replica content to the source's LWW
     # state (applied_lsn excluded: repair stamps its own DML epoch LSNs)
     "cdc_repair_replica": ORACLE_SRC + """

@@ -2909,3 +2909,60 @@ def schema_history(lake_dir: str) -> "pd.DataFrame":  # noqa: F821
     out["epoch"] = out["epoch"].astype("int64")
     out["n_columns"] = out["n_columns"].astype("int64")
     return out
+
+
+def clone_lake(
+    src_dir: str, dst_dir: str, exclusive: bool = False
+) -> dict[str, Any]:
+    """Zero-copy branch of a lake: hardlink every immutable artifact into a
+    new root (state/delta/history parquet, commit records, manifests,
+    checkpoints, sidecars) — the shallow-clone / branch primitive.
+
+    Why hardlinks are SAFE here: the lake's write protocol never mutates a
+    committed file in place — every apply writes NEW state files and new
+    commit records, every manifest/marker lands by tmp+rename (a rename
+    replaces the directory entry, never the shared inode), and vacuum
+    unlinks names (the other branch's link keeps the inode alive). So after
+    the clone, branches diverge freely: applies/DML on one are invisible to
+    the other, and storage is shared for exactly the bytes both still
+    reference — a 100 TB lake branches in O(file-count) driver-side
+    metadata ops, zero data movement. (Cross-device targets degrade to
+    copy; the stats report which happened.)
+
+    Consistency: cloning concurrent with a mid-epoch writer can capture a
+    torn prefix (some partitions' commit records but not the manifest) —
+    exactly the state crash-resume already handles, so the clone is always
+    OPENABLE, but ``exclusive=True`` takes the source's writer lease for
+    the walk when a clean frontier is required.
+
+    Excluded: the writer lease (a branch is a new single-writer domain)
+    and any in-flight ``.build.``/tmp staging artifacts."""
+    import shutil
+
+    token = None
+    if exclusive:
+        token = cl.acquire_writer_lease(src_dir, owner=f"clone:{os.getpid()}")
+    linked = copied = 0
+    nbytes = 0
+    try:
+        for root, dirs, files in os.walk(src_dir):
+            dirs[:] = [d for d in dirs if ".build." not in d]
+            rel = os.path.relpath(root, src_dir)
+            out_root = os.path.join(dst_dir, rel) if rel != "." else dst_dir
+            os.makedirs(out_root, exist_ok=True)
+            for name in files:
+                if name == "_WRITER_LEASE.json" or name.startswith(".manifest."):
+                    continue
+                sp = os.path.join(root, name)
+                dp = os.path.join(out_root, name)
+                try:
+                    os.link(sp, dp)
+                    linked += 1
+                except OSError:
+                    shutil.copy2(sp, dp)
+                    copied += 1
+                nbytes += os.stat(sp).st_size
+    finally:
+        if token is not None:
+            cl.release_writer_lease(src_dir, token)
+    return {"files_linked": linked, "files_copied": copied, "bytes": nbytes}
