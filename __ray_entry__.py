@@ -718,6 +718,12 @@ def _q_cdc_windowed_quantiles(sf_dir: str):
     return cdc_windowed_quantiles(sf_dir)
 
 
+def _q_cdc_windowed_topk(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_windowed_topk
+
+    return cdc_windowed_topk(sf_dir)
+
+
 def _q_cdc_clone_branch(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_clone_branch
 
@@ -793,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_indexed_value_scan": _q_cdc_indexed_value_scan,
         "cdc_repair_replica": _q_cdc_repair_replica,
         "cdc_clone_branch": _q_cdc_clone_branch,
+        "cdc_windowed_topk": _q_cdc_windowed_topk,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

@@ -758,6 +758,21 @@ def cdc_windowed_quantiles(sf_dir: str) -> pa.Table:
     return v.table()
 
 
+def cdc_windowed_topk(sf_dir: str) -> pa.Table:
+    """Watermark-gated per-window top-3 repos by event count (the streaming
+    "trending keys" view, :class:`~sonic_etl_ray.pipelines.windows.
+    TumblingTopKView`): exact per-(window, repo) counts, deterministic
+    dense rank, same applied-prefix cut as the other window views."""
+    from ..pipelines.windows import TumblingTopKView
+
+    lake = _vanilla_lake(sf_dir)
+    v = TumblingTopKView(
+        lake, window=997, k=3, view_root=scratch_lake_dir("cdcwintop")
+    )
+    v.refresh(_events_as_cdc(sf_dir))
+    return v.table()
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -1161,6 +1176,18 @@ ORACLES: dict[str, str] = {
              AS n_deletes
     FROM src, cutw WHERE lsn < cutw.c
     GROUP BY 1, 2 ORDER BY 1, 2""",
+    # per-window top-k repos by event count: same prefix cut, row_number
+    "cdc_windowed_topk": ORACLE_SRC + """
+    , cutw AS (SELECT ((MAX(lsn) + 1) // 997) * 997 AS c FROM src),
+    wc AS (
+      SELECT CAST(lsn // 997 AS BIGINT) AS window_id, repo,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM src, cutw WHERE lsn < cutw.c GROUP BY 1, 2
+    )
+    SELECT window_id, repo, n_events,
+           CAST(row_number() OVER (PARTITION BY window_id
+                ORDER BY n_events DESC, repo) AS BIGINT) AS rank
+    FROM wc QUALIFY rank <= 3 ORDER BY window_id, rank""",
     # per-window payload-size quantiles: same prefix cut, quantile_disc per
     # window over non-null payloads (the engine's k=window sketch is exact)
     "cdc_windowed_quantiles": ORACLE_SRC + """

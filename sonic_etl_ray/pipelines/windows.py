@@ -363,3 +363,60 @@ class TumblingQuantileView(TumblingWindowView):
                 "size": pa.array(out_s, pa.int64()),
             }
         )
+
+
+class TumblingTopKView(TumblingWindowView):
+    """Per-window top-k groups by event count — the streaming "trending
+    keys" view. The base count aggregate is a full (window, group) groupby
+    (exact, view-sized); the top-k cut + dense 1..k rank is a driver-side
+    fold of that already-small result. Ties break on the group ascending so
+    the view is total-order deterministic (= the oracle's
+    ``row_number() OVER (ORDER BY n_events DESC, group)``). Publication,
+    watermark gating, lateness, resume and read-back inherited unchanged."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        window: int,
+        k: int = 3,
+        lateness: int = 0,
+        group_col: str = "repo",
+        view_root: str | None = None,
+    ):
+        self.k = int(k)
+        super().__init__(
+            lake_dir, window, lateness, group_col=group_col, view_root=view_root
+        )
+
+    def _view_name(self) -> str:
+        return f"wintop-{self.group_col}-w{self.window}-l{self.lateness}-k{self.k}"
+
+    def _window_sort_keys(self) -> list[tuple[str, str]]:
+        return [("rank", "ascending")]
+
+    def _schema(self) -> pa.Schema:
+        return pa.schema(
+            [
+                ("window_id", pa.int64()),
+                (self.group_col, pa.string()),
+                ("n_events", pa.int64()),
+                ("rank", pa.int64()),
+            ]
+        )
+
+    def _aggregate(self, ds: "ray.data.Dataset") -> pa.Table:
+        base = super()._aggregate(ds)  # (window_id, group, n_events, n_deletes)
+        if base.num_rows == 0:
+            return self._empty_partials()
+        pdf = base.to_pandas()
+        pdf = pdf.sort_values(
+            ["window_id", "n_events", self.group_col],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        pdf["rank"] = pdf.groupby("window_id").cumcount() + 1
+        pdf = pdf[pdf["rank"] <= self.k]
+        return pa.Table.from_pandas(
+            pdf[["window_id", self.group_col, "n_events", "rank"]],
+            preserve_index=False,
+        )

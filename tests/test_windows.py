@@ -201,3 +201,31 @@ def test_windowed_quantile_view_approximate_k(tmp_path):
         est = int(grp["size"].iloc[0])
         true_rank = np.searchsorted(s, est, side="right") / len(s)
         assert abs(true_rank - q) < 0.15, (w, q, true_rank)  # k=64 envelope
+
+
+def test_windowed_topk_view_matches_brute_force(tmp_path):
+    from sonic_etl_ray.pipelines.windows import TumblingTopKView
+
+    files = _segments(tmp_path)
+    lake = scratch_lake_dir("wintop")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=3)
+    W, K = 997, 3
+    v = TumblingTopKView(lake, window=W, k=K)
+    r = v.refresh(files)
+    assert r["windows_finalized"] > 0
+    got = v.table().to_pandas()
+
+    hi = r["next_window"]
+    counts = _brute(files, W, 0, hi)
+    for w in range(hi):
+        rows = sorted(
+            ((n, repo) for (k, repo), (n, _) in counts.items() if k == w),
+            key=lambda x: (-x[0], x[1]),
+        )[:K]
+        g = got[got["window_id"] == w].sort_values("rank")
+        assert list(zip(g["n_events"], g[v.group_col])) == rows, w
+        assert g["rank"].tolist() == list(range(1, len(rows) + 1))
+    # idempotent re-refresh: nothing new, view unchanged
+    before = v.table()
+    assert v.refresh(files)["windows_finalized"] == 0
+    assert v.table().equals(before)
