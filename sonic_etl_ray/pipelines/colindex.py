@@ -80,12 +80,32 @@ def _part_distinct(lake_dir: str, part: int, column: str) -> pa.Table:
 def build_value_index(
     lake_dir: str, column: str, index_root: str | None = None
 ) -> str:
-    """Build (or rebuild) the zone map for ``column``. One task per
-    partition; driver folds only (part, distinct-value) rows — bounded by
-    partition count × column cardinality, never by row count."""
+    """Build (or incrementally refresh) the zone map for ``column``. One
+    task per CHANGED partition: partitions whose recorded frontier file
+    list still matches reuse their prior index rows without a read — a
+    refresh after a steady-state epoch touching k of P partitions costs
+    O(k) tasks, so the index can ride every apply cadence. Driver folds
+    only (part, distinct-value) rows — bounded by partition count × column
+    cardinality, never by row count. Returns the index dir; refresh stats
+    land in the manifest (``parts_reused`` / ``parts_rebuilt``)."""
     parts = _lake_parts(lake_dir)
     coverage = {str(p): _frontier_files(lake_dir, p) for p in parts}
-    tables = ray.get([_part_distinct.remote(lake_dir, p, column) for p in parts])
+    prior_rows: dict[int, pa.Table] = {}
+    d0 = _index_dir(lake_dir, column, index_root)
+    try:
+        with open(os.path.join(d0, "MANIFEST.json")) as f:
+            prior_man = json.load(f)
+        prior_idx = pq.read_table(os.path.join(d0, prior_man["file"]))
+        for p in parts:
+            if prior_man["coverage"].get(str(p)) == coverage[str(p)]:
+                prior_rows[p] = prior_idx.filter(
+                    pc.equal(prior_idx.column("part"), p)
+                )
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+    rebuild = [p for p in parts if p not in prior_rows]
+    fresh = ray.get([_part_distinct.remote(lake_dir, p, column) for p in rebuild])
+    tables = list(prior_rows.values()) + list(fresh)
     idx = (
         pa.concat_tables(tables)
         if tables
@@ -97,7 +117,16 @@ def build_value_index(
     pq.write_table(idx, os.path.join(d, fname), **parquet_write_kwargs())
     tmp = os.path.join(d, f".manifest.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
-        json.dump({"column": column, "file": fname, "coverage": coverage}, f)
+        json.dump(
+            {
+                "column": column,
+                "file": fname,
+                "coverage": coverage,
+                "parts_reused": len(prior_rows),
+                "parts_rebuilt": len(rebuild),
+            },
+            f,
+        )
     os.replace(tmp, os.path.join(d, "MANIFEST.json"))
     # opportunistic GC of superseded index files (readers hold the manifest
     # they opened; on shared storage keep the previous generation instead)

@@ -117,3 +117,42 @@ def test_index_root_outside_lake(lake, tmp_path):
     assert not os.path.exists(os.path.join(lake, "_colindex"))
     sel, stale = probe_parts(lake, "lang", ["rare"], index_root=root)
     assert len(sel) == 1 and stale == []
+
+
+def test_incremental_refresh_reuses_unchanged_partitions(lake):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    d = build_value_index(lake, "lang")
+    # one new epoch touching ONE key → one partition's frontier moves
+    apply_epoch(
+        ray.data.from_arrow(_events([(3000, "r1", "fresh.txt", "newlang", "x")])),
+        lake,
+        epoch=1,
+        num_partitions=P,
+    )
+    build_value_index(lake, "lang")
+    man = json.load(open(os.path.join(d, "MANIFEST.json")))
+    assert man["parts_rebuilt"] == 1 and man["parts_reused"] == P - 1
+    # refreshed index equals a from-scratch rebuild (force by nuking manifest)
+    idx_inc = (
+        pq.read_table(os.path.join(d, man["file"]))
+        .to_pandas()
+        .sort_values(["part", "value"])
+        .reset_index(drop=True)
+    )
+    os.unlink(os.path.join(d, "MANIFEST.json"))
+    build_value_index(lake, "lang")
+    man2 = json.load(open(os.path.join(d, "MANIFEST.json")))
+    assert man2["parts_rebuilt"] == P and man2["parts_reused"] == 0
+    idx_full = (
+        pq.read_table(os.path.join(d, man2["file"]))
+        .to_pandas()
+        .sort_values(["part", "value"])
+        .reset_index(drop=True)
+    )
+    assert idx_inc.equals(idx_full)
+    sel, stale = probe_parts(lake, "lang", ["newlang"])
+    assert len(sel) == 1 and stale == []
