@@ -66,9 +66,14 @@ def _index_dir(lake_dir: str, column: str, index_root: str | None) -> str:
 @ray.remote(num_cpus=1)
 def _part_distinct(lake_dir: str, part: int, column: str) -> pa.Table:
     """Distinct live values of ``column`` in one partition — a per-partition
-    Ray task reading only that column (tombstones already dropped)."""
-    tbl = _resolved_live_block(lake_dir, part, [column], None)
-    vals = pc.unique(tbl.column(column)).drop_null()
+    Ray task reading only that column (tombstones already dropped). A
+    partition whose state files predate an evolved-in column reads it as
+    all-null (empty zone map — probes correctly skip it)."""
+    try:
+        tbl = _resolved_live_block(lake_dir, part, [column], None)
+        vals = pc.unique(tbl.column(column)).drop_null()
+    except KeyError:  # column evolved in after this partition's frontier
+        vals = pa.array([], pa.string())
     return pa.table(
         {
             "part": pa.array([part] * len(vals), pa.int64()),

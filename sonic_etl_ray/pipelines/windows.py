@@ -187,14 +187,27 @@ class TumblingWindowView:
         os.replace(tmp, self._manifest_path())
         return {"windows_finalized": hi - done, "next_window": hi}
 
+    def _count_empty(self) -> pa.Table:
+        """Empty COUNT-partial table — the internal schema of
+        :meth:`_aggregate`'s stream, which subclasses overriding only
+        :meth:`_schema` (e.g. the top-k view) must not disturb."""
+        return pa.schema(
+            [
+                ("window_id", pa.int64()),
+                (self.group_col, pa.string()),
+                ("n_events", pa.int64()),
+                ("n_deletes", pa.int64()),
+            ]
+        ).empty_table()
+
     def _aggregate(self, ds: "ray.data.Dataset") -> pa.Table:
         """Reduce the pruned stream slice to one output row set
-        (``window_id`` + :meth:`_schema` columns); subclasses override."""
+        (``window_id`` + count columns); subclasses override or post-fold."""
         W, group_col = self.window, self.group_col
 
         def partials(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return self._empty_partials()
+                return self._count_empty()
             win = pc.cast(
                 pc.floor(pc.divide(pc.cast(t.column("lsn"), pa.float64()), W)),
                 pa.int64(),

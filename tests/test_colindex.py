@@ -156,3 +156,34 @@ def test_incremental_refresh_reuses_unchanged_partitions(lake):
     assert idx_inc.equals(idx_full)
     sel, stale = probe_parts(lake, "lang", ["newlang"])
     assert len(sel) == 1 and stale == []
+
+
+def test_index_on_evolved_column(lake):
+    """Indexing a column only SOME partitions carry: pre-evolution
+    partitions contribute empty zone maps (all-null reads), probes hit only
+    the evolved partition, and the pruned read equals the filtered scan."""
+    import pyarrow.compute as pc2
+    import ray.data
+
+    evolved = pa.table(
+        {
+            "op": pa.array(["insert"], pa.string()),
+            "lsn": pa.array([5000], pa.int64()),
+            "repo": pa.array(["r4"], pa.string()),
+            "path": pa.array(["lic.txt"], pa.string()),
+            "commit": pa.array(["c5000"], pa.string()),
+            "lang": pa.array(["common"], pa.string()),
+            "content": pa.array(["licensed"], pa.string()),
+            "license": pa.array(["mit"], pa.string()),
+        }
+    )
+    apply_epoch(ray.data.from_arrow(evolved), lake, epoch=1, num_partitions=P)
+    build_value_index(lake, "license")
+    sel, stale = probe_parts(lake, "license", ["mit"])
+    assert stale == [] and len(sel) == 1
+    got = read_lake_by_value(lake, "license", ["mit"], columns=["path"]).to_pandas()
+    want = (
+        read_lake(lake, columns=["path"], filter=pc2.field("license") == "mit")
+        .to_pandas()
+    )
+    assert sorted(got["path"]) == sorted(want["path"]) == ["lic.txt"]
