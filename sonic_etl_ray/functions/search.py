@@ -112,22 +112,15 @@ def build_token_index(
 
 
 def _ensure_index(sf_dir: str, num_buckets: int = NUM_BUCKETS) -> str:
-    """On-disk cached index keyed on (path, mtime+size, params) — same
-    cross-process cache discipline as the ANN indexes (md5 digest, not
-    salted ``hash()``; mtime+size invalidates on in-place input change)."""
-    import hashlib
-    import tempfile
+    """On-disk cached index keyed on (path, mtime+size, params) — the SAME
+    cache-key helper as the ANN indexes (md5 digest, not salted ``hash()``;
+    mtime+size invalidates on in-place input change), pointed at the
+    documents table."""
+    from .similarity import _index_cache_dir
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except FileNotFoundError:
-        stamp = "missing"
-    digest = hashlib.md5(
-        "|".join([os.path.abspath(sf_dir), stamp, str(num_buckets)]).encode()
-    ).hexdigest()[:16]
-    index_dir = os.path.join(tempfile.gettempdir(), f"tok_index_{digest}")
+    index_dir = _index_cache_dir(
+        "tok", sf_dir, num_buckets, src_name="documents.parquet"
+    )
     if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
         build_token_index(sf_dir, index_dir, num_buckets=num_buckets)
     return index_dir
@@ -178,7 +171,8 @@ def search_docs(
     hits = posts.groupby("doc_id").count()
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0 or "count()" not in b.columns:  # empty groupby block
+        if len(b) == 0:  # empty blocks can arrive schema-less; a RENAMED
+            # count column must instead fail loudly, not read as no-hits
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
         m = b["count()"].to_numpy() == len(qterms)
         return pd.DataFrame({"doc_id": b["doc_id"].to_numpy()[m].astype("int64")})
@@ -219,7 +213,7 @@ def search_ranked(
         weight[t] = 1 + (int(q).bit_length() - 1)  # 1 + floor_log2(q)
 
     def score(b: pd.DataFrame) -> pa.Table:
-        if len(b) == 0 or "term" not in b.columns:  # empty filtered block
+        if len(b) == 0:  # empty filtered blocks can arrive schema-less
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
             )

@@ -204,8 +204,11 @@ def ivf_topk(
     return top.to_pandas().reset_index(drop=True)
 
 
-def _index_cache_dir(kind: str, sf_dir: str, *params) -> str:
-    """Deterministic on-disk cache location for a derived ANN index.
+def _index_cache_dir(
+    kind: str, sf_dir: str, *params, src_name: str = "embeddings.parquet"
+) -> str:
+    """Deterministic on-disk cache location for a derived index (shared by
+    the ANN indexes here and the inverted token index in :mod:`.search`).
 
     The key digests (source path, source file mtime+size, params) with md5 —
     NOT ``hash()``, whose PYTHONHASHSEED salt changes per process and made
@@ -217,7 +220,7 @@ def _index_cache_dir(kind: str, sf_dir: str, *params) -> str:
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, src_name)
     try:
         st = os.stat(src)
         stamp = f"{st.st_mtime_ns}:{st.st_size}"

@@ -762,7 +762,8 @@ def cdc_windowed_topk(sf_dir: str) -> pa.Table:
     """Watermark-gated per-window top-3 repos by event count (the streaming
     "trending keys" view, :class:`~sonic_etl_ray.pipelines.windows.
     TumblingTopKView`): exact per-(window, repo) counts, deterministic
-    dense rank, same applied-prefix cut as the other window views."""
+    total-order rank (row_number semantics: ties get distinct ranks by
+    the group tie-break), same applied-prefix cut as the other window views."""
     from ..pipelines.windows import TumblingTopKView
 
     lake = _vanilla_lake(sf_dir)

@@ -95,22 +95,28 @@ def build_value_index(
     land in the manifest (``parts_reused`` / ``parts_rebuilt``)."""
     parts = _lake_parts(lake_dir)
     coverage = {str(p): _frontier_files(lake_dir, p) for p in parts}
-    prior_rows: dict[int, pa.Table] = {}
+    reused: pa.Table | None = None
+    reused_parts: set[int] = set()
     d0 = _index_dir(lake_dir, column, index_root)
     try:
         with open(os.path.join(d0, "MANIFEST.json")) as f:
             prior_man = json.load(f)
         prior_idx = pq.read_table(os.path.join(d0, prior_man["file"]))
-        for p in parts:
-            if prior_man["coverage"].get(str(p)) == coverage[str(p)]:
-                prior_rows[p] = prior_idx.filter(
-                    pc.equal(prior_idx.column("part"), p)
+        reused_parts = {
+            p for p in parts if prior_man["coverage"].get(str(p)) == coverage[str(p)]
+        }
+        if reused_parts:  # ONE pass over the prior index, not one per part
+            reused = prior_idx.filter(
+                pc.is_in(
+                    prior_idx.column("part"),
+                    value_set=pa.array(sorted(reused_parts), pa.int64()),
                 )
+            )
     except (OSError, json.JSONDecodeError, KeyError):
-        pass
-    rebuild = [p for p in parts if p not in prior_rows]
+        reused, reused_parts = None, set()
+    rebuild = [p for p in parts if p not in reused_parts]
     fresh = ray.get([_part_distinct.remote(lake_dir, p, column) for p in rebuild])
-    tables = list(prior_rows.values()) + list(fresh)
+    tables = ([reused] if reused is not None else []) + list(fresh)
     idx = (
         pa.concat_tables(tables)
         if tables
@@ -127,18 +133,26 @@ def build_value_index(
                 "column": column,
                 "file": fname,
                 "coverage": coverage,
-                "parts_reused": len(prior_rows),
+                "parts_reused": len(reused_parts),
                 "parts_rebuilt": len(rebuild),
             },
             f,
         )
     os.replace(tmp, os.path.join(d, "MANIFEST.json"))
-    # opportunistic GC of superseded index files (readers hold the manifest
-    # they opened; on shared storage keep the previous generation instead)
+    # opportunistic GC of superseded index files, with a grace window: a
+    # CONCURRENT builder may have written its parquet but not yet published
+    # its manifest — deleting it would leave that manifest pointing at a
+    # missing file (probes would then silently full-scan forever). Age
+    # gating makes the race harmless: in-flight builds finish in seconds.
+    import time
+
+    cutoff = time.time() - 300
     for old in os.listdir(d):
         if old.startswith("index-") and old != fname:
+            p_old = os.path.join(d, old)
             try:
-                os.unlink(os.path.join(d, old))
+                if os.stat(p_old).st_mtime < cutoff:
+                    os.unlink(p_old)
             except OSError:
                 pass
     return d
@@ -157,10 +171,14 @@ def probe_parts(
         with open(mpath) as f:
             man = json.load(f)
         idx = pq.read_table(os.path.join(d, man["file"]))
-    except (OSError, json.JSONDecodeError):
-        return None
+    except (OSError, json.JSONDecodeError, KeyError):
+        return None  # missing/unreadable/foreign-format index = full scan
     hits: set[int] = set()
-    vset = set(map(str, values))
+    # canonicalize probe values through the SAME Arrow cast the index build
+    # used (pc.unique(col).cast(string)) — str(True) is 'True' but Arrow
+    # casts a bool to 'true'; mismatched forms would silently prune away
+    # real matches on non-string columns
+    vset = set(pa.array(list(values)).cast(pa.string()).to_pylist())
     pcol = idx.column("part").to_pylist()
     vcol = idx.column("value").to_pylist()
     for p, v in zip(pcol, vcol):

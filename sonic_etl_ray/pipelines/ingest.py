@@ -2958,10 +2958,16 @@ def clone_lake(
                 try:
                     os.link(sp, dp)
                     linked += 1
+                except FileNotFoundError:
+                    continue  # vacuum/compaction unlinked it mid-walk: the
+                    # clone just looks like the already-vacuumed source
                 except OSError:
-                    shutil.copy2(sp, dp)
-                    copied += 1
-                nbytes += os.stat(sp).st_size
+                    try:
+                        shutil.copy2(sp, dp)
+                        copied += 1
+                    except FileNotFoundError:
+                        continue
+                nbytes += os.stat(dp).st_size  # dp: the inode we now hold
     finally:
         if token is not None:
             cl.release_writer_lease(src_dir, token)

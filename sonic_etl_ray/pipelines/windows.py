@@ -381,7 +381,9 @@ class TumblingQuantileView(TumblingWindowView):
 class TumblingTopKView(TumblingWindowView):
     """Per-window top-k groups by event count — the streaming "trending
     keys" view. The base count aggregate is a full (window, group) groupby
-    (exact, view-sized); the top-k cut + dense 1..k rank is a driver-side
+    (exact, view-sized); the top-k cut + total-order 1..k rank (row_number
+    semantics: ties take distinct ranks via the group tie-break) is a
+    driver-side
     fold of that already-small result. Ties break on the group ascending so
     the view is total-order deterministic (= the oracle's
     ``row_number() OVER (ORDER BY n_events DESC, group)``). Publication,

@@ -187,3 +187,31 @@ def test_index_on_evolved_column(lake):
         .to_pandas()
     )
     assert sorted(got["path"]) == sorted(want["path"]) == ["lic.txt"]
+
+
+def test_probe_canonicalizes_non_string_values(lake):
+    """Zone maps store Arrow cast-to-string forms; probes must canonicalize
+    the same way (str(True) = 'True' but Arrow casts bool to 'true') or
+    non-string columns silently prune away real matches."""
+    import pyarrow.compute as pc2
+    import ray.data
+
+    flagged = pa.table(
+        {
+            "op": pa.array(["insert"], pa.string()),
+            "lsn": pa.array([7000], pa.int64()),
+            "repo": pa.array(["r2"], pa.string()),
+            "path": pa.array(["flag.txt"], pa.string()),
+            "commit": pa.array(["c7000"], pa.string()),
+            "lang": pa.array(["common"], pa.string()),
+            "content": pa.array(["flagged"], pa.string()),
+            "flag": pa.array([True], pa.bool_()),
+        }
+    )
+    apply_epoch(ray.data.from_arrow(flagged), lake, epoch=1, num_partitions=P)
+    build_value_index(lake, "flag")
+    sel, stale = probe_parts(lake, "flag", [True])
+    assert stale == [] and len(sel) == 1
+    got = read_lake_by_value(lake, "flag", [True], columns=["path"]).to_pandas()
+    want = read_lake(lake, columns=["path"], filter=pc2.field("flag") == True)  # noqa: E712
+    assert got["path"].tolist() == want.to_pandas()["path"].tolist() == ["flag.txt"]
