@@ -774,6 +774,20 @@ def cdc_windowed_topk(sf_dir: str) -> pa.Table:
     return v.table()
 
 
+def cdc_session_windows(sf_dir: str) -> pa.Table:
+    """Gap-closed session windows per repo over the change stream
+    (:class:`~sonic_etl_ray.pipelines.windows.SessionView`, gap=25 LSNs):
+    only sessions whose gap has provably elapsed under the applied
+    watermark are emitted — the oracle closes sessions with the same
+    ``last_lsn + gap <= max(lsn)`` rule over the full stream."""
+    from ..pipelines.windows import SessionView
+
+    lake = _vanilla_lake(sf_dir)
+    v = SessionView(lake, gap=25, view_root=scratch_lake_dir("cdcsess"))
+    v.refresh(_events_as_cdc(sf_dir))
+    return v.table()
+
+
 def cdc_feed_incremental_view(sf_dir: str) -> pd.DataFrame:
     """Downstream per-lang aggregate maintained ONLY from the change feed
     (insert/update post-images add, update_preimage/delete pre-images
@@ -1177,6 +1191,26 @@ ORACLES: dict[str, str] = {
              AS n_deletes
     FROM src, cutw WHERE lsn < cutw.c
     GROUP BY 1, 2 ORDER BY 1, 2""",
+    # gap-closed sessions: gaps-and-islands per repo; a session is emitted
+    # iff its gap has elapsed under the watermark (max applied lsn)
+    "cdc_session_windows": ORACLE_SRC + """
+    , o AS (
+      SELECT repo, lsn,
+             CASE WHEN lsn - lag(lsn) OVER (PARTITION BY repo ORDER BY lsn) > 25
+                    OR lag(lsn) OVER (PARTITION BY repo ORDER BY lsn) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM src
+    ), g AS (
+      SELECT repo, lsn, SUM(brk) OVER (PARTITION BY repo ORDER BY lsn) AS sid
+      FROM o
+    ), sess AS (
+      SELECT repo, CAST(MIN(lsn) AS BIGINT) AS start_lsn,
+             CAST(MAX(lsn) AS BIGINT) AS last_lsn,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY repo, sid
+    ), wm AS (SELECT MAX(lsn) AS w FROM src)
+    SELECT repo, start_lsn, last_lsn, n_events FROM sess, wm
+    WHERE last_lsn + 25 <= wm.w ORDER BY repo, start_lsn""",
     # per-window top-k repos by event count: same prefix cut, row_number
     "cdc_windowed_topk": ORACLE_SRC + """
     , cutw AS (SELECT ((MAX(lsn) + 1) // 997) * 997 AS c FROM src),

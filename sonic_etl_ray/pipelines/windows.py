@@ -435,3 +435,253 @@ class TumblingTopKView(TumblingWindowView):
             pdf[["window_id", self.group_col, "n_events", "rank"]],
             preserve_index=False,
         )
+
+
+class SessionView:
+    """Gap-closed session windows per key over the change stream — the
+    stateful streaming-window shape (tumbling views tile the LSN axis;
+    sessions don't tile, they CLOSE when the key goes quiet).
+
+    Semantics: consecutive events of a key belong to one session while the
+    LSN gap between them is ≤ ``gap``; a session is FINAL exactly when
+    ``last_lsn + gap <= watermark`` — no future event can rejoin it, since
+    every unapplied event has ``lsn > watermark`` (epochs apply in stream
+    order). Emitted once, never revised.
+
+    Incremental state: the carried OPEN sessions (one row per key at most
+    ``O(live keys)``) ride a per-tick Parquet file; each refresh reads only
+    the newly applied LSN span (footer-pruned segments), pre-sessionizes
+    per batch (a mergeable interval summary: within-batch sessions of
+    (key, start, last, n)), folds partial sessions + carried state with one
+    vectorized pass, and splits closed from still-open. Crash-safe by the
+    same discipline as the tumbling views: per-tick files land tmp+rename
+    BEFORE the manifest advances; a killed tick replays identically.
+
+    Scale note: the fold input is partial sessions (events collapse within
+    batches), view-sized rather than stream-sized; at extreme key
+    cardinality the same fold runs per hash bucket (the
+    ``sliding_user_window`` exchange pattern) — the in-driver vectorized
+    fold here is the single-node realization."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        gap: int,
+        key_col: str = "repo",
+        view_root: str | None = None,
+    ):
+        if gap <= 0:
+            raise ValueError("gap must be positive")
+        self.lake_dir = lake_dir
+        self.gap = int(gap)
+        self.key_col = key_col
+        self.view_dir = os.path.join(
+            view_root or os.path.join(lake_dir, "_views"),
+            f"sess-{key_col}-g{self.gap}",
+        )
+
+    # ------------------------------------------------------------ manifest
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.view_dir, "VIEW.json")
+
+    def _manifest(self) -> dict[str, Any]:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {"processed_lsn": -1, "tick": 0, "closed_files": [], "open_file": None}
+
+    # ------------------------------------------------------------- refresh
+
+    def _span_partials(self, stream, lo: int, hi: int) -> "Any":
+        """Partial sessions of the [lo, hi] LSN span: per-batch interval
+        summaries (key, start_lsn, last_lsn, n_events)."""
+        import pandas as pd
+
+        flt = (pc.field("lsn") >= lo) & (pc.field("lsn") <= hi)
+        if isinstance(stream, list):
+            files = []
+            for f in stream:
+                rng = _segment_lsn_range(f)
+                if rng is not None and rng[0] <= hi and rng[1] >= lo:
+                    files.append(f)
+            if not files:
+                return None
+            ds = ray.data.read_parquet(files, columns=["lsn", self.key_col], filter=flt)
+        else:
+            ds = stream.filter(expr=f"lsn >= {lo} and lsn <= {hi}")
+        G, key = self.gap, self.key_col
+
+        def partial(b: "pd.DataFrame") -> "pd.DataFrame":
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {
+                        key: pd.Series(dtype="object"),
+                        "start_lsn": pd.Series(dtype="int64"),
+                        "last_lsn": pd.Series(dtype="int64"),
+                        "n_events": pd.Series(dtype="int64"),
+                    }
+                )
+            b = b.sort_values([key, "lsn"], kind="stable")
+            brk = (b[key].to_numpy() != b[key].shift().to_numpy()) | (
+                b["lsn"].to_numpy() - b["lsn"].shift().fillna(-(10**18)).to_numpy() > G
+            )
+            sid = brk.cumsum()
+            g = b.groupby(sid, sort=False)
+            out = pd.DataFrame(
+                {
+                    key: g[key].first(),
+                    "start_lsn": g["lsn"].min().astype("int64"),
+                    "last_lsn": g["lsn"].max().astype("int64"),
+                    "n_events": g["lsn"].size().astype("int64"),
+                }
+            )
+            return out.reset_index(drop=True)
+
+        return ds.map_batches(partial, batch_format="pandas")
+
+    def refresh(self, stream: "list[str] | ray.data.Dataset") -> dict[str, Any]:
+        """Process the newly applied LSN span; returns
+        {"sessions_closed": n, "open_sessions": m, "processed_lsn": wm}."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        man = self._manifest()
+        wm = applied_watermark(self.lake_dir)
+        done = int(man["processed_lsn"])
+        if wm <= done:
+            return {
+                "sessions_closed": 0,
+                "open_sessions": None,
+                "processed_lsn": done,
+            }
+        parts_ds = self._span_partials(stream, done + 1, wm)
+        key = self.key_col
+        cols = [key, "start_lsn", "last_lsn", "n_events"]
+        frames = []
+        if parts_ds is not None:
+            pdf = parts_ds.to_pandas()
+            if not pdf.empty:
+                frames.append(pdf[cols])
+        if man["open_file"]:
+            frames.append(
+                pq.read_table(os.path.join(self.view_dir, man["open_file"]))
+                .to_pandas()[cols]
+            )
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+            allp = allp.sort_values([key, "start_lsn"], kind="stable")
+            k = allp[key].to_numpy()
+            start = allp["start_lsn"].to_numpy(np.int64)
+            last = allp["last_lsn"].to_numpy(np.int64)
+            n = allp["n_events"].to_numpy(np.int64)
+            # partial sessions from different batches may interleave per
+            # key; the merge rule is start − max(previous lasts in the
+            # run) ≤ gap, so compute the per-key running max of `last`
+            # (vectorized grouped cummax — no Python loop)
+            seg_start = np.ones(len(allp), dtype=bool)
+            seg_start[1:] = k[1:] != k[:-1]
+            seg_id = np.cumsum(seg_start)
+            run_max = (
+                pd.Series(last).groupby(seg_id).cummax().to_numpy(np.int64)
+            )
+            brk = np.ones(len(allp), dtype=bool)
+            prev_run_max = np.empty_like(run_max)
+            prev_run_max[0] = -(10**18)
+            prev_run_max[1:] = run_max[:-1]
+            brk[1:] = (k[1:] != k[:-1]) | (start[1:] - prev_run_max[1:] > self.gap)
+            sid = np.cumsum(brk)
+            merged = pd.DataFrame(
+                {key: k, "start_lsn": start, "last_lsn": last, "n_events": n, "sid": sid}
+            )
+            g = merged.groupby("sid", sort=False)
+            sess = pd.DataFrame(
+                {
+                    key: g[key].first(),
+                    "start_lsn": g["start_lsn"].min().astype("int64"),
+                    "last_lsn": g["last_lsn"].max().astype("int64"),
+                    "n_events": g["n_events"].sum().astype("int64"),
+                }
+            ).reset_index(drop=True)
+        else:
+            sess = pd.DataFrame(
+                {
+                    key: pd.Series(dtype="object"),
+                    "start_lsn": pd.Series(dtype="int64"),
+                    "last_lsn": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        closed_mask = sess["last_lsn"].to_numpy(np.int64) + self.gap <= wm
+        closed = sess[closed_mask].sort_values([key, "start_lsn"], kind="stable")
+        open_ = sess[~closed_mask].sort_values([key, "start_lsn"], kind="stable")
+
+        os.makedirs(self.view_dir, exist_ok=True)
+        tick = int(man["tick"])
+        closed_name = f"closed-{tick:06d}.parquet"
+        open_name = f"open-{tick:06d}.parquet"
+        schema = pa.schema(
+            [
+                (key, pa.string()),
+                ("start_lsn", pa.int64()),
+                ("last_lsn", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        )
+        for name, df in ((closed_name, closed), (open_name, open_)):
+            t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+            t = t.cast(schema) if t.num_rows else schema.empty_table()
+            pq.write_table(t, os.path.join(self.view_dir, name + ".tmp"))
+            os.replace(
+                os.path.join(self.view_dir, name + ".tmp"),
+                os.path.join(self.view_dir, name),
+            )
+        new_man = {
+            "processed_lsn": int(wm),
+            "tick": tick + 1,
+            "closed_files": list(man["closed_files"]) + [closed_name],
+            "open_file": open_name,
+            "gap": self.gap,
+            "key_col": key,
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_man, f)
+        os.replace(tmp, self._manifest_path())
+        return {
+            "sessions_closed": int(len(closed)),
+            "open_sessions": int(len(open_)),
+            "processed_lsn": int(wm),
+        }
+
+    # --------------------------------------------------------------- reads
+
+    def table(self) -> pa.Table:
+        """All CLOSED sessions (manifest-listed files only), sorted."""
+        import pyarrow.parquet as pq
+
+        man = self._manifest()
+        tabs = [
+            pq.read_table(os.path.join(self.view_dir, f))
+            for f in man["closed_files"]
+        ]
+        schema = pa.schema(
+            [
+                (self.key_col, pa.string()),
+                ("start_lsn", pa.int64()),
+                ("last_lsn", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        )
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return schema.empty_table()
+        t = pa.concat_tables([x.cast(schema) for x in tabs])
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[(self.key_col, "ascending"), ("start_lsn", "ascending")],
+            )
+        )

@@ -229,3 +229,75 @@ def test_windowed_topk_view_matches_brute_force(tmp_path):
     before = v.table()
     assert v.refresh(files)["windows_finalized"] == 0
     assert v.table().equals(before)
+
+
+def _brute_sessions(files, G, wm):
+    """Closed sessions per repo from the raw segments (lsn <= wm)."""
+    rows = []
+    for f in files:
+        t = pq.read_table(f, columns=["lsn", "repo"])
+        rows += [x for x in zip(t["repo"].to_pylist(), t["lsn"].to_pylist()) if x[1] <= wm]
+    rows.sort()
+    out, cur = [], None
+    for repo, lsn in rows:
+        if cur is not None and repo == cur[0] and lsn - cur[2] <= G:
+            cur = (repo, cur[1], lsn, cur[3] + 1)
+        else:
+            if cur is not None:
+                out.append(cur)
+            cur = (repo, lsn, lsn, 1)
+    if cur is not None:
+        out.append(cur)
+    return [s for s in out if s[2] + G <= wm]
+
+
+def test_session_view_incremental_equals_oneshot_and_brute(tmp_path):
+    from sonic_etl_ray.pipelines.windows import SessionView, applied_watermark
+
+    files = _segments(tmp_path)
+    G = 40
+    # incremental: ingest half, refresh, ingest rest, refresh
+    lake_inc = scratch_lake_dir("sessinc")
+    half = len(files) // 2
+    run_ingest(files[:half], lake_inc, num_partitions=4, segments_per_epoch=3)
+    v = SessionView(lake_inc, gap=G)
+    r1 = v.refresh(files)
+    assert r1["sessions_closed"] > 0 and r1["open_sessions"] > 0
+    run_ingest(files, lake_inc, num_partitions=4, segments_per_epoch=3)
+    r2 = v.refresh(files)
+    got_inc = v.table().to_pandas()
+
+    # one-shot on a fully-ingested lake
+    lake_one = scratch_lake_dir("sessone")
+    run_ingest(files, lake_one, num_partitions=4, segments_per_epoch=3)
+    v1 = SessionView(lake_one, gap=G)
+    v1.refresh(files)
+    got_one = v1.table().to_pandas()
+    assert got_inc.equals(got_one)
+
+    wm = applied_watermark(lake_one)
+    want = _brute_sessions(files, G, wm)
+    got = list(
+        zip(got_one["repo"], got_one["start_lsn"], got_one["last_lsn"], got_one["n_events"])
+    )
+    assert got == want
+
+    # idempotent re-refresh: watermark unchanged → nothing new
+    r3 = v1.refresh(files)
+    assert r3["sessions_closed"] == 0
+    assert v1.table().to_pandas().equals(got_one)
+
+
+def test_session_view_boundary_session_stays_open_then_closes(tmp_path):
+    """A session still within `gap` of the watermark must NOT be emitted
+    until later events (or watermark movement) prove the gap elapsed."""
+    from sonic_etl_ray.pipelines.windows import SessionView
+
+    files = _segments(tmp_path)
+    lake = scratch_lake_dir("sessb")
+    run_ingest(files, lake, num_partitions=4, segments_per_epoch=3)
+    # a huge gap: nothing can close
+    v = SessionView(lake, gap=10**9)
+    r = v.refresh(files)
+    assert r["sessions_closed"] == 0 and r["open_sessions"] > 0
+    assert v.table().num_rows == 0
