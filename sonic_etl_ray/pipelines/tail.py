@@ -161,7 +161,12 @@ class Tailer:
             self._applied_since_state_compact = 0
         windows_finalized = 0
         for view in self.window_views:
-            windows_finalized += view.refresh(files)["windows_finalized"]
+            r = view.refresh(files)
+            # tumbling views report windows_finalized; session views report
+            # sessions_closed — both are "results finalized this tick"
+            windows_finalized += r.get(
+                "windows_finalized", r.get("sessions_closed", 0)
+            )
         self._metrics.record_tick(head, applied, skipped)
         out = {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
         if self.window_views:

@@ -301,3 +301,40 @@ def test_session_view_boundary_session_stays_open_then_closes(tmp_path):
     r = v.refresh(files)
     assert r["sessions_closed"] == 0 and r["open_sessions"] > 0
     assert v.table().num_rows == 0
+
+
+def test_tailer_drives_session_view(tmp_path):
+    """SessionView rides the Tailer's window_views hook: sessions close as
+    the tailing watermark advances, and the final view equals brute force."""
+    import os
+    import shutil
+
+    from sonic_etl_ray.pipelines.tail import Tailer
+    from sonic_etl_ray.pipelines.windows import SessionView, applied_watermark
+
+    seg = str(tmp_path / "segments")
+    generate_stream(seg, StreamSpec(n_events=4000, n_repos=7, seed=23, segment_size=500))
+    files = sorted(glob.glob(seg + "/segment_*.parquet"))
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for f in files[:4]:
+        shutil.copy(f, live)
+
+    lake = scratch_lake_dir("sesstail")
+    G = 40
+    v = SessionView(lake, gap=G)
+    t = Tailer(live, lake, num_partitions=4, segments_per_epoch=2, window_views=[v])
+    r1 = t.tick()
+    assert r1["windows_finalized"] > 0
+    n_after_first = v.table().num_rows
+    for f in files[4:]:
+        shutil.copy(f, live)
+    t.tick()
+    got = v.table().to_pandas()
+    assert got.shape[0] > n_after_first
+    wm = applied_watermark(lake)
+    want = _brute_sessions(files, G, wm)
+    assert (
+        list(zip(got["repo"], got["start_lsn"], got["last_lsn"], got["n_events"]))
+        == want
+    )
