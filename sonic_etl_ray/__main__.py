@@ -204,6 +204,32 @@ def main(argv: list[str] | None = None) -> int:
     uw.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     uw.add_argument("--track-history", action="store_true")
 
+    cl_ = sub.add_parser(
+        "clone", help="zero-copy branch of a lake (hardlinked immutable artifacts)"
+    )
+    cl_.add_argument("--src", required=True)
+    cl_.add_argument("--dst", required=True)
+    cl_.add_argument(
+        "--exclusive", action="store_true",
+        help="hold the source writer lease for the walk (clean frontier)",
+    )
+
+    rr = sub.add_parser(
+        "repair-replica",
+        help="anti-entropy: converge a drifted replica's content to the source",
+    )
+    rr.add_argument("--replica", required=True)
+    rr.add_argument("--src", required=True)
+    rr.add_argument("--as-of-source", type=int, default=None)
+    rr.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+
+    ix = sub.add_parser(
+        "index", help="build/refresh the secondary value index for a column"
+    )
+    ix.add_argument("--lake", required=True)
+    ix.add_argument("--column", required=True)
+    ix.add_argument("--index-root", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -273,6 +299,44 @@ def main(argv: list[str] | None = None) -> int:
             )
         res["parts_touched"] = len(res["parts_touched"])
         print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return 0
+    if args.cmd == "clone":
+        from .pipelines.ingest import clone_lake
+
+        print(json.dumps(clone_lake(args.src, args.dst, exclusive=args.exclusive)))
+        return 0
+    if args.cmd == "repair-replica":
+        _ray_init(args.num_cpus)  # source scan + diff + apply are Ray jobs
+        from .pipelines.dml import repair_replica
+
+        res = repair_replica(
+            args.replica, args.src,
+            as_of_source=args.as_of_source, merge_mode=args.merge_mode,
+        )
+        res["parts_touched"] = len(res.get("parts_touched", []))
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return 0
+    if args.cmd == "index":
+        _ray_init(args.num_cpus)  # per-partition distinct-value tasks
+        import json as _json
+        import os
+
+        from .pipelines.colindex import build_value_index
+
+        d = build_value_index(args.lake, args.column, index_root=args.index_root)
+        with open(os.path.join(d, "MANIFEST.json")) as f:
+            man = _json.load(f)
+        print(json.dumps({
+            "index_dir": d,
+            "parts_reused": man["parts_reused"],
+            "parts_rebuilt": man["parts_rebuilt"],
+        }))
         import ray
 
         ray.shutdown()

@@ -82,3 +82,22 @@ def test_cli_bulk_dml(tmp_path):
     q = _run("--num-cpus", "2", "qc", "--lake", lake)
     assert q["counts_ok"] is True
     assert n_deleted > 0
+
+
+def test_cli_clone_index_repair(tmp_path):
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    branch = str(tmp_path / "branch")
+    _run("generate", "--out", segs, "--events", "2000", "--segment-size", "500")
+    _run("ingest", "--segments", segs, "--lake", lake, "--partitions", "4")
+    r = _run("clone", "--src", lake, "--dst", branch)
+    assert r["files_linked"] > 0 and r["files_copied"] == 0
+    r = _run("index", "--lake", lake, "--column", "lang")
+    assert r["parts_rebuilt"] > 0
+    r = _run("index", "--lake", lake, "--column", "lang")  # refresh = all reused
+    assert r["parts_rebuilt"] == 0 and r["parts_reused"] > 0
+    r = _run("delete-where", "--lake", branch, "--where", "repo=org0/repo0")
+    assert r["n_rows_affected"] > 0
+    r = _run("repair-replica", "--replica", branch, "--src", lake)
+    assert r["n_rows_affected"] > 0
+    r = _run("repair-replica", "--replica", branch, "--src", lake)  # converged
+    assert r["n_rows_affected"] == 0
