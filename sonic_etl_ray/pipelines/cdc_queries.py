@@ -774,6 +774,19 @@ def cdc_windowed_topk(sf_dir: str) -> pa.Table:
     return v.table()
 
 
+def cdc_lake_stats(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE over the replay lake: exact per-column min/max/null/ndv of
+    the live state (:func:`~sonic_etl_ray.pipelines.qc.analyze_lake`) —
+    the oracle recomputes each statistic from the LWW snapshot."""
+    from ..pipelines.qc import analyze_lake
+
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
+    out = analyze_lake(lake, ["repo", "lang", "size_bytes", "applied_lsn"])
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
 def cdc_session_windows(sf_dir: str) -> pa.Table:
     """Gap-closed session windows per repo over the change stream
     (:class:`~sonic_etl_ray.pipelines.windows.SessionView`, gap=25 LSNs):
@@ -1191,6 +1204,30 @@ ORACLES: dict[str, str] = {
              AS n_deletes
     FROM src, cutw WHERE lsn < cutw.c
     GROUP BY 1, 2 ORDER BY 1, 2""",
+    # ANALYZE: every statistic recomputed from the LWW snapshot per column
+    "cdc_lake_stats": ORACLE_SRC + """
+    , stats AS (
+      SELECT 'applied_lsn' AS "column",
+             CAST(MIN(applied_lsn) AS VARCHAR) AS min_v,
+             CAST(MAX(applied_lsn) AS VARCHAR) AS max_v,
+             CAST(COUNT(*) FILTER (applied_lsn IS NULL) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT applied_lsn) AS BIGINT) AS n_distinct
+      FROM final
+      UNION ALL
+      SELECT 'lang', CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
+             CAST(COUNT(*) FILTER (lang IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT lang) AS BIGINT) FROM final
+      UNION ALL
+      SELECT 'repo', CAST(MIN(repo) AS VARCHAR), CAST(MAX(repo) AS VARCHAR),
+             CAST(COUNT(*) FILTER (repo IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT repo) AS BIGINT) FROM final
+      UNION ALL
+      SELECT 'size_bytes', CAST(MIN(size_bytes) AS VARCHAR),
+             CAST(MAX(size_bytes) AS VARCHAR),
+             CAST(COUNT(*) FILTER (size_bytes IS NULL) AS BIGINT),
+             CAST(COUNT(DISTINCT size_bytes) AS BIGINT) FROM final
+    )
+    SELECT * FROM stats ORDER BY "column" """,
     # gap-closed sessions: gaps-and-islands per repo; a session is emitted
     # iff its gap has elapsed under the watermark (max applied lsn)
     "cdc_session_windows": ORACLE_SRC + """

@@ -1781,7 +1781,7 @@ def read_lake(
     # a crashed pre-cursor fused batch could be scanned into it. Any single
     # post-upgrade apply ends that era.)
     unified = None
-    if filter is not None and (
+    if (filter is not None or columns is not None) and (
         cl.schema_ever_evolved(lake_dir) or not cl.has_rolling_frontier(lake_dir)
     ):
         unified, homogeneous = _lake_frontier_schemas(lake_dir, as_of_epoch)
@@ -1812,12 +1812,23 @@ def read_lake(
     if unified is not None:
         # schema override + columns kwarg can't combine (ray 2.49 checks
         # output blocks against the FULL provided schema and the projected
-        # blocks mismatch it) — read with the override, project after; the
-        # filter still needs the un-projected evolved columns anyway
-        ds = ray.data.read_parquet(
-            clean_files, partitioning=None, schema=unified, **kwargs
-        )
-        ds = ds.select_columns(columns) if columns is not None else ds.drop_columns(["deleted"])
+        # blocks mismatch it) — read with the override, project after. A
+        # SUBSET schema both projects and null-extends evolved columns a
+        # fragment doesn't carry, so a columns-only read stays pruned; with
+        # a user filter the un-projected evolved columns may be referenced,
+        # so that path reads the full unified schema.
+        if columns is not None and filter is None:
+            keep = set(columns) | {"deleted"}
+            sub = pa.schema([f for f in unified if f.name in keep])
+            ds = ray.data.read_parquet(
+                clean_files, partitioning=None, schema=sub, **kwargs
+            )
+            ds = ds.select_columns(columns)
+        else:
+            ds = ray.data.read_parquet(
+                clean_files, partitioning=None, schema=unified, **kwargs
+            )
+            ds = ds.select_columns(columns) if columns is not None else ds.drop_columns(["deleted"])
     elif columns is not None:
         kwargs["columns"] = columns
         ds = ray.data.read_parquet(clean_files, **kwargs)

@@ -270,3 +270,78 @@ def verify_lake_counts(lake_dir: str) -> bool:
         if actual != info["n_rows"]:
             return False
     return True
+
+
+def analyze_lake(lake_dir: str, columns: list[str]) -> "Any":
+    """ANALYZE: exact per-column statistics of the lake's live state —
+    (column, min_v, max_v, n_nulls, n_distinct), min/max rendered as
+    strings (BIGINT via str(int), matching SQL CAST AS VARCHAR).
+
+    Shape: one column-pruned pass; each batch emits its DISTINCT values
+    per column (plus one null-count row per column), one groupby dedupes —
+    shuffle volume is unique values, never rows (the exact-count-distinct
+    combiner pattern). min/max fold over the deduped value set in the
+    column's native dtype (string compare of stringified ints would order
+    '10' < '9'). The reference's analog is BigQuery's automatic table
+    stats; here it is an explicit, oracle-checked QC op."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .ingest import read_lake
+
+    ds = read_lake(lake_dir, columns=columns)
+    dtypes = {f.name: f.type for f in ds.schema().base_schema}
+
+    # null-count rows ride the same exchange under a NUL-prefixed sentinel
+    # (a None value would break the sort-based groupby's key ordering);
+    # real values can't collide: no lake column carries NUL bytes
+    NULLS = "\x00__nulls__"
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, vals, ns = [], [], []
+        for c in columns:
+            arr = t.column(c)
+            uniq = pc.unique(arr.drop_null()).cast(pa.string())
+            cols += [c] * len(uniq)
+            vals += uniq.to_pylist()
+            ns += [1] * len(uniq)
+            cols.append(c)
+            vals.append(NULLS)
+            ns.append(arr.null_count)
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["column", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for c in columns:
+        sub = merged[merged["column"] == c]
+        is_null_row = sub["value"] == NULLS
+        n_nulls = int(sub.loc[is_null_row, "n"].sum())
+        vals = sub.loc[~is_null_row, "value"]
+        if len(vals) == 0:
+            mn = mx = None
+        elif pa.types.is_integer(dtypes[c]):
+            iv = vals.astype("int64")
+            mn, mx = str(int(iv.min())), str(int(iv.max()))
+        elif pa.types.is_floating(dtypes[c]):
+            fv = vals.astype("float64")
+            mn, mx = str(fv.min()), str(fv.max())
+        else:
+            mn, mx = vals.min(), vals.max()
+        rows.append((c, mn, mx, n_nulls, int(len(vals))))
+    out = pd.DataFrame(
+        rows, columns=["column", "min_v", "max_v", "n_nulls", "n_distinct"]
+    )
+    return out.sort_values("column").reset_index(drop=True)

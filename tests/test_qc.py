@@ -102,3 +102,48 @@ def test_lake_qc_roundtrip(tmp_path):
     from sonic_etl_ray.pipelines.ingest import lake_final_table
 
     assert total == lake_final_table(lake).num_rows
+
+
+def test_analyze_lake_exact_stats_with_nulls(ray_session, tmp_path):
+    """ANALYZE vs pandas truth, including an evolved column that is null
+    for every pre-evolution row and an int column's min/max as strings."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch, lake_final_table
+    from sonic_etl_ray.pipelines.qc import analyze_lake
+
+    def ev(rows, extra_col=None):
+        cols = {
+            "op": pa.array(["insert"] * len(rows), pa.string()),
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "path": pa.array([r[2] for r in rows], pa.string()),
+            "commit": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.string()),
+        }
+        if extra_col is not None:
+            cols["license"] = pa.array(extra_col, pa.string())
+        return pa.table(cols)
+
+    lake = str(tmp_path / "lake")
+    rows = [(i, f"r{i % 3}", f"f{i}", f"l{i % 4}", "x" * (i + 1)) for i in range(20)]
+    apply_epoch(ray.data.from_arrow(ev(rows)), lake, epoch=0, num_partitions=4)
+    apply_epoch(
+        ray.data.from_arrow(ev([(100, "r0", "lic", "l0", "y")], extra_col=["mit"])),
+        lake, epoch=1, num_partitions=4,
+    )
+    got = analyze_lake(lake, ["repo", "license", "size_bytes"])
+    truth = lake_final_table(lake).to_pandas()
+    for _, row in got.iterrows():
+        c = row["column"]
+        s = truth[c]
+        assert row["n_nulls"] == int(s.isna().sum()), c
+        assert row["n_distinct"] == int(s.dropna().nunique()), c
+        if c == "size_bytes":
+            assert row["min_v"] == str(int(s.min())) and row["max_v"] == str(int(s.max()))
+        else:
+            assert row["min_v"] == s.dropna().min() and row["max_v"] == s.dropna().max()
+    lic = got[got["column"] == "license"].iloc[0]
+    assert lic["n_nulls"] == 20 and lic["n_distinct"] == 1
