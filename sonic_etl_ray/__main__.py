@@ -125,6 +125,15 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("qc", help="freshness + count invariants of a lake")
     q.add_argument("--lake", required=True)
 
+    an = sub.add_parser("analyze", help="per-column table statistics of a lake")
+    an.add_argument("--lake", required=True)
+    an.add_argument("--columns", required=True, help="comma-separated column names")
+    an.add_argument(
+        "--approx",
+        action="store_true",
+        help="HLL ndv sketch (fixed shuffle volume) instead of exact distinct-value exchange",
+    )
+
     w = sub.add_parser("set-watermark", help="manual watermark override")
     w.add_argument("--lake", required=True)
     w.add_argument("--epoch", type=int, required=True)
@@ -408,6 +417,12 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "analyze":
+            from .pipelines.qc import analyze_lake, analyze_lake_approx
+
+            fn = analyze_lake_approx if args.approx else analyze_lake
+            out = fn(args.lake, [c.strip() for c in args.columns.split(",") if c.strip()])
+            print(out.to_json(orient="records"))
         elif args.cmd == "replicate":
             from .pipelines.ingest import replicate_lake
 

@@ -18,6 +18,7 @@ be a full shuffle.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -770,3 +771,37 @@ def heavy_hitter_tokens(
     ).reset_index(drop=True)
     hot["est_count"] = hot["est_count"].astype("int64")
     return hot
+
+
+# Linear-counting hybrid (classic HLL small-range correction). Raw HLL's
+# floor is ~alpha*m for near-empty sketches, so small cardinalities need
+# the filled-register count V instead: n ≈ m*ln(m/(m-V)). The log would
+# break integer parity with the SQL oracle, so the inversion is a
+# precomputed V → n table embedded in BOTH sides — the oracle SQL is
+# generated from this same in-process list (hll_lc_values_sql), so the two
+# sides agree by construction on any platform. V = m falls back to raw.
+HLL_LC_TABLE = [
+    round(HLL_M * math.log(HLL_M / (HLL_M - v))) for v in range(HLL_M)
+]
+
+
+def hll_estimate_corrected(registers: pd.DataFrame, group_col: str) -> pd.DataFrame:
+    """:func:`hll_estimate` with the linear-counting switch: when the raw
+    estimate is ≤ 5m/2 and some register is empty, report the LC table
+    value for the filled-register count — the textbook HLL hybrid, kept
+    bit-reproducible in SQL via the shared lookup table."""
+    out = hll_estimate(registers, group_col)
+    v = out["n_registers"].to_numpy(np.int64)
+    raw = out["est_distinct"].to_numpy(np.int64)
+    use_lc = (v < HLL_M) & (raw <= 5 * HLL_M // 2)
+    lc = np.array([HLL_LC_TABLE[int(x)] if x < HLL_M else 0 for x in v], dtype=np.int64)
+    out["est_distinct"] = np.where(use_lc, lc, raw).astype("int64")
+    return out
+
+
+def hll_lc_values_sql() -> str:
+    """``(VALUES (0,0),(1,1),...)`` rendering of HLL_LC_TABLE for joining
+    inside an oracle query — one row per filled-register count."""
+    return "(VALUES " + ", ".join(
+        f"({v}, {n})" for v, n in enumerate(HLL_LC_TABLE)
+    ) + ")"

@@ -787,6 +787,70 @@ def cdc_lake_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def cdc_lake_stats_approx(sf_dir: str) -> pd.DataFrame:
+    """Sketch ANALYZE over the replay lake: exact min/max/null, HLL ndv
+    (:func:`~sonic_etl_ray.pipelines.qc.analyze_lake_approx`). The oracle
+    recomputes the identical integer HLL registers + linear-counting
+    switch in SQL, so the estimate matches hash-exact — an approximate
+    statistic with a deterministic contract."""
+    from ..pipelines.qc import analyze_lake_approx
+
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
+    out = analyze_lake_approx(lake, ["repo", "lang", "size_bytes", "applied_lsn"])
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["est_distinct"] = out["est_distinct"].astype("int64")
+    return out
+
+
+def _lake_stats_approx_oracle_sql(columns: list[str]) -> str:
+    """Generated oracle for :func:`cdc_lake_stats_approx`: per column, the
+    md5-register HLL chain (same integer constants as
+    ``functions.sketch``) plus the shared linear-counting VALUES table —
+    both sides agree bit-for-bit by construction."""
+    from ..functions.sketch import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SCALE,
+        HLL_TAIL_BITS,
+        hll_lc_values_sql,
+    )
+
+    mask = (1 << HLL_TAIL_BITS) - 1
+    ctes = [f", lc(v, n) AS (SELECT * FROM {hll_lc_values_sql()})"]
+    selects = []
+    for c in sorted(columns):
+        ctes.append(f"""
+, h_{c} AS (
+  SELECT ('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM final WHERE {c} IS NOT NULL
+), r_{c} AS (
+  SELECT CAST(h >> {HLL_TAIL_BITS} AS BIGINT) AS bucket,
+         MAX(CASE WHEN (h & {mask}) = 0 THEN {HLL_RHO_MAX}
+                  ELSE {HLL_RHO_MAX} - LENGTH(BIN(CAST(h & {mask} AS BIGINT)))
+             END) AS max_rho
+  FROM h_{c} GROUP BY 1
+), e_{c} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST({HLL_ALPHA_NUM}::HUGEINT //
+           (COALESCE(SUM(1::HUGEINT << ({HLL_SCALE} - LEAST(max_rho, {HLL_SCALE}))), 0)
+            + ({HLL_M} - COUNT(*)) * (1::HUGEINT << {HLL_SCALE})) AS BIGINT) AS raw
+  FROM r_{c}
+), est_{c} AS (
+  SELECT CASE WHEN v < {HLL_M} AND raw <= {5 * HLL_M // 2}
+              THEN (SELECT n FROM lc WHERE lc.v = e_{c}.v) ELSE raw END AS est
+  FROM e_{c}
+)""")
+        selects.append(f"""
+  SELECT '{c}' AS "column",
+         CAST(MIN({c}) AS VARCHAR) AS min_v,
+         CAST(MAX({c}) AS VARCHAR) AS max_v,
+         CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls,
+         CAST((SELECT est FROM est_{c}) AS BIGINT) AS est_distinct
+  FROM final""")
+    return "".join(ctes) + "\nSELECT * FROM (" + "\nUNION ALL".join(selects) + ') ORDER BY "column"'
+
+
 def cdc_session_windows(sf_dir: str) -> pa.Table:
     """Gap-closed session windows per repo over the change stream
     (:class:`~sonic_etl_ray.pipelines.windows.SessionView`, gap=25 LSNs):
@@ -1228,6 +1292,9 @@ ORACLES: dict[str, str] = {
              CAST(COUNT(DISTINCT size_bytes) AS BIGINT) FROM final
     )
     SELECT * FROM stats ORDER BY "column" """,
+    # sketch ANALYZE: identical integer HLL registers + LC switch in SQL
+    "cdc_lake_stats_approx": ORACLE_SRC
+    + _lake_stats_approx_oracle_sql(["repo", "lang", "size_bytes", "applied_lsn"]),
     # gap-closed sessions: gaps-and-islands per repo; a session is emitted
     # iff its gap has elapsed under the watermark (max applied lsn)
     "cdc_session_windows": ORACLE_SRC + """

@@ -345,3 +345,128 @@ def analyze_lake(lake_dir: str, columns: list[str]) -> "Any":
         rows, columns=["column", "min_v", "max_v", "n_nulls", "n_distinct"]
     )
     return out.sort_values("column").reset_index(drop=True)
+
+
+def analyze_lake_approx(lake_dir: str, columns: list[str]) -> "Any":
+    """Sketch-based ANALYZE — the 100-TB path. Same output shape as
+    :func:`analyze_lake` but ndv comes from the integer-exact HLL sketch
+    (``functions.sketch``): min/max/null counts stay EXACT (per-batch Arrow
+    min_max folds merged by one tiny groupby), while n_distinct becomes
+    ``est_distinct``. Shuffle volume is O(columns × (m+1)) rows per batch —
+    independent of row count and of column cardinality, where the exact
+    path ships every distinct value (fine for enums, quadratic trouble for
+    content-sha-like columns at 10^10 rows).
+
+    Parity: the estimate is reproducible bit-for-bit in SQL (md5-based
+    register hash, dyadic integer sum — see ``sketch.hll_oracle_sql``), so
+    the driver gate holds a hash-exact oracle row over it. min/max render
+    as strings via str(int) for integer columns, matching CAST AS VARCHAR;
+    float columns would NOT render identically (Python repr vs DuckDB
+    VARCHAR formatting) — keep floats out of oracle-checked calls."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.sketch import HLL_M, _hll_partial, hll_estimate_corrected
+    from .ingest import read_lake
+
+    ds = read_lake(lake_dir, columns=columns)
+    dtypes = {f.name: f.type for f in ds.schema().base_schema}
+
+    STAT_FIELDS = {
+        "max_rho": pa.int64(),
+        "min_i": pa.int64(),
+        "max_i": pa.int64(),
+        "min_f": pa.float64(),
+        "max_f": pa.float64(),
+        "min_s": pa.string(),
+        "max_s": pa.string(),
+        "n_nulls": pa.int64(),
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in columns:
+            arr = t.column(c).combine_chunks()
+            vals = arr.drop_null()
+            n = len(vals)
+            # register rows: (column, bucket, max_rho), ≤ m per column
+            if n:
+                regs = _hll_partial(
+                    pd.DataFrame({"column": [c] * n, "v": vals.to_pylist()}),
+                    "column",
+                    "v",
+                )
+            else:
+                regs = pd.DataFrame({"column": [], "bucket": [], "max_rho": []})
+            regs = pa.table(
+                {
+                    "column": pa.array(regs["column"], pa.string()),
+                    "bucket": pa.array(regs["bucket"], pa.int64()),
+                    "max_rho": pa.array(regs["max_rho"], pa.int64()),
+                }
+            )
+            # one stats row per column under bucket=-1 (exact partials)
+            stat: dict[str, Any] = {k: None for k in STAT_FIELDS}
+            stat["n_nulls"] = arr.null_count
+            if n:
+                mm = pc.min_max(vals)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if pa.types.is_integer(dtypes[c]):
+                    stat["min_i"], stat["max_i"] = lo, hi
+                elif pa.types.is_floating(dtypes[c]):
+                    stat["min_f"], stat["max_f"] = lo, hi
+                else:
+                    stat["min_s"], stat["max_s"] = str(lo), str(hi)
+            srow = pa.table(
+                {
+                    "column": pa.array([c], pa.string()),
+                    "bucket": pa.array([-1], pa.int64()),
+                    **{k: pa.array([stat[k]], typ) for k, typ in STAT_FIELDS.items()},
+                }
+            )
+            # null-extend register rows to the full stat schema
+            for k, typ in STAT_FIELDS.items():
+                if k != "max_rho":
+                    regs = regs.append_column(k, pa.nulls(regs.num_rows, typ))
+            frames.append(regs)
+            frames.append(srow)
+        return pa.concat_tables(frames, promote_options="default")
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["column", "bucket"])
+        .aggregate(
+            Max("max_rho", alias_name="max_rho"),
+            Min("min_i", alias_name="min_i"),
+            Max("max_i", alias_name="max_i"),
+            Min("min_f", alias_name="min_f"),
+            Max("max_f", alias_name="max_f"),
+            Min("min_s", alias_name="min_s"),
+            Max("max_s", alias_name="max_s"),
+            Sum("n_nulls", alias_name="n_nulls"),
+        )
+        .to_pandas()
+    )
+    regs = merged[merged["bucket"] >= 0]
+    est = hll_estimate_corrected(
+        regs[["column", "bucket", "max_rho"]], "column"
+    ).set_index("column")["est_distinct"]
+    rows = []
+    for c in columns:
+        s = merged[(merged["column"] == c) & (merged["bucket"] == -1)].iloc[0]
+        if pa.types.is_integer(dtypes[c]):
+            mn = None if pd.isna(s["min_i"]) else str(int(s["min_i"]))
+            mx = None if pd.isna(s["max_i"]) else str(int(s["max_i"]))
+        elif pa.types.is_floating(dtypes[c]):
+            mn = None if pd.isna(s["min_f"]) else str(float(s["min_f"]))
+            mx = None if pd.isna(s["max_f"]) else str(float(s["max_f"]))
+        else:
+            mn = s["min_s"] if isinstance(s["min_s"], str) else None
+            mx = s["max_s"] if isinstance(s["max_s"], str) else None
+        rows.append((c, mn, mx, int(s["n_nulls"]), int(est.get(c, 0))))
+    out = pd.DataFrame(
+        rows, columns=["column", "min_v", "max_v", "n_nulls", "est_distinct"]
+    )
+    return out.sort_values("column").reset_index(drop=True)

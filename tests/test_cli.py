@@ -101,3 +101,33 @@ def test_cli_clone_index_repair(tmp_path):
     assert r["n_rows_affected"] > 0
     r = _run("repair-replica", "--replica", branch, "--src", lake)  # converged
     assert r["n_rows_affected"] == 0
+
+
+def test_cli_analyze(tmp_path):
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    _run("generate", "--out", segs, "--events", "2000", "--segment-size", "500")
+    _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+         "--partitions", "2", "--segments-per-epoch", "2")
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sonic_etl_ray", "--num-cpus", "2", "analyze",
+         "--lake", lake, "--columns", "repo,size_bytes"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    by_col = {r["column"]: r for r in rows}
+    assert set(by_col) == {"repo", "size_bytes"}
+    assert by_col["repo"]["n_nulls"] == 0 and by_col["repo"]["n_distinct"] >= 1
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sonic_etl_ray", "--num-cpus", "2", "analyze",
+         "--lake", lake, "--columns", "repo", "--approx"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    nd = by_col["repo"]["n_distinct"]  # small ndv → LC regime: within a couple of bucket collisions
+    assert abs(rows[0]["est_distinct"] - nd) <= max(2, nd // 5)

@@ -147,3 +147,39 @@ def test_analyze_lake_exact_stats_with_nulls(ray_session, tmp_path):
             assert row["min_v"] == s.dropna().min() and row["max_v"] == s.dropna().max()
     lic = got[got["column"] == "license"].iloc[0]
     assert lic["n_nulls"] == 20 and lic["n_distinct"] == 1
+
+
+def test_analyze_lake_approx_matches_exact_stats(ray_session, tmp_path):
+    """Sketch ANALYZE: min/max/null exact vs analyze_lake; ndv within raw-HLL
+    error (m=128 → ~9% rse; assert 3σ) and exact-invariant for tiny ndv is
+    NOT assumed (raw estimator bias) — only the error band."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+    from sonic_etl_ray.pipelines.qc import analyze_lake, analyze_lake_approx
+
+    rows = [(i, f"r{i % 7}", f"f{i}", f"l{i % 4}", "x" * (i % 50 + 1)) for i in range(800)]
+    t = pa.table(
+        {
+            "op": pa.array(["insert"] * len(rows), pa.string()),
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "path": pa.array([r[2] for r in rows], pa.string()),
+            "commit": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    lake = str(tmp_path / "lake")
+    apply_epoch(ray.data.from_arrow(t), lake, epoch=0, num_partitions=4)
+    cols = ["repo", "lang", "size_bytes", "path"]
+    exact = analyze_lake(lake, cols).set_index("column")
+    approx = analyze_lake_approx(lake, cols).set_index("column")
+    for c in cols:
+        assert approx.loc[c, "min_v"] == exact.loc[c, "min_v"], c
+        assert approx.loc[c, "max_v"] == exact.loc[c, "max_v"], c
+        assert approx.loc[c, "n_nulls"] == exact.loc[c, "n_nulls"], c
+        nd = int(exact.loc[c, "n_distinct"])
+        est = int(approx.loc[c, "est_distinct"])
+        assert abs(est - nd) <= max(3, int(0.28 * nd)), (c, est, nd)
