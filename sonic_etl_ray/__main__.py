@@ -104,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--lake", required=True)
     ch.add_argument("--min-files", type=int, default=8)
 
+    cd = sub.add_parser(
+        "compact-decoded",
+        help="fold per-epoch decoded fan-out files into deduped per-partition runs",
+    )
+    cd.add_argument("--lake", required=True)
+    cd.add_argument("--table", default=None, help="decoded table name (default table if omitted)")
+    cd.add_argument("--all-tables", action="store_true", help="compact every decoded table")
+    cd.add_argument("--min-files", type=int, default=8)
+
     eh = sub.add_parser(
         "expire-history",
         help="archive retention: drop history for epochs below a cutoff",
@@ -266,6 +275,20 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.history import compact_history
 
         print(json.dumps(compact_history(args.lake, min_files=args.min_files)))
+        import ray
+
+        ray.shutdown()
+        return 0
+    if args.cmd == "compact-decoded":
+        _ray_init(args.num_cpus)  # per-partition fold tasks
+        from .pipelines.ingest import compact_decoded, decoded_tables
+
+        tables = decoded_tables(args.lake) if args.all_tables else [args.table]
+        out = {
+            t or "decoded": compact_decoded(args.lake, table=t, min_files=args.min_files)
+            for t in tables
+        }
+        print(json.dumps(out))
         import ray
 
         ray.shutdown()

@@ -2758,36 +2758,206 @@ def decoded_tables(lake_dir: str) -> list[str]:
     return out
 
 
-def read_decoded(lake_dir: str, table: str | None = None) -> pa.Table:
-    """A decoded fan-out table (``table=None`` → the default): all committed
-    (epoch, partition) decoded files, exact-deduped by full row — the
-    at-read analog of the reference's daily MERGE on the events table
-    (an lsn replayed across DIFFERENT epochs writes two identical rows in
-    two units; within a unit the applier already deduped). Sorted by
-    (lsn, event_name, line_no)."""
-    import glob as _glob
-
-    from ..stages.decode import DECODED_SCHEMA, TABLE_DECODED
+def _decoded_root(lake_dir: str, table: str | None) -> str:
+    from ..stages.decode import TABLE_DECODED
 
     sub = [] if table in (None, TABLE_DECODED) else [f"table={table}"]
-    files = []
-    for f in sorted(
-        _glob.glob(os.path.join(lake_dir, "_decoded", *sub, "epoch=*", "part=*.parquet"))
-    ):
+    return os.path.join(lake_dir, "_decoded", *sub)
+
+
+def _decoded_runs(lake_dir: str, table: str | None, part: int) -> list[tuple[int, str, dict]]:
+    """Decoded compaction runs for one partition, seq-ascending: (seq,
+    data_file, marker). The marker JSON is a run's atomic commit point —
+    same protocol as the history archive's ``_compact_runs``."""
+    import glob as _glob
+    import json
+    import re as _re
+
+    pdir = os.path.join(_decoded_root(lake_dir, table), "runs", cl.PART_FMT.format(part))
+    out = []
+    for mf in _glob.glob(os.path.join(pdir, "run-seq=*.json")):
+        m = _re.search(r"run-seq=(\d+)\.json$", mf)
+        if m is None:
+            continue
+        with open(mf) as fh:
+            marker = json.load(fh)
+        if os.path.exists(marker["data_file"]):
+            out.append((int(m.group(1)), marker["data_file"], marker))
+    return sorted(out)
+
+
+def _decoded_file_plan(
+    lake_dir: str, table: str | None
+) -> tuple[list[str], dict[int, list[tuple[int, str]]]]:
+    """(run_files, fresh) for a decoded table: each partition's NEWEST run
+    plus the committed per-epoch files its run does not cover. Fresh files
+    are keyed by partition so callers can fold or dedup per partition."""
+    import glob as _glob
+
+    run_files: list[str] = []
+    covered: dict[int, set[int]] = {}
+    fresh: dict[int, list[tuple[int, str]]] = {}
+    seen_parts: set[int] = set()
+    epoch_files = sorted(
+        _glob.glob(os.path.join(_decoded_root(lake_dir, table), "epoch=*", "part=*.parquet"))
+    )
+    for f in epoch_files:
+        part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
+        seen_parts.add(part)
+    run_parts = set()
+    runs_root = os.path.join(_decoded_root(lake_dir, table), "runs")
+    if os.path.isdir(runs_root):
+        for name in os.listdir(runs_root):
+            if name.startswith("part="):
+                run_parts.add(int(name.split("=", 1)[1]))
+    for part in sorted(seen_parts | run_parts):
+        runs = _decoded_runs(lake_dir, table, part)
+        if runs:
+            run_files.append(runs[-1][1])
+            covered[part] = set(runs[-1][2]["covered_epochs"])
+    for f in epoch_files:
         epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
         part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
+        if epoch in covered.get(part, ()):  # folded already (GC-grace leftover)
+            continue
         if cl.is_committed(lake_dir, epoch, part):  # orphans of crashed units
-            files.append(f)
+            fresh.setdefault(part, []).append((epoch, f))
+    return run_files, fresh
+
+
+_DECODED_SORT = [("lsn", "ascending"), ("event_name", "ascending"), ("line_no", "ascending")]
+
+
+def read_decoded(lake_dir: str, table: str | None = None) -> pa.Table:
+    """A decoded fan-out table (``table=None`` → the default) as one Arrow
+    table: per-partition compaction runs plus committed (epoch, partition)
+    files the runs don't cover, exact-deduped by full row — the at-read
+    analog of the reference's daily MERGE on the events table (an lsn
+    replayed across DIFFERENT epochs writes two identical rows in two
+    units; within a unit the applier already deduped; across a run and a
+    fresh file the replay can also straddle the fold). Sorted by
+    (lsn, event_name, line_no). Driver-side materialization — for results
+    that fit; at scale use :func:`read_decoded_ds` (streaming Dataset)
+    after :func:`compact_decoded` bounds the file count."""
+    from ..stages.decode import DECODED_SCHEMA
+
+    run_files, fresh = _decoded_file_plan(lake_dir, table)
+    files = run_files + [f for per in fresh.values() for _, f in per]
     if not files:
         return DECODED_SCHEMA.empty_table()
     tbl = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
     tbl = tbl.group_by(tbl.column_names).aggregate([])
-    return tbl.take(
-        pc.sort_indices(
-            tbl,
-            sort_keys=[("lsn", "ascending"), ("event_name", "ascending"), ("line_no", "ascending")],
-        )
-    )
+    return tbl.take(pc.sort_indices(tbl, sort_keys=_DECODED_SORT))
+
+
+def read_decoded_ds(lake_dir: str, table: str | None = None) -> ray.data.Dataset:
+    """Streaming Dataset over a decoded fan-out table — the scale path.
+
+    Reads each partition's newest compaction run plus uncovered committed
+    epoch files. Duplicates exist only when an lsn replayed across epochs
+    AFTER the last fold (runs are deduped at fold time; a decoded row's
+    partition is its key hash, so dupes never straddle partitions): in
+    that case one distributed groupby on the identifying triple
+    (lsn, event_name, line_no) picks a representative — every duplicate
+    row is bit-identical (decode is deterministic on content), so Max over
+    the payload columns IS the row. With no fresh files the read is
+    zero-shuffle."""
+    from ray.data.aggregate import Max
+
+    from ..stages.decode import DECODED_SCHEMA
+
+    run_files, fresh = _decoded_file_plan(lake_dir, table)
+    files = run_files + [f for per in fresh.values() for _, f in per]
+    if not files:
+        return ray.data.from_arrow(DECODED_SCHEMA.empty_table())
+    ds = ray.data.read_parquet(files, partitioning=None)
+    if not fresh:
+        return ds
+    keys = ["lsn", "event_name", "line_no"]
+    payload = [n for n in DECODED_SCHEMA.names if n not in keys]
+    ds = ds.groupby(keys).aggregate(*[Max(c, alias_name=c) for c in payload])
+    return ds.select_columns(DECODED_SCHEMA.names)
+
+
+def compact_decoded(
+    lake_dir: str, table: str | None = None, min_files: int = 8
+) -> dict[str, int]:
+    """Fold a decoded table's per-(epoch, partition) sidecar files into ONE
+    deduped, sorted run per partition — the decoded fan-out's file-count
+    bound at 10^10 events (the reference's daily MERGE dedupe on the
+    events table, ``daily_qc_airflow/daily_dedupe_mainnet.py:49-57``,
+    re-expressed as a materialized compaction instead of an at-read
+    GROUP BY). Same crash-safe protocol as ``history.compact_history``:
+    write the consolidated run, atomically publish a marker JSON listing
+    covered epochs (the commit point), and delete only what the PREVIOUS
+    marker superseded (one-generation GC grace for in-flight readers).
+    Out-of-order epochs committed after a fold stay readable — coverage is
+    an explicit epoch list, never a threshold."""
+    import json
+    import uuid as _uuid
+
+    import ray
+
+    _, fresh = _decoded_file_plan(lake_dir, table)
+
+    @ray.remote(num_cpus=1)
+    def compact_part(part: int, epoch_files: list[tuple[int, str]]) -> int:
+        runs = _decoded_runs(lake_dir, table, part)
+        prev = runs[-1] if runs else None
+        prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
+        tables = ([pq.read_table(prev[1])] if prev else []) + [
+            pq.read_table(f) for _, f in sorted(epoch_files)
+        ]
+        merged = pa.concat_tables(tables, promote_options="default")
+        merged = merged.group_by(merged.column_names).aggregate([])
+        merged = merged.take(pc.sort_indices(merged, sort_keys=_DECODED_SORT))
+        seq = (prev[0] + 1) if prev else 0
+        pdir = os.path.join(_decoded_root(lake_dir, table), "runs", cl.PART_FMT.format(part))
+        os.makedirs(pdir, exist_ok=True)
+        data_file = os.path.join(pdir, f"run-seq={seq:08d}.parquet")
+        tmp = f"{data_file}.tmp.{_uuid.uuid4().hex[:8]}"
+        pq.write_table(merged, tmp, **parquet_write_kwargs())
+        os.rename(tmp, data_file)
+        marker = {
+            "data_file": data_file,
+            "covered_epochs": sorted(prev_covered | {e for e, _ in epoch_files}),
+            "n_rows": merged.num_rows,
+        }
+        mpath = os.path.join(pdir, f"run-seq={seq:08d}.json")
+        mtmp = f"{mpath}.tmp.{_uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as fh:
+            json.dump(marker, fh)
+        os.rename(mtmp, mpath)  # commit point: reads switch to the run here
+        # one-generation GC grace (see history.compact_history): this fold
+        # deletes only files the PREVIOUS marker already superseded; what
+        # it superseded itself is swept by the next fold.
+        import glob as _glob
+
+        for f in _glob.glob(
+            os.path.join(_decoded_root(lake_dir, table), "epoch=*", cl.PART_FMT.format(part) + ".parquet")
+        ):
+            if int(os.path.basename(os.path.dirname(f)).split("=")[1]) in prev_covered:
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+        for s, df, _m in runs[:-1]:
+            for stale in (df, os.path.join(pdir, f"run-seq={s:08d}.json")):
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
+        return len(epoch_files)
+
+    # amortization rule mirrored driver-side: a tailer folding every tick
+    # must not rewrite whole runs for one fresh epoch file
+    todo = {
+        p: ef
+        for p, ef in fresh.items()
+        if len(ef) >= (min_files if _decoded_runs(lake_dir, table, p) else max(min_files, 2))
+    }
+    folded = sum(ray.get([compact_part.remote(p, ef) for p, ef in todo.items()]))
+    return {"parts": len(todo), "files_folded": folded}
 
 
 def replay_errors(

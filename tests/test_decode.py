@@ -185,3 +185,65 @@ def test_n_table_fanout_routes_and_reads_back(tmp_path):
             per_table.setdefault(tname, 0)
             assert os.path.exists(f)
     assert total > 0
+
+
+def _ev(lsn, path="a.py", content=None):
+    return (lsn, "insert", "r1", path, "py", content or f"import m{lsn} v1")
+
+
+def test_compact_decoded_fold_dedup_and_streaming_read(tmp_path):
+    """Per-epoch decoded sidecars fold into deduped per-partition runs:
+    read_decoded is bit-identical before/after, the second fold sweeps the
+    first fold's originals (one-generation GC grace), a cross-epoch lsn
+    replay dedupes, and read_decoded_ds matches the driver-side table."""
+    from sonic_etl_ray.pipelines.ingest import compact_decoded, read_decoded_ds
+
+    lake = str(tmp_path / "lake")
+    # epochs 0-3: fresh rows; epoch 2 replays epoch 1's lsn 10 (dup rows)
+    apply_epoch(_stream([_ev(i) for i in range(5)]), lake, epoch=0,
+                num_partitions=2, decode_catalog=CATALOG)
+    apply_epoch(_stream([_ev(10), _ev(11)]), lake, epoch=1,
+                num_partitions=2, decode_catalog=CATALOG)
+    apply_epoch(_stream([_ev(10), _ev(12)]), lake, epoch=2,
+                num_partitions=2, decode_catalog=CATALOG)
+    before = read_decoded(lake)
+    assert before.num_rows == 8  # lsn 10 deduped across epochs 1/2
+
+    r = compact_decoded(lake, min_files=2)
+    assert r["parts"] >= 1 and r["files_folded"] >= 3
+    after = read_decoded(lake)
+    assert after.equals(before)
+    runs = glob.glob(f"{lake}/_decoded/runs/part=*/run-seq=*.parquet")
+    assert runs
+    # first fold keeps its originals (grace); they are now covered, so a
+    # re-read must not double-count them
+    assert read_decoded(lake).num_rows == 8
+
+    # two more epochs -> second fold rewrites runs and sweeps gen-1 originals
+    orig_epoch_files = set(glob.glob(f"{lake}/_decoded/epoch=*/part=*.parquet"))
+    apply_epoch(_stream([_ev(20)]), lake, epoch=3,
+                num_partitions=2, decode_catalog=CATALOG)
+    apply_epoch(_stream([_ev(21)]), lake, epoch=4,
+                num_partitions=2, decode_catalog=CATALOG)
+    r2 = compact_decoded(lake, min_files=2)
+    assert r2["files_folded"] >= 2
+    left = set(glob.glob(f"{lake}/_decoded/epoch=*/part=*.parquet"))
+    assert not (left & orig_epoch_files)  # gen-1 originals swept
+    final = read_decoded(lake)
+    assert final.num_rows == 10
+
+    ds_tbl = read_decoded_ds(lake).to_pandas()
+    ds_tbl = ds_tbl.sort_values(["lsn", "event_name", "line_no"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ds_tbl, final.to_pandas())
+
+    # a fresh epoch (below min_files) stays readable without a fold, and
+    # the streaming read dedups a replay straddling the fold boundary
+    apply_epoch(_stream([_ev(21), _ev(22)]), lake, epoch=5,
+                num_partitions=2, decode_catalog=CATALOG)
+    t = read_decoded(lake)
+    assert t.num_rows == 11
+    d = read_decoded_ds(lake).to_pandas().sort_values(
+        ["lsn", "event_name", "line_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(d, t.to_pandas())
