@@ -851,6 +851,33 @@ def _lake_stats_approx_oracle_sql(columns: list[str]) -> str:
     return "".join(ctes) + "\nSELECT * FROM (" + "\nUNION ALL".join(selects) + ') ORDER BY "column"'
 
 
+def cdc_constraints(sf_dir: str) -> pd.DataFrame:
+    """Declarative data-quality gate over the replay lake
+    (:func:`~sonic_etl_ray.pipelines.qc.check_constraints`): one row per
+    constraint with its distributed violation count — the oracle
+    recomputes every count from the LWW snapshot."""
+    from ..pipelines.qc import Constraint, check_constraints
+
+    lake = _vanilla_lake(sf_dir)  # shared read-only replay
+    cons = [
+        Constraint("repo_not_null", "not_null", ("repo",)),
+        Constraint(
+            "lang_known",
+            "accepted_values",
+            ("lang",),
+            values=("click", "purchase", "signup", "view"),
+        ),
+        Constraint("size_window", "range", ("size_bytes",), lo=5, hi=60),
+        Constraint("path_has_view", "regex", ("path",), pattern="view"),
+        Constraint("pk_unique", "unique", ("repo", "path")),
+        Constraint("lang_unique", "unique", ("lang",)),
+    ]
+    out = check_constraints(lake, cons)
+    out["violations"] = out["violations"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
 def cdc_session_windows(sf_dir: str) -> pa.Table:
     """Gap-closed session windows per repo over the change stream
     (:class:`~sonic_etl_ray.pipelines.windows.SessionView`, gap=25 LSNs):
@@ -1292,6 +1319,37 @@ ORACLES: dict[str, str] = {
              CAST(COUNT(DISTINCT size_bytes) AS BIGINT) FROM final
     )
     SELECT * FROM stats ORDER BY "column" """,
+    # declarative constraints: every violation count from the LWW snapshot;
+    # unique counts use nonnull-minus-distinct to match the engine exactly
+    "cdc_constraints": ORACLE_SRC + """
+    SELECT * FROM (
+      SELECT 'repo_not_null' AS "constraint",
+             CAST(COUNT(*) FILTER (repo IS NULL) AS BIGINT) AS violations,
+             CAST(COUNT(*) AS BIGINT) AS n_rows FROM final
+      UNION ALL
+      SELECT 'lang_known',
+             COUNT(*) FILTER (lang IS NOT NULL
+               AND lang NOT IN ('click', 'purchase', 'signup', 'view')),
+             COUNT(*) FROM final
+      UNION ALL
+      SELECT 'size_window',
+             COUNT(*) FILTER (size_bytes IS NOT NULL
+               AND (size_bytes < 5 OR size_bytes > 60)),
+             COUNT(*) FROM final
+      UNION ALL
+      SELECT 'path_has_view',
+             COUNT(*) FILTER (path IS NOT NULL AND NOT regexp_matches(path, 'view')),
+             COUNT(*) FROM final
+      UNION ALL
+      SELECT 'pk_unique',
+             COUNT(*) FILTER (repo IS NOT NULL AND path IS NOT NULL)
+               - COUNT(DISTINCT repo || chr(0) || path),
+             COUNT(*) FROM final
+      UNION ALL
+      SELECT 'lang_unique',
+             COUNT(*) FILTER (lang IS NOT NULL) - COUNT(DISTINCT lang),
+             COUNT(*) FROM final
+    ) ORDER BY "constraint" """,
     # sketch ANALYZE: identical integer HLL registers + LC switch in SQL
     "cdc_lake_stats_approx": ORACLE_SRC
     + _lake_stats_approx_oracle_sql(["repo", "lang", "size_bytes", "applied_lsn"]),

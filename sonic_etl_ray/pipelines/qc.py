@@ -470,3 +470,147 @@ def analyze_lake_approx(lake_dir: str, columns: list[str]) -> "Any":
         rows, columns=["column", "min_v", "max_v", "n_nulls", "est_distinct"]
     )
     return out.sort_values("column").reset_index(drop=True)
+
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class Constraint:
+    """One declarative data-quality rule over the lake's live state — the
+    Deequ/dbt-test shape re-expressed for the CDC lake (the reference's
+    QC DAG checks fixed invariants, ``daily_qc_airflow/row_counts.py:16-22``;
+    this is the user-extensible version).
+
+    kinds: ``not_null`` | ``accepted_values`` (nulls pass) | ``range``
+    (inclusive bounds, nulls pass) | ``regex`` (search semantics — anchor
+    the pattern for full-match; nulls pass) | ``unique`` (violations =
+    non-null rows minus distinct keys; multi-column keys join on NUL)."""
+
+    name: str
+    kind: str
+    columns: tuple[str, ...]
+    values: tuple = ()
+    lo: float | int | None = None
+    hi: float | int | None = None
+    pattern: str | None = None
+
+
+def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
+    """Evaluate constraints over the live lake state, distributed: one
+    column-pruned pass computes per-batch violation counts for the map
+    kinds (not_null / accepted_values / range / regex — fixed-size
+    partials, zero shuffle), and each ``unique`` rule adds one
+    distinct-key exchange (ships unique key strings, never rows — same
+    shape as :func:`analyze_lake`'s exact ndv). Returns one row per
+    constraint: (constraint, violations, n_rows)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .ingest import read_lake
+
+    cols = sorted({c for con in constraints for c in con.columns})
+    ds = read_lake(lake_dir, columns=cols)
+    maps = [c for c in constraints if c.kind != "unique"]
+    uniqs = [c for c in constraints if c.kind == "unique"]
+
+    TOTAL = "\x00__rows__"
+
+    def _key_array(t: pa.Table, con: Constraint) -> pa.Array:
+        parts = [t.column(c).cast(pa.string()) for c in con.columns]
+        if len(parts) == 1:
+            return parts[0].combine_chunks()
+        return pc.binary_join_element_wise(*parts, "\x00")
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = [TOTAL]
+        viols = [t.num_rows]
+        for con in maps:
+            arr = t.column(con.columns[0])
+            vals = arr.drop_null()
+            if con.kind == "not_null":
+                v = arr.null_count
+            elif con.kind == "accepted_values":
+                ok = pc.is_in(vals, value_set=pa.array(list(con.values), arr.type))
+                v = len(vals) - pc.sum(ok).as_py() if len(vals) else 0
+            elif con.kind == "range":
+                v = 0
+                if len(vals):
+                    if con.lo is not None:
+                        v += pc.sum(pc.less(vals, con.lo)).as_py() or 0
+                    if con.hi is not None:
+                        v += pc.sum(pc.greater(vals, con.hi)).as_py() or 0
+            elif con.kind == "regex":
+                v = (
+                    len(vals) - (pc.sum(pc.match_substring_regex(vals, con.pattern)).as_py() or 0)
+                    if len(vals)
+                    else 0
+                )
+            else:
+                raise ValueError(f"unknown constraint kind {con.kind!r}")
+            names.append(con.name)
+            viols.append(int(v))
+        # unique partials: per-batch nonnull count rides this exchange;
+        # the distinct-key exchange below supplies the ndv term
+        for con in uniqs:
+            key = _key_array(t, con)
+            names.append(f"\x00__nonnull__{con.name}")
+            viols.append(len(key.drop_null()))
+        return pa.table(
+            {"constraint": pa.array(names, pa.string()), "violations": pa.array(viols, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("constraint")
+        .aggregate(Sum("violations", alias_name="violations"))
+        .to_pandas()
+        .set_index("constraint")["violations"]
+    )
+    n_rows = int(agg[TOTAL])
+    out_rows = [(c.name, int(agg.get(c.name, 0)), n_rows) for c in maps]
+    if uniqs:
+        # ALL unique rules share ONE distinct-key exchange: per-batch
+        # (constraint, key) distinct pairs → one groupby dedupes → per-block
+        # count partials → tiny sum. The driver sees len(uniqs) rows, never
+        # keys; adding unique rules adds map work, not shuffles.
+        from ray.data.aggregate import Count
+
+        def distinct_pairs(t: pa.Table) -> pa.Table:
+            names: list[str] = []
+            keys: list[Any] = []
+            for con in uniqs:
+                u = pc.unique(_key_array(t, con).drop_null())
+                names.extend([con.name] * len(u))
+                keys.extend(u.to_pylist())
+            return pa.table(
+                {"constraint": pa.array(names, pa.string()), "key": pa.array(keys, pa.string())}
+            )
+
+        def count_per_constraint(t: pa.Table) -> pa.Table:
+            vc = t.column("constraint").combine_chunks().value_counts()
+            return pa.table(
+                {
+                    "constraint": vc.field("values"),
+                    "ndv": vc.field("counts").cast(pa.int64()),
+                }
+            )
+
+        ndv = (
+            ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(["constraint", "key"])
+            .aggregate(Count(alias_name="c"))
+            .map_batches(count_per_constraint, batch_format="pyarrow")
+            .groupby("constraint")
+            .aggregate(Sum("ndv", alias_name="ndv"))
+            .to_pandas()
+            .set_index("constraint")["ndv"]
+        )
+        for con in uniqs:
+            out_rows.append(
+                (con.name, int(agg[f"\x00__nonnull__{con.name}"]) - int(ndv.get(con.name, 0)), n_rows)
+            )
+    out = pd.DataFrame(out_rows, columns=["constraint", "violations", "n_rows"])
+    return out.sort_values("constraint").reset_index(drop=True)

@@ -183,3 +183,61 @@ def test_analyze_lake_approx_matches_exact_stats(ray_session, tmp_path):
         nd = int(exact.loc[c, "n_distinct"])
         est = int(approx.loc[c, "est_distinct"])
         assert abs(est - nd) <= max(3, int(0.28 * nd)), (c, est, nd)
+
+
+def test_check_constraints_all_kinds(ray_session, tmp_path):
+    """Every constraint kind vs pandas truth on a lake with real
+    violations (nulls, out-of-domain values, out-of-range sizes,
+    non-matching paths, duplicate langs)."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch, lake_final_table
+    from sonic_etl_ray.pipelines.qc import Constraint, check_constraints
+
+    rows = [
+        (i, f"r{i % 3}", f"f{i}" + ("/view" if i % 4 == 0 else ""),
+         ["py", "rs", "zz", None][i % 4], "x" * (i + 1))
+        for i in range(24)
+    ]
+    t = pa.table(
+        {
+            "op": pa.array(["insert"] * len(rows), pa.string()),
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "path": pa.array([r[2] for r in rows], pa.string()),
+            "commit": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "content": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    lake = str(tmp_path / "lake")
+    apply_epoch(ray.data.from_arrow(t), lake, epoch=0, num_partitions=4)
+    got = check_constraints(
+        lake,
+        [
+            Constraint("lang_nn", "not_null", ("lang",)),
+            Constraint("lang_ok", "accepted_values", ("lang",), values=("py", "rs")),
+            Constraint("size_rng", "range", ("size_bytes",), lo=3, hi=20),
+            Constraint("view_path", "regex", ("path",), pattern="view"),
+            Constraint("pk", "unique", ("repo", "path")),
+            Constraint("lang_uni", "unique", ("lang",)),
+        ],
+    ).set_index("constraint")
+    truth = lake_final_table(lake).to_pandas()
+    n = len(truth)
+    assert (got["n_rows"] == n).all()
+    assert got.loc["lang_nn", "violations"] == int(truth["lang"].isna().sum())
+    assert got.loc["lang_ok", "violations"] == int(
+        (~truth["lang"].isin(["py", "rs"]) & truth["lang"].notna()).sum()
+    )
+    assert got.loc["size_rng", "violations"] == int(
+        ((truth["size_bytes"] < 3) | (truth["size_bytes"] > 20)).sum()
+    )
+    assert got.loc["view_path", "violations"] == int(
+        (~truth["path"].str.contains("view")).sum()
+    )
+    assert got.loc["pk", "violations"] == 0  # merge guarantees the PK
+    assert got.loc["lang_uni", "violations"] == int(
+        truth["lang"].notna().sum() - truth["lang"].dropna().nunique()
+    )
