@@ -736,6 +736,12 @@ def _q_cdc_constraints(sf_dir: str):
     return cdc_constraints(sf_dir)
 
 
+def _q_cdc_pit_enrich(sf_dir: str):
+    from sonic_etl_ray.pipelines.cdc_queries import cdc_pit_enrich
+
+    return cdc_pit_enrich(sf_dir)
+
+
 def _q_cdc_session_windows(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_session_windows
 
@@ -828,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lake_stats": _q_cdc_lake_stats,
         "cdc_lake_stats_approx": _q_cdc_lake_stats_approx,
         "cdc_constraints": _q_cdc_constraints,
+        "cdc_pit_enrich": _q_cdc_pit_enrich,
         # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental": _q_dedup_incremental,

@@ -1319,6 +1319,23 @@ ORACLES: dict[str, str] = {
              CAST(COUNT(DISTINCT size_bytes) AS BIGINT) FROM final
     )
     SELECT * FROM stats ORDER BY "column" """,
+    # point-in-time enrichment: DuckDB ASOF JOIN (max version lsn <= at);
+    # delete semantics and the ''-for-NULL canonicalization mirrored
+    "cdc_pit_enrich": ORACLE_SRC + """
+    , probe AS (
+      SELECT repo, path, lsn AS probe_lsn, lsn - 1 AS at_lsn
+      FROM src WHERE lsn % 7 = 0
+    )
+    SELECT p.repo, p.path, p.probe_lsn,
+           COALESCE(v.lsn, -1) AS asof_lsn,
+           COALESCE(v.op, '') AS asof_op,
+           COALESCE(CASE WHEN v.op = 'delete' THEN NULL ELSE v."commit" END, '')
+             AS asof_commit,
+           COALESCE(CASE WHEN v.op = 'delete' THEN NULL ELSE v.lang END, '')
+             AS asof_lang
+    FROM probe p ASOF LEFT JOIN src v
+      ON p.repo = v.repo AND p.path = v.path AND v.lsn <= p.at_lsn
+    ORDER BY 1, 2, 3""",
     # declarative constraints: every violation count from the LWW snapshot;
     # unique counts use nonnull-minus-distinct to match the engine exactly
     "cdc_constraints": ORACLE_SRC + """
@@ -1785,6 +1802,46 @@ def cdc_scd2_incremental(sf_dir: str) -> pd.DataFrame:
     for c in ("valid_from_lsn", "valid_to_lsn", "is_current"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["repo", "path", "valid_from_lsn"]).reset_index(drop=True)
+
+
+def cdc_pit_enrich(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time enrichment from the history archive
+    (:func:`~sonic_etl_ray.pipelines.history.pit_join`): every 7th event
+    asks "what version of this file was live just before me" (at_lsn =
+    lsn−1) — the warehouse PIT-lookup a training-data pipeline uses to
+    join facts to slowly-changing dimensions without leakage. Unmatched
+    probes report asof_lsn=-1; a matched delete reports the version LSN
+    but empty payload (the key did not exist at that instant; NULLs are
+    canonicalized to '' on both sides for the driver's string compare)."""
+    from ..pipelines.history import pit_join
+
+    lake, _lo, _span = _history_lake(sf_dir)
+    def mk_probe(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = np.asarray(t.column("lsn").combine_chunks()) % 7 == 0
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "repo": sub.column("repo"),
+                "path": sub.column("path"),
+                "probe_lsn": sub.column("lsn"),
+                "at_lsn": pc.subtract(sub.column("lsn"), 1),
+            }
+        )
+
+    probe = (
+        _events_as_cdc(sf_dir)
+        .select_columns(["repo", "path", "lsn"])
+        .map_batches(mk_probe, batch_format="pyarrow")
+    )
+    out = pit_join(lake, probe, at_column="at_lsn").to_pandas()
+    out = out.drop(columns=["at_lsn"])
+    for c in ("asof_op", "asof_commit", "asof_lang"):
+        out[c] = out[c].map(lambda x: "" if x is None or (isinstance(x, float) and pd.isna(x)) else x)
+    out["asof_lsn"] = out["asof_lsn"].astype("int64")
+    out["probe_lsn"] = out["probe_lsn"].astype("int64")
+    return out.sort_values(["repo", "path", "probe_lsn"]).reset_index(drop=True)
 
 
 def cdc_scd2_from_feed(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:

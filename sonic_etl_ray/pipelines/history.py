@@ -527,3 +527,107 @@ def scd2_view(
         .groupby("__bucket")
         .map_groups(scd2_bucket, batch_format="pandas")
     )
+
+
+def pit_join(
+    lake_dir: str,
+    probe: ray.data.Dataset,
+    at_column: str = "at_lsn",
+    payload: tuple[str, ...] = ("commit", "lang"),
+    num_buckets: int = 64,
+    as_of_epoch: int | None = None,
+) -> ray.data.Dataset:
+    """Point-in-time (temporal) join: enrich each probe row with the
+    archived version of its (repo, path) key that was valid AT the probe's
+    ``at_column`` LSN — "what did this file look like when that event
+    happened". The warehouse PIT-lookup over the SCD2 archive, with the
+    same distribution as :func:`scd2_view`: versions and probes ride ONE
+    bucket-keyed exchange on hash(repo, path) (fan-out ``num_buckets``,
+    independent of key cardinality), then a vectorized last-version-≤-at
+    scan inside each bucket — a composite-key sort + cummax, never
+    per-key Python.
+
+    Output: every probe column, plus ``asof_lsn`` (matched version LSN,
+    -1 when the key has no version yet), ``asof_op``, and
+    ``asof_<payload>`` columns (NULL when unmatched or when the matched
+    version is a delete — the key did not exist at that instant).
+    Versions replayed across epochs dedupe inside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import md5_u64
+
+    files = history_files(lake_dir, as_of_epoch)
+    ver = (
+        ray.data.read_parquet(files, columns=["repo", "path", "lsn", "op", *payload])
+        if files
+        else None
+    )
+
+    probe_cols = [c for c in probe.schema().names]
+    out_cols = probe_cols + ["asof_lsn", "asof_op"] + [f"asof_{c}" for c in payload]
+
+    def tag_probe(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__lsn"] = b[at_column].astype("int64")
+        b["__side"] = np.int64(1)
+        return b
+
+    def tag_ver(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"lsn": "__lsn"})
+        b["__side"] = np.int64(0)
+        return b
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        key = (b["repo"].astype(str) + "\x00" + b["path"].astype(str)).tolist()
+        b["__bucket"] = md5_u64(key).view(np.int64) % num_buckets
+        return b
+
+    def pit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path", "__lsn", "__side"], kind="stable")
+        side = g["__side"].to_numpy(np.int64)
+        # cross-epoch replays deliver identical version rows: keep one
+        dup = (
+            g.duplicated(["repo", "path", "__lsn", "__side"], keep="first").to_numpy()
+            & (side == 0)
+        )
+        g = g[~dup].reset_index(drop=True)
+        side = g["__side"].to_numpy(np.int64)
+        n = len(g)
+        repo = g["repo"].to_numpy(object)
+        path = g["path"].to_numpy(object)
+        newkey = np.ones(n, dtype=bool)
+        if n > 1:
+            newkey[1:] = (repo[1:] != repo[:-1]) | (path[1:] != path[:-1])
+        grp = np.cumsum(newkey) - 1
+        pos = np.arange(n, dtype=np.int64)
+        ver_pos = np.where(side == 0, pos, np.int64(-1))
+        filled = np.maximum.accumulate(ver_pos)
+        is_probe = side == 1
+        pidx = pos[is_probe]
+        vidx = filled[is_probe]
+        ok = (vidx >= 0) & (grp[np.maximum(vidx, 0)] == grp[pidx])
+        out = g.loc[is_probe, probe_cols].reset_index(drop=True)
+        safe = np.maximum(vidx, 0)
+        lsn = g["__lsn"].to_numpy(np.int64)
+        op = g["op"].to_numpy(object) if "op" in g else np.full(n, None, object)
+        out["asof_lsn"] = np.where(ok, lsn[safe], np.int64(-1))
+        out["asof_op"] = pd.array(np.where(ok, op[safe], None), dtype="object")
+        deleted = ok & (out["asof_op"].to_numpy(object) == "delete")
+        for c in payload:
+            src = g[c].to_numpy(object) if c in g else np.full(n, None, object)
+            vals = np.where(ok & ~deleted, src[safe], None)
+            out[f"asof_{c}"] = pd.array(vals, dtype="object")
+        return out[out_cols]
+
+    tagged_probe = probe.map_batches(tag_probe, batch_format="pandas")
+    if ver is None:
+        both = tagged_probe
+    else:
+        both = ver.map_batches(tag_ver, batch_format="pandas").union(tagged_probe)
+    return (
+        both.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pit_bucket, batch_format="pandas")
+    )

@@ -415,3 +415,56 @@ def test_history_off_by_default(stream):
     run_ingest(stream[:3], lake, num_partitions=4, segments_per_epoch=3)
     assert history_files(lake) == []
     assert not glob.glob(os.path.join(lake, "_history", "*"))
+
+
+def test_pit_join_matches_brute_force(stream):
+    """pit_join vs a pandas merge_asof per probe, including equal-LSN
+    matches, unmatched probes (at < first version), and matched deletes
+    (payload nulled, asof_lsn kept)."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.history import pit_join
+
+    lake = scratch_lake_dir("pit")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+
+    events = pd.concat([pq.read_table(f).to_pandas() for f in stream]).sort_values("lsn")
+    # probes: every 5th event at its own lsn (equal match) and lsn-1
+    sel = events[events["lsn"] % 5 == 0]
+    probe = pd.DataFrame(
+        {
+            "repo": np.concatenate([sel["repo"], sel["repo"]]),
+            "path": np.concatenate([sel["path"], sel["path"]]),
+            "tag": ["eq"] * len(sel) + ["prev"] * len(sel),
+            "at_lsn": np.concatenate([sel["lsn"], sel["lsn"] - 1]).astype("int64"),
+        }
+    )
+    got = (
+        pit_join(lake, ray.data.from_pandas(probe), at_column="at_lsn")
+        .to_pandas()
+        .sort_values(["repo", "path", "at_lsn", "tag"])
+        .reset_index(drop=True)
+    )
+
+    # brute force: for each probe, the max-lsn event <= at for that key
+    def brute(row):
+        sub = events[
+            (events["repo"] == row["repo"])
+            & (events["path"] == row["path"])
+            & (events["lsn"] <= row["at_lsn"])
+        ]
+        if sub.empty:
+            return (-1, None, None, None)
+        v = sub.iloc[-1]
+        if v["op"] == "delete":
+            return (int(v["lsn"]), "delete", None, None)
+        return (int(v["lsn"]), v["op"], v["commit"], v["lang"])
+
+    want = probe.sort_values(["repo", "path", "at_lsn", "tag"]).reset_index(drop=True)
+    res = want.apply(brute, axis=1, result_type="expand")
+    res.columns = ["asof_lsn", "asof_op", "asof_commit", "asof_lang"]
+    for c in res.columns:
+        a = got[c].map(lambda x: None if (x is None or (isinstance(x, float) and np.isnan(x))) else x)
+        b = res[c].map(lambda x: None if (x is None or (isinstance(x, float) and np.isnan(x))) else x)
+        assert a.tolist() == b.tolist(), c
