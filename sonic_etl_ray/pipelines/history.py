@@ -37,7 +37,6 @@ import pyarrow as pa
 
 import ray.data
 
-from ..config import parquet_write_kwargs
 from ..state import commitlog as cl
 
 HISTORY_DIR = "_history"
@@ -46,22 +45,16 @@ COMPACT_DIR = "compacted"
 _HFILE_RE = re.compile(r"epoch=(\d+)[/\\]part=(\d+)\.parquet$")
 
 
+def _history_run_dir(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR, cl.PART_FMT.format(part))
+
+
 def _compact_runs(lake_dir: str, part: int) -> list[tuple[int, str, dict]]:
     """Compaction runs for one partition, seq-ascending: (seq, data_file,
-    marker). The marker JSON is the atomic commit point of a run."""
-    import json
+    marker) — the shared run-fold protocol (:mod:`..state.runfold`)."""
+    from ..state.runfold import list_runs
 
-    pdir = os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR, cl.PART_FMT.format(part))
-    out = []
-    for mf in glob.glob(os.path.join(pdir, "run-seq=*.json")):
-        m = re.search(r"run-seq=(\d+)\.json$", mf)
-        if m is None:
-            continue  # stray file in the run dir — never a run marker
-        with open(mf) as fh:
-            marker = json.load(fh)
-        if os.path.exists(marker["data_file"]):
-            out.append((int(m.group(1)), marker["data_file"], marker))
-    return sorted(out)
+    return list_runs(_history_run_dir(lake_dir, part))
 
 
 def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
@@ -317,21 +310,21 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
     """Fold a partition's per-epoch history files (plus any previous
     compacted run) into ONE sorted run — the archive's file-count bound at
     10^10 events (thousands of epochs × P partitions of tiny files
-    otherwise). One Ray task per partition; each writes the consolidated
-    file, atomically publishes a marker JSON listing the covered epochs
-    (the commit point — reads switch over on rename), then deletes the
-    covered originals. Crash-safe at every step: before the marker rename
-    nothing changed for readers; after it, lingering originals are excluded
-    by the covered list. Out-of-order epochs (backfill repairs) committed
-    AFTER a run are untouched — coverage is an explicit epoch list, never a
-    threshold."""
-    import json
-    import uuid
-
+    otherwise). One Ray task per partition. Crash safety (atomic
+    covered-epoch marker commit, one-generation GC grace for in-flight
+    readers, explicit coverage so out-of-order backfill epochs stay
+    readable) comes from the shared run-fold protocol
+    (:mod:`..state.runfold`); this function only supplies the archive's
+    merge semantics (evolved-schema concat + (repo, path, lsn) sort).
+    Refolding rewrites the WHOLE run, so folds are amortized: at least
+    ``min_files`` new epochs per fold (else a tailer folding every tick
+    goes quadratic in run size over time). `expire_history` also
+    cleans."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     import ray
+
+    from ..state.runfold import fold_partition_runs
 
     by_part: dict[int, list[tuple[int, str]]] = {}
     for f in glob.glob(
@@ -344,22 +337,9 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
         if cl.commit_exists(lake_dir, epoch, part):
             by_part.setdefault(part, []).append((epoch, f))
 
-    @ray.remote(num_cpus=1)
-    def compact_part(part: int, epoch_files: list[tuple[int, str]]) -> int:
-        runs = _compact_runs(lake_dir, part)
-        prev = runs[-1] if runs else None
-        prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
-        fresh = [(e, f) for e, f in epoch_files if e not in prev_covered]
-        # refolding an existing run rewrites the WHOLE archive run — only
-        # pay that when at least min_files new epochs amortize it (else a
-        # tailer folding every tick goes quadratic in run size over time)
-        if len(fresh) < (min_files if prev else max(min_files, 2)):
-            return 0
-        tables = ([pq.read_table(prev[1])] if prev else []) + [
-            pq.read_table(f) for _, f in sorted(fresh)
-        ]
+    def _merge(tables: list["pa.Table"]) -> "pa.Table":
         merged = _concat_evolved(tables)
-        merged = merged.take(
+        return merged.take(
             pc.sort_indices(
                 merged,
                 sort_keys=[
@@ -367,48 +347,16 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
                 ],
             )
         )
-        seq = (prev[0] + 1) if prev else 0
-        pdir = os.path.join(
-            lake_dir, HISTORY_DIR, COMPACT_DIR, cl.PART_FMT.format(part)
+
+    @ray.remote(num_cpus=1)
+    def compact_part(part: int, epoch_files: list[tuple[int, str]]) -> int:
+        return fold_partition_runs(
+            _history_run_dir(lake_dir, part),
+            epoch_files,
+            epoch_files,
+            _merge,
+            min_files=min_files,
         )
-        os.makedirs(pdir, exist_ok=True)
-        data_file = os.path.join(pdir, f"run-seq={seq:08d}.parquet")
-        tmp = f"{data_file}.tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(merged, tmp, **parquet_write_kwargs())
-        os.rename(tmp, data_file)
-        marker = {
-            "data_file": data_file,
-            "covered_epochs": sorted(prev_covered | {e for e, _ in fresh}),
-            "n_rows": merged.num_rows,
-        }
-        mpath = os.path.join(pdir, f"run-seq={seq:08d}.json")
-        mtmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(mtmp, "w") as fh:
-            json.dump(marker, fh)
-        os.rename(mtmp, mpath)  # commit point: reads switch to the run here
-        # ONE-GENERATION GC GRACE: a concurrent reader that resolved the
-        # PREVIOUS run's file list before this rename may still be scanning
-        # the previous run + the just-folded originals — deleting them now
-        # would fail its job mid-scan. So this fold deletes only what the
-        # PREVIOUS marker already superseded (originals in prev_covered,
-        # runs older than prev); the files this fold superseded are swept
-        # by the NEXT fold. Costs at most one extra run copy per partition,
-        # bounded; `expire_history` also cleans. (Same reader-isolation
-        # stance as vacuum's keep_epochs, but without requiring readers to
-        # avoid compaction windows.)
-        for e, f in epoch_files:
-            if e in prev_covered:
-                try:
-                    os.remove(f)
-                except FileNotFoundError:
-                    pass
-        for s, df, _m in runs[:-1]:
-            for stale in (df, os.path.join(pdir, f"run-seq={s:08d}.json")):
-                try:
-                    os.remove(stale)
-                except FileNotFoundError:
-                    pass
-        return len(fresh)
 
     # driver-side precheck mirrors compact_part's amortization rule so a
     # tailer folding every tick doesn't dispatch P no-op tasks per tick
@@ -564,18 +512,59 @@ def pit_join(
         else None
     )
 
-    probe_cols = [c for c in probe.schema().names]
+    probe_schema = probe.schema()
+    probe_cols = list(probe_schema.names)
+    reserved = {"__lsn", "__side", "__bucket", "lsn"}
+    if reserved & set(probe_cols):
+        raise ValueError(f"probe columns collide with reserved names: {reserved & set(probe_cols)}")
     out_cols = probe_cols + ["asof_lsn", "asof_op"] + [f"asof_{c}" for c in payload]
+
+    # both exchange sides emit the SAME column set, with typed defaults for
+    # the columns the other side lacks: a ragged union would make pandas
+    # null-fill probe int columns on version blocks and promote them to
+    # float64 (silently corrupting ids above 2^53)
+    ver_only = ["op", *[c for c in payload if c not in probe_cols]]
+    probe_only = [c for c in probe_cols if c not in ("repo", "path")]
+    def _numkind(typ) -> str:
+        # Ray schemas carry pyarrow types for arrow blocks but numpy /
+        # python types for pandas blocks — classify either
+        if isinstance(typ, pa.DataType):
+            if pa.types.is_integer(typ):
+                return "i"
+            if pa.types.is_floating(typ):
+                return "f"
+            return "o"
+        try:
+            dt = np.dtype(typ)
+        except TypeError:
+            return "o"
+        if np.issubdtype(dt, np.integer):
+            return "i"
+        if np.issubdtype(dt, np.floating):
+            return "f"
+        return "o"
+
+    probe_defaults: dict[str, Any] = {}
+    for name, typ in zip(probe_schema.names, probe_schema.types):
+        if name in probe_only:
+            k = _numkind(typ)
+            probe_defaults[name] = (
+                np.int64(0) if k == "i" else np.float64(0.0) if k == "f" else None
+            )
 
     def tag_probe(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__lsn"] = b[at_column].astype("int64")
         b["__side"] = np.int64(1)
+        for c in ver_only:
+            b[c] = None
         return b
 
     def tag_ver(b: pd.DataFrame) -> pd.DataFrame:
         b = b.rename(columns={"lsn": "__lsn"})
         b["__side"] = np.int64(0)
+        for c, default in probe_defaults.items():
+            b[c] = default
         return b
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:

@@ -2752,7 +2752,9 @@ def decoded_tables(lake_dir: str) -> list[str]:
         for name in sorted(os.listdir(root)):
             if name.startswith("table="):
                 out.append(name.split("=", 1)[1])
-            elif name.startswith("epoch="):
+            elif name.startswith("epoch=") or name == "runs":
+                # a fully-compacted table may exist only as runs/ (GC can
+                # remove every per-epoch file)
                 if TABLE_DECODED not in out:
                     out.insert(0, TABLE_DECODED)
     return out
@@ -2765,25 +2767,17 @@ def _decoded_root(lake_dir: str, table: str | None) -> str:
     return os.path.join(lake_dir, "_decoded", *sub)
 
 
+def _decoded_run_dir(lake_dir: str, table: str | None, part: int) -> str:
+    return os.path.join(_decoded_root(lake_dir, table), "runs", cl.PART_FMT.format(part))
+
+
 def _decoded_runs(lake_dir: str, table: str | None, part: int) -> list[tuple[int, str, dict]]:
     """Decoded compaction runs for one partition, seq-ascending: (seq,
-    data_file, marker). The marker JSON is a run's atomic commit point —
-    same protocol as the history archive's ``_compact_runs``."""
-    import glob as _glob
-    import json
-    import re as _re
+    data_file, marker) — the shared run-fold protocol
+    (:mod:`..state.runfold`)."""
+    from ..state.runfold import list_runs
 
-    pdir = os.path.join(_decoded_root(lake_dir, table), "runs", cl.PART_FMT.format(part))
-    out = []
-    for mf in _glob.glob(os.path.join(pdir, "run-seq=*.json")):
-        m = _re.search(r"run-seq=(\d+)\.json$", mf)
-        if m is None:
-            continue
-        with open(mf) as fh:
-            marker = json.load(fh)
-        if os.path.exists(marker["data_file"]):
-            out.append((int(m.group(1)), marker["data_file"], marker))
-    return sorted(out)
+    return list_runs(_decoded_run_dir(lake_dir, table, part))
 
 
 def _decoded_file_plan(
@@ -2857,12 +2851,12 @@ def read_decoded_ds(lake_dir: str, table: str | None = None) -> ray.data.Dataset
     epoch files. Duplicates exist only when an lsn replayed across epochs
     AFTER the last fold (runs are deduped at fold time; a decoded row's
     partition is its key hash, so dupes never straddle partitions): in
-    that case one distributed groupby on the identifying triple
-    (lsn, event_name, line_no) picks a representative — every duplicate
-    row is bit-identical (decode is deterministic on content), so Max over
-    the payload columns IS the row. With no fresh files the read is
-    zero-shuffle."""
-    from ray.data.aggregate import Max
+    that case one distributed FULL-ROW groupby collapses them — the same
+    dedup :func:`read_decoded` applies, so the two readers always agree
+    (rows that share the lsn triple but differ in payload, e.g. decoded
+    under a changed catalog, are preserved by both). With no fresh files
+    the read is zero-shuffle."""
+    from ray.data.aggregate import Count
 
     from ..stages.decode import DECODED_SCHEMA
 
@@ -2873,10 +2867,9 @@ def read_decoded_ds(lake_dir: str, table: str | None = None) -> ray.data.Dataset
     ds = ray.data.read_parquet(files, partitioning=None)
     if not fresh:
         return ds
-    keys = ["lsn", "event_name", "line_no"]
-    payload = [n for n in DECODED_SCHEMA.names if n not in keys]
-    ds = ds.groupby(keys).aggregate(*[Max(c, alias_name=c) for c in payload])
-    return ds.select_columns(DECODED_SCHEMA.names)
+    names = list(ds.schema().names)
+    ds = ds.groupby(names).aggregate(Count(alias_name="\x00c")).drop_columns(["\x00c"])
+    return ds.select_columns(names)
 
 
 def compact_decoded(
@@ -2887,70 +2880,45 @@ def compact_decoded(
     bound at 10^10 events (the reference's daily MERGE dedupe on the
     events table, ``daily_qc_airflow/daily_dedupe_mainnet.py:49-57``,
     re-expressed as a materialized compaction instead of an at-read
-    GROUP BY). Same crash-safe protocol as ``history.compact_history``:
-    write the consolidated run, atomically publish a marker JSON listing
-    covered epochs (the commit point), and delete only what the PREVIOUS
-    marker superseded (one-generation GC grace for in-flight readers).
+    GROUP BY). Crash safety comes from the shared run-fold protocol
+    (:mod:`..state.runfold` — atomic covered-epoch marker commit,
+    one-generation GC grace for in-flight readers); this function only
+    supplies the decoded merge semantics (full-row dedup + LSN sort).
     Out-of-order epochs committed after a fold stay readable — coverage is
     an explicit epoch list, never a threshold."""
-    import json
-    import uuid as _uuid
+    import glob as _glob
 
     import ray
 
+    from ..state.runfold import fold_partition_runs
+
     _, fresh = _decoded_file_plan(lake_dir, table)
+
+    def _merge(tables: list[pa.Table]) -> pa.Table:
+        merged = pa.concat_tables(tables, promote_options="default")
+        merged = merged.group_by(merged.column_names).aggregate([])
+        return merged.take(pc.sort_indices(merged, sort_keys=_DECODED_SORT))
 
     @ray.remote(num_cpus=1)
     def compact_part(part: int, epoch_files: list[tuple[int, str]]) -> int:
-        runs = _decoded_runs(lake_dir, table, part)
-        prev = runs[-1] if runs else None
-        prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
-        tables = ([pq.read_table(prev[1])] if prev else []) + [
-            pq.read_table(f) for _, f in sorted(epoch_files)
+        originals = [
+            (int(os.path.basename(os.path.dirname(f)).split("=")[1]), f)
+            for f in _glob.glob(
+                os.path.join(
+                    _decoded_root(lake_dir, table), "epoch=*", cl.PART_FMT.format(part) + ".parquet"
+                )
+            )
         ]
-        merged = pa.concat_tables(tables, promote_options="default")
-        merged = merged.group_by(merged.column_names).aggregate([])
-        merged = merged.take(pc.sort_indices(merged, sort_keys=_DECODED_SORT))
-        seq = (prev[0] + 1) if prev else 0
-        pdir = os.path.join(_decoded_root(lake_dir, table), "runs", cl.PART_FMT.format(part))
-        os.makedirs(pdir, exist_ok=True)
-        data_file = os.path.join(pdir, f"run-seq={seq:08d}.parquet")
-        tmp = f"{data_file}.tmp.{_uuid.uuid4().hex[:8]}"
-        pq.write_table(merged, tmp, **parquet_write_kwargs())
-        os.rename(tmp, data_file)
-        marker = {
-            "data_file": data_file,
-            "covered_epochs": sorted(prev_covered | {e for e, _ in epoch_files}),
-            "n_rows": merged.num_rows,
-        }
-        mpath = os.path.join(pdir, f"run-seq={seq:08d}.json")
-        mtmp = f"{mpath}.tmp.{_uuid.uuid4().hex[:8]}"
-        with open(mtmp, "w") as fh:
-            json.dump(marker, fh)
-        os.rename(mtmp, mpath)  # commit point: reads switch to the run here
-        # one-generation GC grace (see history.compact_history): this fold
-        # deletes only files the PREVIOUS marker already superseded; what
-        # it superseded itself is swept by the next fold.
-        import glob as _glob
-
-        for f in _glob.glob(
-            os.path.join(_decoded_root(lake_dir, table), "epoch=*", cl.PART_FMT.format(part) + ".parquet")
-        ):
-            if int(os.path.basename(os.path.dirname(f)).split("=")[1]) in prev_covered:
-                try:
-                    os.remove(f)
-                except FileNotFoundError:
-                    pass
-        for s, df, _m in runs[:-1]:
-            for stale in (df, os.path.join(pdir, f"run-seq={s:08d}.json")):
-                try:
-                    os.remove(stale)
-                except FileNotFoundError:
-                    pass
-        return len(epoch_files)
+        return fold_partition_runs(
+            _decoded_run_dir(lake_dir, table, part),
+            epoch_files,
+            originals,
+            _merge,
+            min_files=min_files,
+        )
 
     # amortization rule mirrored driver-side: a tailer folding every tick
-    # must not rewrite whole runs for one fresh epoch file
+    # must not dispatch P no-op tasks per tick
     todo = {
         p: ef
         for p, ef in fresh.items()

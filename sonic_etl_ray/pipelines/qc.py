@@ -280,10 +280,13 @@ def analyze_lake(lake_dir: str, columns: list[str]) -> "Any":
     Shape: one column-pruned pass; each batch emits its DISTINCT values
     per column (plus one null-count row per column), one groupby dedupes —
     shuffle volume is unique values, never rows (the exact-count-distinct
-    combiner pattern). min/max fold over the deduped value set in the
-    column's native dtype (string compare of stringified ints would order
-    '10' < '9'). The reference's analog is BigQuery's automatic table
-    stats; here it is an explicit, oracle-checked QC op."""
+    combiner pattern). min/max/ndv then fold DISTRIBUTEDLY over the
+    deduped rows in the column's native dtype (string compare of
+    stringified ints would order '10' < '9'), so the driver only ever
+    receives len(columns) stat rows — a content-sha-like column never
+    lands its distinct set on the driver. The reference's analog is
+    BigQuery's automatic table stats; here it is an explicit,
+    oracle-checked QC op."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -291,6 +294,10 @@ def analyze_lake(lake_dir: str, columns: list[str]) -> "Any":
 
     ds = read_lake(lake_dir, columns=columns)
     dtypes = {f.name: f.type for f in ds.schema().base_schema}
+    kinds = {
+        c: "i" if pa.types.is_integer(dtypes[c]) else "f" if pa.types.is_floating(dtypes[c]) else "o"
+        for c in columns
+    }
 
     # null-count rows ride the same exchange under a NUL-prefixed sentinel
     # (a None value would break the sort-based groupby's key ordering);
@@ -316,31 +323,81 @@ def analyze_lake(lake_dir: str, columns: list[str]) -> "Any":
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    merged = (
+    def fold(t: pa.Table) -> pa.Table:
+        # per-block typed partials over the DEDUPED (column, value) rows:
+        # one output row per column per block, so the second groupby moves
+        # O(blocks × columns) rows and the driver sees len(columns).
+        # Vectorized per column (≤ len(columns) pandas groups per block).
+        df = t.to_pandas()
+        isnull = df["value"] == NULLS
+        nulls = df[isnull].groupby("column")["n"].sum()
+        acc: dict[str, dict] = {}
+        for c, sub in df[~isnull].groupby("column"):
+            k = kinds[c]
+            v = (
+                sub["value"].astype("int64")
+                if k == "i"
+                else sub["value"].astype("float64") if k == "f" else sub["value"]
+            )
+            acc[c] = {"n_distinct": len(sub), "mn": v.min(), "mx": v.max()}
+        cols = sorted(set(acc) | set(nulls.index))
+        def typed(field, kind_sel):
+            return [
+                acc[c][field] if c in acc and kinds[c] == kind_sel else None
+                for c in cols
+            ]
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "min_i": pa.array(typed("mn", "i"), pa.int64()),
+                "max_i": pa.array(typed("mx", "i"), pa.int64()),
+                "min_f": pa.array(typed("mn", "f"), pa.float64()),
+                "max_f": pa.array(typed("mx", "f"), pa.float64()),
+                "min_s": pa.array(typed("mn", "o"), pa.string()),
+                "max_s": pa.array(typed("mx", "o"), pa.string()),
+                "n_nulls": pa.array(
+                    [int(nulls.get(c, 0)) for c in cols], pa.int64()
+                ),
+                "n_distinct": pa.array(
+                    [acc[c]["n_distinct"] if c in acc else 0 for c in cols], pa.int64()
+                ),
+            }
+        )
+
+    stats = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["column", "value"])
         .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Min("min_i", alias_name="min_i"),
+            Max("max_i", alias_name="max_i"),
+            Min("min_f", alias_name="min_f"),
+            Max("max_f", alias_name="max_f"),
+            Min("min_s", alias_name="min_s"),
+            Max("max_s", alias_name="max_s"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Sum("n_distinct", alias_name="n_distinct"),
+        )
         .to_pandas()
+        .set_index("column")
     )
     rows = []
     for c in columns:
-        sub = merged[merged["column"] == c]
-        is_null_row = sub["value"] == NULLS
-        n_nulls = int(sub.loc[is_null_row, "n"].sum())
-        vals = sub.loc[~is_null_row, "value"]
-        if len(vals) == 0:
+        s = stats.loc[c]
+        nd = int(s["n_distinct"])
+        if nd == 0:
             mn = mx = None
-        elif pa.types.is_integer(dtypes[c]):
-            iv = vals.astype("int64")
-            mn, mx = str(int(iv.min())), str(int(iv.max()))
-        elif pa.types.is_floating(dtypes[c]):
-            fv = vals.astype("float64")
-            mn, mx = str(fv.min()), str(fv.max())
+        elif kinds[c] == "i":
+            mn, mx = str(int(s["min_i"])), str(int(s["max_i"]))
+        elif kinds[c] == "f":
+            mn, mx = str(float(s["min_f"])), str(float(s["max_f"]))
         else:
-            mn, mx = vals.min(), vals.max()
-        rows.append((c, mn, mx, n_nulls, int(len(vals))))
+            mn, mx = s["min_s"], s["max_s"]
+        rows.append((c, mn, mx, int(s["n_nulls"]), nd))
     out = pd.DataFrame(
         rows, columns=["column", "min_v", "max_v", "n_nulls", "n_distinct"]
     )
@@ -497,13 +554,16 @@ class Constraint:
 
 
 def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
-    """Evaluate constraints over the live lake state, distributed: one
-    column-pruned pass computes per-batch violation counts for the map
-    kinds (not_null / accepted_values / range / regex — fixed-size
-    partials, zero shuffle), and each ``unique`` rule adds one
-    distinct-key exchange (ships unique key strings, never rows — same
-    shape as :func:`analyze_lake`'s exact ndv). Returns one row per
-    constraint: (constraint, violations, n_rows)."""
+    """Evaluate constraints over the live lake state, distributed, in ONE
+    column-pruned scan: the map kinds (not_null / accepted_values / range
+    / regex) are fixed-size per-batch counter partials, and ALL unique
+    rules ship their per-batch distinct keys through the SAME exchange
+    (sentinel-keyed counter rows ride alongside the (rule, key) pairs —
+    the pattern :func:`analyze_lake` uses for its null-count rows). One
+    groupby dedupes keys and sums counters; a per-block fold then reduces
+    the deduped pairs to per-rule ndv partials, so the driver only ever
+    sees one row per constraint. Returns (constraint, violations,
+    n_rows)."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -515,6 +575,7 @@ def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
     uniqs = [c for c in constraints if c.kind == "unique"]
 
     TOTAL = "\x00__rows__"
+    SENTK = "\x00#"  # counter-row key sentinel; lake values never carry NUL
 
     def _key_array(t: pa.Table, con: Constraint) -> pa.Array:
         parts = [t.column(c).cast(pa.string()) for c in con.columns]
@@ -550,67 +611,65 @@ def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
                 raise ValueError(f"unknown constraint kind {con.kind!r}")
             names.append(con.name)
             viols.append(int(v))
-        # unique partials: per-batch nonnull count rides this exchange;
-        # the distinct-key exchange below supplies the ndv term
+        # unique rules ride the SAME exchange: a nonnull counter row per
+        # rule plus the batch's distinct (rule, key) pairs. Counter rows
+        # use a sentinel key so the groupby sums them; pair rows carry
+        # n=0 and only contribute their existence (deduped by the key).
+        keys = [SENTK] * len(names)
         for con in uniqs:
             key = _key_array(t, con)
             names.append(f"\x00__nonnull__{con.name}")
             viols.append(len(key.drop_null()))
+            keys.append(SENTK)
+            u = pc.unique(key.drop_null())
+            names.extend([con.name] * len(u))
+            viols.extend([0] * len(u))
+            keys.extend(u.to_pylist())
         return pa.table(
-            {"constraint": pa.array(names, pa.string()), "violations": pa.array(viols, pa.int64())}
+            {
+                "constraint": pa.array(names, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(viols, pa.int64()),
+            }
         )
 
     from ray.data.aggregate import Sum
 
+    def fold(t: pa.Table) -> pa.Table:
+        # per-block reduce of the deduped exchange: counter rows pass
+        # through; each rule's surviving key rows collapse to one ndv
+        # partial — the driver receives one row per constraint total
+        is_counter = pc.equal(t.column("key"), SENTK)
+        counters = t.filter(is_counter)
+        pairs = t.filter(pc.invert(is_counter))
+        names = counters.column("constraint").to_pylist()
+        ns = counters.column("n").to_pylist()
+        vc = pairs.column("constraint").combine_chunks().value_counts()
+        names += [f"\x00__ndv__{v}" for v in vc.field("values").to_pylist()]
+        ns += vc.field("counts").to_pylist()
+        return pa.table(
+            {"constraint": pa.array(names, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["constraint", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fold, batch_format="pyarrow")
         .groupby("constraint")
-        .aggregate(Sum("violations", alias_name="violations"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .set_index("constraint")["violations"]
+        .set_index("constraint")["n"]
     )
     n_rows = int(agg[TOTAL])
     out_rows = [(c.name, int(agg.get(c.name, 0)), n_rows) for c in maps]
-    if uniqs:
-        # ALL unique rules share ONE distinct-key exchange: per-batch
-        # (constraint, key) distinct pairs → one groupby dedupes → per-block
-        # count partials → tiny sum. The driver sees len(uniqs) rows, never
-        # keys; adding unique rules adds map work, not shuffles.
-        from ray.data.aggregate import Count
-
-        def distinct_pairs(t: pa.Table) -> pa.Table:
-            names: list[str] = []
-            keys: list[Any] = []
-            for con in uniqs:
-                u = pc.unique(_key_array(t, con).drop_null())
-                names.extend([con.name] * len(u))
-                keys.extend(u.to_pylist())
-            return pa.table(
-                {"constraint": pa.array(names, pa.string()), "key": pa.array(keys, pa.string())}
+    for con in uniqs:
+        out_rows.append(
+            (
+                con.name,
+                int(agg[f"\x00__nonnull__{con.name}"]) - int(agg.get(f"\x00__ndv__{con.name}", 0)),
+                n_rows,
             )
-
-        def count_per_constraint(t: pa.Table) -> pa.Table:
-            vc = t.column("constraint").combine_chunks().value_counts()
-            return pa.table(
-                {
-                    "constraint": vc.field("values"),
-                    "ndv": vc.field("counts").cast(pa.int64()),
-                }
-            )
-
-        ndv = (
-            ds.map_batches(distinct_pairs, batch_format="pyarrow")
-            .groupby(["constraint", "key"])
-            .aggregate(Count(alias_name="c"))
-            .map_batches(count_per_constraint, batch_format="pyarrow")
-            .groupby("constraint")
-            .aggregate(Sum("ndv", alias_name="ndv"))
-            .to_pandas()
-            .set_index("constraint")["ndv"]
         )
-        for con in uniqs:
-            out_rows.append(
-                (con.name, int(agg[f"\x00__nonnull__{con.name}"]) - int(ndv.get(con.name, 0)), n_rows)
-            )
     out = pd.DataFrame(out_rows, columns=["constraint", "violations", "n_rows"])
     return out.sort_values("constraint").reset_index(drop=True)

@@ -1,0 +1,113 @@
+"""Shared crash-safe run-compaction protocol.
+
+Both sidecar families — the history archive (``pipelines/history.py``) and
+the decoded fan-out tables (``pipelines/ingest.py``) — accumulate one
+immutable file per (epoch, partition) and periodically fold a partition's
+files into ONE consolidated run. The fold protocol is identical and
+crash-safety-critical, so it lives here once:
+
+1. read the previous run (if any) plus the fresh epoch files and merge
+   them (the caller supplies the merge: sort keys, dedup, schema unify);
+2. write the consolidated data file via tmp + atomic rename;
+3. atomically publish a marker JSON listing every covered epoch — the
+   COMMIT POINT: before the marker rename nothing changed for readers,
+   after it lingering originals are excluded by the covered list;
+4. one-generation GC grace: delete only what the PREVIOUS marker already
+   superseded (originals in its covered set, runs older than it). A
+   concurrent reader that resolved the previous run's file list before
+   this rename may still be scanning those files; the files THIS fold
+   superseded are swept by the NEXT fold. Costs at most one extra run
+   copy per partition, bounded.
+
+Out-of-order epochs committed after a fold are untouched — coverage is an
+explicit epoch list, never a threshold. Folding is idempotent: re-running
+with no fresh files is a no-op (callers gate on ``min_files``).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import uuid
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import parquet_write_kwargs
+
+_MARKER_RE = re.compile(r"run-seq=(\d+)\.json$")
+
+
+def list_runs(run_dir: str) -> list[tuple[int, str, dict]]:
+    """Committed runs in one partition's run directory, seq-ascending:
+    (seq, data_file, marker). A marker whose data file is missing (crash
+    between writes cannot cause this — data renames first — but manual
+    deletion can) is ignored."""
+    out = []
+    for mf in glob.glob(os.path.join(run_dir, "run-seq=*.json")):
+        m = _MARKER_RE.search(mf)
+        if m is None:
+            continue  # stray file — never a run marker
+        with open(mf) as fh:
+            marker = json.load(fh)
+        if os.path.exists(marker["data_file"]):
+            out.append((int(m.group(1)), marker["data_file"], marker))
+    return sorted(out)
+
+
+def fold_partition_runs(
+    run_dir: str,
+    fresh: list[tuple[int, str]],
+    originals: list[tuple[int, str]],
+    merge: Callable[[list[pa.Table]], pa.Table],
+    min_files: int = 1,
+) -> int:
+    """Fold ``fresh`` (epoch, file) pairs plus the previous run into a new
+    run under ``run_dir``; returns the number of files folded (0 when
+    below the ``min_files`` amortization threshold — a tailer folding
+    every tick must not rewrite whole runs per epoch). ``originals`` is
+    the full list of known (epoch, file) pairs for the partition; the
+    one-generation GC removes those the PREVIOUS marker covered.
+    ``merge`` receives [previous-run table?, fresh tables in epoch order]
+    and returns the consolidated table (sort/dedup/unify is the caller's
+    semantics)."""
+    runs = list_runs(run_dir)
+    prev = runs[-1] if runs else None
+    prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
+    todo = sorted((e, f) for e, f in fresh if e not in prev_covered)
+    if len(todo) < (min_files if prev else max(min_files, 2)):
+        return 0
+    tables = ([pq.read_table(prev[1])] if prev else []) + [pq.read_table(f) for _, f in todo]
+    merged = merge(tables)
+    seq = (prev[0] + 1) if prev else 0
+    os.makedirs(run_dir, exist_ok=True)
+    data_file = os.path.join(run_dir, f"run-seq={seq:08d}.parquet")
+    tmp = f"{data_file}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(merged, tmp, **parquet_write_kwargs())
+    os.rename(tmp, data_file)
+    marker = {
+        "data_file": data_file,
+        "covered_epochs": sorted(prev_covered | {e for e, _ in todo}),
+        "n_rows": merged.num_rows,
+    }
+    mpath = os.path.join(run_dir, f"run-seq={seq:08d}.json")
+    mtmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(mtmp, "w") as fh:
+        json.dump(marker, fh)
+    os.rename(mtmp, mpath)  # commit point: reads switch to the new run here
+    for e, f in originals:
+        if e in prev_covered:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    for s, df, _m in runs[:-1]:
+        for stale in (df, os.path.join(run_dir, f"run-seq={s:08d}.json")):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
+    return len(todo)

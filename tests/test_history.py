@@ -468,3 +468,22 @@ def test_pit_join_matches_brute_force(stream):
         a = got[c].map(lambda x: None if (x is None or (isinstance(x, float) and np.isnan(x))) else x)
         b = res[c].map(lambda x: None if (x is None or (isinstance(x, float) and np.isnan(x))) else x)
         assert a.tolist() == b.tolist(), c
+
+
+def test_pit_join_preserves_probe_int_dtypes(stream):
+    """Probe int64 columns must come back int64 (no float64 promotion in
+    the bucket exchange) — ids above 2^53 would silently corrupt."""
+    import ray.data
+
+    from sonic_etl_ray.pipelines.history import pit_join
+
+    lake = scratch_lake_dir("pitdt")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+    big = np.int64(2**60 + 12345)
+    probe = pd.DataFrame(
+        {"repo": ["r0"], "path": ["nope"], "probe_id": [big], "at_lsn": np.array([50], "int64")}
+    )
+    out = pit_join(lake, ray.data.from_pandas(probe), at_column="at_lsn").to_pandas()
+    assert out["probe_id"].dtype == "int64" and out["probe_id"].iloc[0] == big
+    assert out["at_lsn"].dtype == "int64"
+    assert out["asof_lsn"].dtype == "int64"
