@@ -49,6 +49,7 @@ class Tailer:
         compact_states_every: int | None = None,
         track_history: bool = False,
         window_views: list | None = None,
+        decode_catalog: Any | None = None,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -77,6 +78,9 @@ class Tailer:
         # passes them — exactly-once via each view's own manifest, so a
         # crashed tick re-finalizes idempotently on the next one
         self.window_views = window_views or []
+        # decoded fan-out on the tail: each closed epoch publishes its
+        # decoded sidecars (commit-gated); folds ride the state cadence
+        self.decode_catalog = decode_catalog
         self._applied_since_compact = 0
         self._applied_since_state_compact = 0
         self._stop = False
@@ -139,6 +143,7 @@ class Tailer:
                 input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
                 merge_mode=self.merge_mode,
                 track_history=self.track_history,
+                decode_catalog=self.decode_catalog,
             )
             self._metrics.record_commits(epoch, records)
             applied += 1
@@ -158,6 +163,17 @@ class Tailer:
                 from .history import compact_history
 
                 compact_history(self.lake_dir)
+            if self.decode_catalog is not None:
+                # fold decoded fan-out sidecars on the same cadence; the
+                # fold threshold follows the cadence (the tick already
+                # amortizes), not compact_decoded's standalone default
+                from .ingest import compact_decoded, decoded_tables
+
+                for t in decoded_tables(self.lake_dir):
+                    compact_decoded(
+                        self.lake_dir, table=t,
+                        min_files=max(2, self.compact_states_every or 2),
+                    )
             self._applied_since_state_compact = 0
         windows_finalized = 0
         for view in self.window_views:

@@ -11,6 +11,7 @@ file state — both gated by the unit's commit record.
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -247,3 +248,34 @@ def test_compact_decoded_fold_dedup_and_streaming_read(tmp_path):
     d = read_decoded_ds(lake).to_pandas().sort_values(
         ["lsn", "event_name", "line_no"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(d, t.to_pandas())
+
+
+def test_tailer_decodes_and_folds(tmp_path):
+    """Tailing with a decode catalog publishes decoded sidecars per closed
+    epoch and folds them on the state-compaction cadence."""
+    import pyarrow.parquet as pq_
+
+    from sonic_etl_ray.pipelines.ingest import read_decoded
+    from sonic_etl_ray.pipelines.tail import Tailer
+
+    seg_dir = str(tmp_path / "segs")
+    lake = str(tmp_path / "lake")
+    os.makedirs(seg_dir)
+    for i in range(8):
+        rows = [_ev(i * 10 + j) for j in range(3)]
+        t = _stream(rows).take_all()
+        pq_.write_table(
+            pa.Table.from_pylist(t), f"{seg_dir}/segment_{i:05d}.parquet"
+        )
+    tailer = Tailer(
+        seg_dir, lake, num_partitions=2, segments_per_epoch=2,
+        decode_catalog=CATALOG, compact_states_every=2,
+    )
+    tailer.tick()
+    dec = read_decoded(lake)
+    assert dec.num_rows == 24  # every event decodes (all py lang)
+    runs = glob.glob(f"{lake}/_decoded/runs/part=*/run-seq=*.parquet")
+    assert runs  # fold happened on the cadence
+    # idempotent second tick: nothing new, reads stable
+    tailer.tick()
+    assert read_decoded(lake).equals(dec)
