@@ -203,6 +203,12 @@ def _q_split(sf_dir: str):
     return split_documents(sf_dir)
 
 
+def _q_split_grouped(sf_dir: str):
+    from sonic_etl_ray.functions.sampling import split_documents_grouped
+
+    return split_documents_grouped(sf_dir)
+
+
 def _q_stratified(sf_dir: str):
     from sonic_etl_ray.functions.sampling import stratified_sample_docs
 
@@ -859,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_parts": _q_hll_distinct,
         "bloom_semijoin_revenue": _q_bloom_semijoin,
         "split_assign": _q_split,
+        "split_assign_grouped": _q_split_grouped,
         "stratified_sample": _q_stratified,
         "embedding_topk_cosine": _q_embed_topk,
         "embedding_neardup_pairs": _q_embed_neardup,
@@ -1471,6 +1478,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
         FROM (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
+              FROM documents)
+        ORDER BY doc_id"""
+
+    # group-keyed split: hash the SOURCE so a group never straddles splits
+    sql["split_assign_grouped"] = """
+        SELECT doc_id, source,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, source, md5_number_lower(source) % 100 AS b
               FROM documents)
         ORDER BY doc_id"""
 

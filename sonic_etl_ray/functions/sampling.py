@@ -27,17 +27,31 @@ def _hash_bucket(keys: list[str], mod: int) -> np.ndarray:
     return (md5_u64(keys) % np.uint64(mod)).astype(np.int64)
 
 
-def assign_splits(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+def assign_splits(
+    ds: ray.data.Dataset, id_col: str = "doc_id", group_col: str | None = None
+) -> ray.data.Dataset:
     """Hash-split every row into train/val/test (90/5/5) keyed on the id —
     content-stable: adding or removing other rows never moves an existing
-    row's split (the property random shuffles + fractions lack)."""
+    row's split (the property random shuffles + fractions lack).
+
+    ``group_col`` keys the hash on the GROUP instead: every row of a
+    group lands in the same split — the leakage-free assignment for
+    grouped corpora (all files of one repo, all documents of one source,
+    near-duplicate families keyed by cluster id must never straddle
+    train/test). Zero shuffle either way: the split is a pure per-batch
+    function of the key."""
 
     def split_batch(b: pd.DataFrame) -> pd.DataFrame:
-        bucket = _hash_bucket([str(i) for i in b[id_col]], 100)
+        key_col = group_col or id_col
+        bucket = _hash_bucket([str(i) for i in b[key_col]], 100)
         split = np.full(len(b), "train", dtype=object)
         for name, hi in reversed(SPLIT_BOUNDS):  # test, val, then train
             split[bucket < hi] = name
-        return pd.DataFrame({id_col: b[id_col].to_numpy(), "split": split})
+        cols = {id_col: b[id_col].to_numpy()}
+        if group_col is not None:
+            cols[group_col] = b[group_col].to_numpy()
+        cols["split"] = split
+        return pd.DataFrame(cols)
 
     return ds.map_batches(split_batch, batch_format="pandas")
 
@@ -46,6 +60,16 @@ def split_documents(sf_dir: str) -> pd.DataFrame:
     """Per-document split assignment over the documents table."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = assign_splits(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def split_documents_grouped(sf_dir: str) -> pd.DataFrame:
+    """Leakage-free split over documents keyed on ``source``: every
+    document of a source shares its split."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = assign_splits(ds, group_col="source").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

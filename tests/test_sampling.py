@@ -161,3 +161,26 @@ def test_mixture_respects_weights(ray_session):
     for s, n in kept.items():
         by_w.setdefault(w[s], []).append(n)
     assert np.mean(by_w[3]) > np.mean(by_w[1])
+
+
+def test_grouped_split_no_leakage(ray_session):
+    """Every group maps to exactly one split; per-row coverage intact and
+    the grouped assignment is stable under adding other groups."""
+    from sonic_etl_ray.functions.sampling import assign_splits
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3_000, dtype=np.int64),
+            "source": [f"src{i % 37}" for i in range(3_000)],
+        }
+    )
+    got = assign_splits(ray.data.from_pandas(df), group_col="source").to_pandas()
+    assert len(got) == len(df)
+    per_src = got.groupby("source")["split"].nunique()
+    assert (per_src == 1).all()
+    assert set(got["split"]) <= {"train", "val", "test"}
+    # content-stable: restricting to a subset of groups moves nothing
+    sub = df[df["source"].isin([f"src{i}" for i in range(5)])]
+    got2 = assign_splits(ray.data.from_pandas(sub), group_col="source").to_pandas()
+    m = got.set_index("doc_id")["split"]
+    assert (got2.set_index("doc_id")["split"] == m.loc[got2["doc_id"]].to_numpy()).all()
