@@ -209,6 +209,12 @@ def _q_split_grouped(sf_dir: str):
     return split_documents_grouped(sf_dir)
 
 
+def _q_corpus_profile(sf_dir: str):
+    from sonic_etl_ray.functions.text import corpus_profile
+
+    return corpus_profile(sf_dir)
+
+
 def _q_stratified(sf_dir: str):
     from sonic_etl_ray.functions.sampling import stratified_sample_docs
 
@@ -942,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_moments": _q_moments,
         "multitable_fanout_stats": _q_multitable,
         # --- text scoring (green in r02)
+        "corpus_profile": _q_corpus_profile,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
@@ -1480,6 +1487,24 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS b
               FROM documents)
         ORDER BY doc_id"""
+
+    # single-scan corpus profile: every number an additive SQL aggregate
+    sql["corpus_profile"] = r"""
+        SELECT * FROM (
+          SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+          UNION ALL
+          SELECT 'n_chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
+          UNION ALL
+          SELECT 'n_tokens',
+                 CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'docs_lang=' || lang, CAST(COUNT(*) AS BIGINT)
+          FROM documents GROUP BY lang
+          UNION ALL
+          SELECT 'docs_source=' || source, CAST(COUNT(*) AS BIGINT)
+          FROM documents GROUP BY source
+        ) ORDER BY metric"""
 
     # group-keyed split: hash the SOURCE so a group never straddles splits
     sql["split_assign_grouped"] = """

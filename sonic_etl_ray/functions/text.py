@@ -744,3 +744,49 @@ def compression_scores(sf_dir: str) -> pd.DataFrame:
         CompressionScorer, batch_format="pandas", concurrency=(1, 4)
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_profile(sf_dir: str) -> pd.DataFrame:
+    """Single-scan corpus profile ("dataset card" numbers): document /
+    char / token totals plus per-(lang, source) document counts, all from
+    ONE column-pruned pass — per-batch additive partials (a handful of
+    rows per batch regardless of batch size) folded by one tiny groupby.
+    Derived ratios (mean doc length, tokens per doc) are computed
+    driver-side from the additive components so every emitted number is
+    exactly SQL-reproducible. Tokens = \\S+ runs, identical to
+    :class:`TokenCounter`."""
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        toks = b["text"].str.count(TOKEN_RE).fillna(0).astype("int64")
+        chars = b["text"].str.len().fillna(0).astype("int64")
+        metrics = ["n_docs", "n_chars", "n_tokens"]
+        values = [len(b), int(chars.sum()), int(toks.sum())]
+        for lang, n in b.groupby("lang").size().items():
+            metrics.append(f"docs_lang={lang}")
+            values.append(int(n))
+        for src, n in b.groupby("source").size().items():
+            metrics.append(f"docs_source={src}")
+            values.append(int(n))
+        return pa.table(
+            {
+                "metric": pa.array(metrics, pa.string()),
+                "value": pa.array(values, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("metric")
+        .aggregate(Sum("value", alias_name="value"))
+        .to_pandas()
+    )
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values("metric").reset_index(drop=True)

@@ -1152,3 +1152,29 @@ def test_dup_spans_matches_bruteforce(tmp_path):
     assert int(out.loc[out["doc_id"] == 3, "n_spans"].iloc[0]) == 0
     # doc 4's repeated 'rep' span dedupes within-doc and is NOT cross-doc
     assert int(out.loc[out["doc_id"] == 4, "n_dup_spans"].iloc[0]) == 0
+
+
+def test_corpus_profile_additive_truth(ray_session, tmp_path):
+    """corpus_profile vs pandas truth on a small synthetic documents table
+    (multi-byte text included: char counts, not byte counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.functions.text import corpus_profile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["a b", "héllo wörld", "", "x", "uno dos tres", "é"],
+            "lang": ["en", "de", "en", "en", "es", "de"],
+            "source": ["s1", "s1", "s2", "s2", "s2", "s1"],
+            "n_chars": np.zeros(6, dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(tmp_path / "documents.parquet"))
+    out = corpus_profile(str(tmp_path)).set_index("metric")["value"]
+    assert out["n_docs"] == 6
+    assert out["n_chars"] == sum(len(t) for t in df["text"])
+    assert out["n_tokens"] == sum(len(t.split()) for t in df["text"])
+    assert out["docs_lang=en"] == 3 and out["docs_lang=de"] == 2
+    assert out["docs_source=s2"] == 3
