@@ -113,6 +113,13 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--all-tables", action="store_true", help="compact every decoded table")
     cd.add_argument("--min-files", type=int, default=8)
 
+    ce = sub.add_parser(
+        "compact-errors",
+        help="fold replayed dead-letter files into per-partition audit runs",
+    )
+    ce.add_argument("--lake", required=True)
+    ce.add_argument("--min-files", type=int, default=8)
+
     eh = sub.add_parser(
         "expire-history",
         help="archive retention: drop history for epochs below a cutoff",
@@ -289,6 +296,15 @@ def main(argv: list[str] | None = None) -> int:
             for t in tables
         }
         print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
+        return 0
+    if args.cmd == "compact-errors":
+        _ray_init(args.num_cpus)  # per-partition fold tasks
+        from .pipelines.ingest import compact_errors
+
+        print(json.dumps(compact_errors(args.lake, min_files=args.min_files)))
         import ray
 
         ray.shutdown()

@@ -3001,18 +3001,114 @@ def replay_errors(
     return {"replayed_rows": n_rows, "files": len(pending), "repair_epoch": rep_epoch}
 
 
+def _error_file_plan(lake_dir: str) -> tuple[list[str], dict[int, list[tuple[int, str]]]]:
+    """(run_files, uncovered epoch files by partition) for the error
+    channel — newest audit run per partition plus the per-epoch files it
+    does not cover (pending AND not-yet-folded replayed files)."""
+    import glob as _glob
+
+    from ..state.runfold import list_runs
+
+    run_files: list[str] = []
+    covered: dict[int, set[int]] = {}
+    runs_root = os.path.join(lake_dir, "_errors", "runs")
+    if os.path.isdir(runs_root):
+        for name in os.listdir(runs_root):
+            if not name.startswith("part="):
+                continue
+            part = int(name.split("=", 1)[1])
+            runs = list_runs(os.path.join(runs_root, name))
+            if runs:
+                run_files.append(runs[-1][1])
+                covered[part] = set(runs[-1][2]["covered_epochs"])
+    fresh: dict[int, list[tuple[int, str]]] = {}
+    for f in sorted(_glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet"))):
+        epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
+        if epoch not in covered.get(part, ()):
+            fresh.setdefault(part, []).append((epoch, f))
+    return run_files, fresh
+
+
 def read_errors(lake_dir: str, pending_only: bool = False) -> pa.Table:
     """All diverted error rows across epochs/partitions (the typed error
     channel readback; empty table when no errors were routed).
-    ``pending_only`` skips rows already re-ingested by :func:`replay_errors`."""
-    import glob as _glob
-
-    files = sorted(_glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet")))
+    ``pending_only`` skips rows already re-ingested by
+    :func:`replay_errors` — audit runs (:func:`compact_errors`) hold only
+    replayed rows, so the pending view never reads them."""
+    run_files, fresh = _error_file_plan(lake_dir)
+    files = [f for per in fresh.values() for _, f in per]
     if pending_only:
         files = [f for f in files if not os.path.exists(f + ".REPLAYED")]
+    else:
+        files = run_files + files
     if not files:
         return pa.table({})
     return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
+def compact_errors(lake_dir: str, min_files: int = 8) -> dict[str, int]:
+    """Fold RETIRED error files (those :func:`replay_errors` marked
+    ``.REPLAYED``) into one audit run per partition via the shared
+    run-fold protocol (:mod:`..state.runfold`) — the dead-letter channel's
+    file-count bound. Pending files are never folded: replay bookkeeping
+    stays file-grained, so :func:`replay_errors` and the pending view are
+    untouched. The fold sweeps each covered file's ``.REPLAYED`` marker
+    alongside it (one-generation grace, like every other run family)."""
+    import ray
+
+    from ..state.runfold import fold_partition_runs
+
+    _, fresh = _error_file_plan(lake_dir)
+    retired = {
+        p: [(e, f) for e, f in per if os.path.exists(f + ".REPLAYED")]
+        for p, per in fresh.items()
+    }
+
+    def _merge(tables: list[pa.Table]) -> pa.Table:
+        merged = pa.concat_tables(tables, promote_options="default")
+        if "lsn" in merged.column_names:
+            merged = merged.take(pc.sort_indices(merged, sort_keys=[("lsn", "ascending")]))
+        return merged
+
+    @ray.remote(num_cpus=1)
+    def compact_part(part: int, epoch_files: list[tuple[int, str]]) -> int:
+        import glob as _glob
+
+        # originals = ALL of this partition's epoch files (covered ones
+        # included — the one-generation GC sweeps exactly those), each with
+        # its .REPLAYED marker so markers die with their files
+        all_files = _glob.glob(
+            os.path.join(lake_dir, "_errors", "epoch=*", cl.PART_FMT.format(part) + ".parquet")
+        )
+        originals = [
+            pair
+            for f in all_files
+            for e in (int(os.path.basename(os.path.dirname(f)).split("=")[1]),)
+            for pair in ((e, f), (e, f + ".REPLAYED"))
+        ]
+        return fold_partition_runs(
+            os.path.join(lake_dir, "_errors", "runs", cl.PART_FMT.format(part)),
+            epoch_files,
+            originals,
+            _merge,
+            min_files=min_files,
+        )
+
+    from ..state.runfold import list_runs
+
+    todo = {
+        p: ef
+        for p, ef in retired.items()
+        if len(ef)
+        >= (
+            min_files
+            if list_runs(os.path.join(lake_dir, "_errors", "runs", cl.PART_FMT.format(p)))
+            else max(min_files, 2)
+        )
+    }
+    folded = sum(ray.get([compact_part.remote(p, ef) for p, ef in todo.items()]))
+    return {"parts": len(todo), "files_folded": folded}
 
 
 def scratch_lake_dir(tag: str = "lake") -> str:

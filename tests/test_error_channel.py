@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -177,3 +179,81 @@ def test_dead_letter_replay_restores_state(tmp_path):
     # idempotent: nothing pending, same repair epoch would fast-forward anyway
     again = replay_errors(lake, fix_fn=fix)
     assert again["files"] == 0 and again["repair_epoch"] is None
+
+
+def test_compact_errors_folds_replayed_only(tmp_path):
+    """Audit compaction folds ONLY replayed files into runs: the full view
+    is bit-stable across folds, the pending view is untouched, and a
+    second fold sweeps the first generation's originals + markers."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from sonic_etl_ray.pipelines.ingest import compact_errors, replay_errors
+
+    spec = StreamSpec(n_events=3000, n_repos=8, seed=59, segment_size=250)
+    original = generate_events(spec)
+    op = original.column("op").to_pylist()
+    for i in range(0, len(op), 25):
+        if op[i] != "delete":
+            op[i] = "upsurt"
+    corrupted = original.set_column(
+        original.column_names.index("op"), "op", pa.array(op, pa.string())
+    )
+    files = write_segments(corrupted, str(tmp_path / "segs"), spec)
+    lake = scratch_lake_dir("dlqfold")
+    run_ingest(files, lake, num_partitions=2, segments_per_epoch=2, on_error="route")
+    n_err = read_errors(lake).num_rows
+    assert n_err > 0
+
+    def fix(t: pa.Table) -> pa.Table:
+        fixed = pc.if_else(pc.equal(t["op"], "upsurt"), "insert", t["op"])
+        return t.set_column(t.column_names.index("op"), "op", fixed)
+
+    replay_errors(lake, fix_fn=fix)
+
+    def canon(t):
+        import pandas as pd
+
+        df = t.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    full_before = canon(read_errors(lake))
+    r = compact_errors(lake, min_files=2)
+    assert r["parts"] >= 1 and r["files_folded"] >= 2
+    assert _glob.glob(f"{lake}/_errors/runs/part=*/run-seq=*.parquet")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(read_errors(lake)), full_before)
+    assert read_errors(lake, pending_only=True).num_rows == 0
+
+    # second generation: new errors arrive, are replayed, and a second
+    # fold sweeps the first generation's originals and markers
+    gen1 = set(_glob.glob(f"{lake}/_errors/epoch=*/part=*.parquet"))
+    spec2 = StreamSpec(n_events=1000, n_repos=8, seed=60, segment_size=250)
+    t2 = generate_events(spec2)
+    op2 = t2.column("op").to_pylist()
+    for i in range(0, len(op2), 25):
+        if op2[i] != "delete":
+            op2[i] = "upsurt"
+    t2 = t2.set_column(t2.column_names.index("op"), "op", pa.array(op2, pa.string()))
+    files2 = write_segments(t2, str(tmp_path / "segs2"), spec2)
+    # continue the SAME lake: later epochs via explicit epoch numbering
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+    import ray.data
+
+    base_epoch = 60
+    for k in range(0, len(files2), 2):
+        apply_epoch(
+            ray.data.read_parquet(files2[k : k + 2]),
+            lake, epoch=base_epoch + k // 2, num_partitions=2, on_error="route",
+        )
+    assert read_errors(lake, pending_only=True).num_rows > 0
+    replay_errors(lake, fix_fn=fix)
+    r2 = compact_errors(lake, min_files=2)
+    assert r2["files_folded"] >= 1
+    left = set(_glob.glob(f"{lake}/_errors/epoch=*/part=*.parquet"))
+    assert not (left & gen1)  # generation-1 originals swept
+    assert not any(
+        os.path.exists(f + ".REPLAYED") for f in gen1
+    )  # markers swept with them
