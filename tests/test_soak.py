@@ -9,7 +9,9 @@ import glob
 import os
 import shutil
 
+import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet
 
 from sonic_etl_ray.generator import StreamSpec, generate_events, write_segments
 from sonic_etl_ray.oracle import assert_state_equal, oracle_final_state
@@ -273,3 +275,81 @@ def test_schema_history_survives_compaction_and_vacuum(tmp_path):
     vacuum(lake, keep_epochs=1)
     log2 = schema_history(lake)
     assert log2.equals(log)
+
+
+def test_soak_full_featured_tail(tmp_path):
+    """Everything-on tail: MOR + history archive + decode fan-out + all
+    self-compactions on one growing stream, with every surface checked
+    against an independent recompute at the end — the integration the
+    north rule describes (replay-exact state, incrementally-maintained
+    sidecars, bounded file counts) exercised TOGETHER."""
+    from sonic_etl_ray.pipelines.history import scd2_view
+    from sonic_etl_ray.pipelines.ingest import (
+        compact_decoded,
+        read_decoded,
+        read_decoded_ds,
+    )
+    from sonic_etl_ray.pipelines.qc import Constraint, analyze_lake, check_constraints
+    from sonic_etl_ray.stages.decode import DecodeCatalog, EventSpec
+
+    spec = StreamSpec(n_events=4000, n_repos=8, seed=31, segment_size=250)
+    hidden = str(tmp_path / "hidden")
+    seg = str(tmp_path / "segs")
+    files = write_segments(generate_events(spec), hidden, spec)
+    os.makedirs(seg)
+    for f in files[:8]:
+        shutil.copy(f, seg)
+    lake = str(tmp_path / "lake")
+    catalog = DecodeCatalog({"python": EventSpec("PyTok", r"([\s\S]*)")})
+
+    t = Tailer(
+        seg, lake, num_partitions=4, segments_per_epoch=2,
+        merge_mode="mor", compact_states_every=2, compact_every=2,
+        track_history=True, decode_catalog=catalog,
+    )
+    t.tick()
+    for f in files[8:]:
+        shutil.copy(f, seg)
+    t.tick()
+
+    # 1) state replay-exact vs the independent DuckDB oracle
+    final_oracle = oracle_final_state(files)
+    assert_state_equal(lake_final_table(lake), final_oracle)
+
+    # 2) decoded fan-out: every decodable event (python inserts whose
+    # content starts with a non-space char) appears exactly once
+    ev = pa.concat_tables(
+        [pa.parquet.read_table(f) for f in files], promote_options="default"
+    ).to_pandas()
+    dec = read_decoded(lake).to_pandas()
+    expect = ev[(ev["lang"] == "python") & ev["content"].notna()]
+    assert len(dec) == len(expect)
+    assert set(dec["lsn"]) == set(expect["lsn"])
+    # streaming read agrees with the driver-side table
+    ds_rows = read_decoded_ds(lake).to_pandas().sort_values(
+        ["lsn", "event_name", "line_no"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ds_rows, dec.reset_index(drop=True))
+
+    # 3) SCD2 view from the incrementally-maintained archive: the current
+    # versions must be exactly the live state's keys
+    view = scd2_view(lake).to_pandas()
+    cur = view[view["is_current"] == 1]
+    live = final_oracle.to_pandas()
+    assert set(zip(cur["repo"], cur["path"])) == set(zip(live["repo"], live["path"]))
+
+    # 4) ANALYZE + constraints agree with the final state
+    stats = analyze_lake(lake, ["repo"]).set_index("column")
+    assert int(stats.loc["repo", "n_distinct"]) == live["repo"].nunique()
+    cons = check_constraints(
+        lake, [Constraint("pk", "unique", ("repo", "path"))]
+    ).set_index("constraint")
+    assert int(cons.loc["pk", "violations"]) == 0
+    assert int(cons.loc["pk", "n_rows"]) == len(live)
+
+    # 5) self-compaction bounded the sidecar file counts (runs exist;
+    # fresh per-epoch files below the fold cadence)
+    assert glob.glob(lake + "/_decoded/runs/part=*/run-seq=*.parquet") or (
+        compact_decoded(lake, min_files=2) and
+        glob.glob(lake + "/_decoded/runs/part=*/run-seq=*.parquet")
+    )
+    assert glob.glob(lake + "/_history/compacted/part=*/run-seq=*.parquet")
