@@ -247,6 +247,12 @@ def _q_neardup_clusters(sf_dir: str):
     return near_dup_clusters(sf_dir, **_MH)
 
 
+def _q_neardup_keep_best(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import near_dup_keep_best
+
+    return near_dup_keep_best(sf_dir, **_MH)
+
+
 def _q_simhash(sf_dir: str):
     from sonic_etl_ray.functions.dedup import simhash_fingerprints
 
@@ -854,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
+        "near_dup_keep_best": _q_neardup_keep_best,
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_pairs,
         "doc_fingerprints": _q_fingerprints,
@@ -1828,6 +1835,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS doc_id, MIN(dst) AS cluster_id, src = MIN(dst) AS is_representative
         FROM reach GROUP BY src ORDER BY doc_id"""
+
+    # retention policy over the same clusters: longest doc wins, ties to
+    # the smallest id — the shared reach CTE re-derives the components
+    sql["near_dup_keep_best"] = f"""
+        {_brute_jaccard_pairs_cte(_MH["k"]).replace("WITH sets", "WITH RECURSIVE sets")},
+        p AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_MH["threshold"]}
+        ),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ),
+        clus AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT c.doc_id, c.cluster_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+               ) = 1 AS keep
+        FROM clus c JOIN documents d ON c.doc_id = d.doc_id
+        ORDER BY c.doc_id"""
 
     # embedding_lsh_topk: the seeded hyperplanes are deterministic, so they
     # are INLINED as literal vectors — the SQL recomputes every row's bucket

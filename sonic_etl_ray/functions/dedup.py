@@ -824,3 +824,44 @@ def dup_spans(sf_dir: str, span_len: int = 8, min_docs: int = 2) -> pd.DataFrame
         out["n_dup_spans"] / out["n_spans"].clip(lower=1)
     ).round(6).astype("float64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def near_dup_keep_best(
+    sf_dir: str,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """Near-dup retention policy: within each near-duplicate cluster keep
+    the best document (longest ``n_chars``, ties to the smallest doc_id)
+    and mark the rest for drop — the policy step an LLM-data pipeline
+    runs after clustering (keeping the min-id "representative" regardless
+    of quality throws away the best copy).
+
+    Shape: clusters from :func:`near_dup_clusters` (banded LSH + verified
+    pairs + components — nothing driver-side beyond the cluster rows);
+    the quality column for CLUSTERED docs only rides a column-pruned scan
+    with a broadcast membership filter (clusters ≪ corpus by
+    construction), so no join shuffle. Returns one row per clustered doc:
+    (doc_id, cluster_id, n_chars, keep)."""
+    clusters = near_dup_clusters(sf_dir, threshold=threshold, **lsh_kwargs)
+    if clusters.empty:
+        return pd.DataFrame(columns=["doc_id", "cluster_id", "n_chars", "keep"])
+    member = frozenset(int(x) for x in clusters["doc_id"])
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].isin(member)]
+
+    sub = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out = clusters[["doc_id", "cluster_id"]].merge(sub, on="doc_id")
+    out = out.sort_values(
+        ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    out["keep"] = ~out.duplicated("cluster_id")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1178,3 +1178,40 @@ def test_corpus_profile_additive_truth(ray_session, tmp_path):
     assert out["n_tokens"] == sum(len(t.split()) for t in df["text"])
     assert out["docs_lang=en"] == 3 and out["docs_lang=de"] == 2
     assert out["docs_source=s2"] == 3
+
+
+def test_near_dup_keep_best_policy(ray_session, tmp_path):
+    """Longest doc wins its cluster; ties break to the smallest id;
+    unclustered docs never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.functions.dedup import near_dup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base + " tail", "en", "s", 0),
+        (1, base + " tail longer", "en", "s", 0),      # longest in cluster
+        (2, base + " tail", "en", "s", 0),             # tie with 0 -> 0 wins? no, 1 longest
+        (3, "completely different text about databases and rays", "en", "s", 0),
+    ]
+    df = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array([d[3] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(df, str(tmp_path / "documents.parquet"))
+    out = near_dup_keep_best(str(tmp_path), threshold=0.5)
+    assert set(out["doc_id"]) == {0, 1, 2}  # doc 3 unclustered
+    kept = out[out["keep"]]
+    assert kept["doc_id"].tolist() == [1]  # longest wins
+    # determinism: exact tie between 0 and 2 -> neither kept over 1, and
+    # rerun is byte-identical
+    out2 = near_dup_keep_best(str(tmp_path), threshold=0.5)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, out2)
