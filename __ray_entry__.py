@@ -472,6 +472,12 @@ def _q_prep_corpus(sf_dir: str):
     return prep_corpus(sf_dir)
 
 
+def _q_prep_corpus_full(sf_dir: str):
+    from sonic_etl_ray.pipelines.corpus import prep_corpus_full
+
+    return prep_corpus_full(sf_dir, **_MH)
+
+
 def _q_cdc_upserts(sf_dir: str):
     from sonic_etl_ray.pipelines.cdc_queries import cdc_apply_upserts
 
@@ -892,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_docs,
         "prep_corpus": _q_prep_corpus,
+        "prep_corpus_full": _q_prep_corpus_full,
         "token_shards": _q_token_shards,
         # --- driver-unverified as of r02: relational tail
         "decode_props_rollup": _q_decode_props,
@@ -1786,6 +1793,60 @@ def oracle_sql() -> dict[str, str]:
         FROM kept
         QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
         ORDER BY doc_id"""
+
+    # full preprocessing chain: quality+exact-dedup survivors, minus
+    # non-best near-dup cluster members, with the group-keyed split —
+    # the three stages' CTEs composed into one statement
+    sql["prep_corpus_full"] = (
+        _brute_jaccard_pairs_cte(_MH["k"]).replace("WITH sets", "WITH RECURSIVE sets")
+        + f""",
+        p AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {_MH["threshold"]}
+        ),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM e)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ),
+        clus AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        best AS (
+          SELECT c.doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+                 ) = 1 AS keep
+          FROM clus c JOIN documents d ON c.doc_id = d.doc_id
+        ),
+        scored AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                          x -> list_contains(['the', 'a', 'and', 'of', 'to'], x))) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS stop_ratio
+          FROM documents
+        ),
+        kept AS (
+          SELECT doc_id, text, n_tokens FROM scored
+          WHERE stop_ratio <= 0.2 AND n_tokens BETWEEN 10 AND 5000
+        ),
+        surv AS (
+          SELECT doc_id, n_tokens FROM kept
+          QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+        ),
+        final AS (
+          SELECT s.doc_id, s.n_tokens FROM surv s
+          LEFT JOIN best b ON s.doc_id = b.doc_id
+          WHERE b.keep IS NULL OR b.keep
+        )
+        SELECT f.doc_id, d.source,
+               CASE WHEN md5_number_lower(d.source) % 100 < 90 THEN 'train'
+                    WHEN md5_number_lower(d.source) % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               f.n_tokens
+        FROM final f JOIN documents d ON f.doc_id = d.doc_id
+        ORDER BY f.doc_id"""
+    )
 
     sql["lang_id"] = _lang_id_sql()
 

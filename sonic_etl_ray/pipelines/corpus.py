@@ -390,3 +390,52 @@ def langs_per_source(sf_dir: str) -> pd.DataFrame:
     )
     out["n_langs"] = out["n_langs"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def prep_corpus_full(
+    sf_dir: str,
+    max_stop_ratio: float = 0.2,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """The full preprocessing chain as one composition: quality filter →
+    exact dedup (:func:`prep_corpus`) → near-duplicate drop (non-best
+    cluster members out, :func:`~sonic_etl_ray.functions.dedup.
+    near_dup_keep_best`) → leakage-free grouped split
+    (:func:`~sonic_etl_ray.functions.sampling.assign_splits` keyed on
+    ``source``). Returns the training manifest: (doc_id, source, split,
+    n_tokens), sorted by doc_id.
+
+    Each stage keeps its own scale shape (actor-pool scoring, hash-groupby
+    dedup, banded LSH, per-batch split hash); the composition adds only a
+    broadcast membership filter and a driver-side merge of the
+    (small) surviving manifest."""
+    from ..functions.dedup import near_dup_keep_best
+    from ..functions.sampling import assign_splits
+
+    surv = prep_corpus(
+        sf_dir,
+        max_stop_ratio=max_stop_ratio,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+    )
+    kb = near_dup_keep_best(sf_dir, threshold=threshold, **lsh_kwargs)
+    drop = frozenset(int(x) for x in kb.loc[~kb["keep"], "doc_id"])
+    final = surv[~surv["doc_id"].isin(drop)][["doc_id", "n_tokens"]]
+    keep_ids = frozenset(int(x) for x in final["doc_id"])
+
+    def member(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].isin(keep_ids)]
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(member, batch_format="pandas")
+    )
+    splits = assign_splits(ds, group_col="source").to_pandas()
+    out = final.merge(splits, on="doc_id")[["doc_id", "source", "split", "n_tokens"]]
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
