@@ -1507,17 +1507,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM (
           SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
           UNION ALL
-          SELECT 'n_chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
+          SELECT 'n_chars', CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM documents
           UNION ALL
           SELECT 'n_tokens',
-                 CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                 CAST(COALESCE(SUM(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT)
           FROM documents
           UNION ALL
           SELECT 'docs_lang=' || lang, CAST(COUNT(*) AS BIGINT)
-          FROM documents GROUP BY lang
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang
           UNION ALL
           SELECT 'docs_source=' || source, CAST(COUNT(*) AS BIGINT)
-          FROM documents GROUP BY source
+          FROM documents WHERE source IS NOT NULL GROUP BY source
         ) ORDER BY metric"""
 
     # group-keyed split: hash the SOURCE so a group never straddles splits
@@ -1811,13 +1811,6 @@ def oracle_sql() -> dict[str, str]:
           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
         ),
         clus AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
-        best AS (
-          SELECT c.doc_id,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
-                 ) = 1 AS keep
-          FROM clus c JOIN documents d ON c.doc_id = d.doc_id
-        ),
         scored AS (
           SELECT doc_id, text,
                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -1833,6 +1826,17 @@ def oracle_sql() -> dict[str, str]:
         surv AS (
           SELECT doc_id, n_tokens FROM kept
           QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+        ),
+        -- keep-best ranked among SURVIVORS: a cluster whose overall-best
+        -- copy fell to quality/exact-dedup keeps its best surviving member
+        best AS (
+          SELECT c.doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+                 ) = 1 AS keep
+          FROM clus c
+          JOIN documents d ON c.doc_id = d.doc_id
+          JOIN surv s ON c.doc_id = s.doc_id
         ),
         final AS (
           SELECT s.doc_id, s.n_tokens FROM surv s

@@ -788,5 +788,12 @@ def corpus_profile(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("value", alias_name="value"))
         .to_pandas()
     )
+    if out.empty:
+        # an empty corpus still has a profile (the oracle COALESCEs its
+        # empty-input sums to 0); per-group rows are rightly absent —
+        # NULL lang/source groups are skipped on both sides
+        out = pd.DataFrame(
+            {"metric": ["n_chars", "n_docs", "n_tokens"], "value": [0, 0, 0]}
+        )
     out["value"] = out["value"].astype("int64")
     return out.sort_values("metric").reset_index(drop=True)

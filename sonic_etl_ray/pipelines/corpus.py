@@ -421,8 +421,16 @@ def prep_corpus_full(
         min_tokens=min_tokens,
         max_tokens=max_tokens,
     )
+    surv_ids = frozenset(int(x) for x in surv["doc_id"])
+    # rank keep-best WITHIN THE SURVIVORS: if a cluster's overall-best copy
+    # already fell to the quality filter or exact dedup, its best SURVIVING
+    # member is kept — ranking over the full corpus would drop every copy
+    # of that content from the manifest (silent data loss)
     kb = near_dup_keep_best(sf_dir, threshold=threshold, **lsh_kwargs)
-    drop = frozenset(int(x) for x in kb.loc[~kb["keep"], "doc_id"])
+    m = kb[kb["doc_id"].isin(surv_ids)].sort_values(
+        ["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    drop = frozenset(int(x) for x in m.loc[m.duplicated("cluster_id"), "doc_id"])
     final = surv[~surv["doc_id"].isin(drop)][["doc_id", "n_tokens"]]
     keep_ids = frozenset(int(x) for x in final["doc_id"])
 

@@ -2784,39 +2784,22 @@ def _decoded_file_plan(
     lake_dir: str, table: str | None
 ) -> tuple[list[str], dict[int, list[tuple[int, str]]]]:
     """(run_files, fresh) for a decoded table: each partition's NEWEST run
-    plus the committed per-epoch files its run does not cover. Fresh files
-    are keyed by partition so callers can fold or dedup per partition."""
+    plus the committed per-epoch files its run does not cover (shared
+    covered-epoch bookkeeping, :func:`..state.runfold.plan_runs`; the
+    commit-record visibility gate is this family's semantics)."""
     import glob as _glob
 
-    run_files: list[str] = []
-    covered: dict[int, set[int]] = {}
-    fresh: dict[int, list[tuple[int, str]]] = {}
-    seen_parts: set[int] = set()
-    epoch_files = sorted(
+    from ..state.runfold import plan_runs
+
+    committed = []
+    for f in sorted(
         _glob.glob(os.path.join(_decoded_root(lake_dir, table), "epoch=*", "part=*.parquet"))
-    )
-    for f in epoch_files:
-        part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
-        seen_parts.add(part)
-    run_parts = set()
-    runs_root = os.path.join(_decoded_root(lake_dir, table), "runs")
-    if os.path.isdir(runs_root):
-        for name in os.listdir(runs_root):
-            if name.startswith("part="):
-                run_parts.add(int(name.split("=", 1)[1]))
-    for part in sorted(seen_parts | run_parts):
-        runs = _decoded_runs(lake_dir, table, part)
-        if runs:
-            run_files.append(runs[-1][1])
-            covered[part] = set(runs[-1][2]["covered_epochs"])
-    for f in epoch_files:
+    ):
         epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
         part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
-        if epoch in covered.get(part, ()):  # folded already (GC-grace leftover)
-            continue
         if cl.is_committed(lake_dir, epoch, part):  # orphans of crashed units
-            fresh.setdefault(part, []).append((epoch, f))
-    return run_files, fresh
+            committed.append((epoch, part, f))
+    return plan_runs(os.path.join(_decoded_root(lake_dir, table), "runs"), committed)
 
 
 _DECODED_SORT = [("lsn", "ascending"), ("event_name", "ascending"), ("line_no", "ascending")]
@@ -2917,13 +2900,11 @@ def compact_decoded(
             min_files=min_files,
         )
 
-    # amortization rule mirrored driver-side: a tailer folding every tick
-    # must not dispatch P no-op tasks per tick
-    todo = {
-        p: ef
-        for p, ef in fresh.items()
-        if len(ef) >= (min_files if _decoded_runs(lake_dir, table, p) else max(min_files, 2))
-    }
+    from ..state.runfold import parts_to_fold
+
+    todo = parts_to_fold(
+        os.path.join(_decoded_root(lake_dir, table), "runs"), fresh, min_files
+    )
     folded = sum(ray.get([compact_part.remote(p, ef) for p, ef in todo.items()]))
     return {"parts": len(todo), "files_folded": folded}
 
@@ -3003,31 +2984,22 @@ def replay_errors(
 
 def _error_file_plan(lake_dir: str) -> tuple[list[str], dict[int, list[tuple[int, str]]]]:
     """(run_files, uncovered epoch files by partition) for the error
-    channel — newest audit run per partition plus the per-epoch files it
-    does not cover (pending AND not-yet-folded replayed files)."""
+    channel — newest audit run per partition plus the committed per-epoch
+    files it does not cover (pending AND not-yet-folded replayed files).
+    The commit record gates visibility: a crashed unit's orphan file must
+    not surface as pending backlog replay_errors would refuse, and a
+    retried epoch overwrites it."""
     import glob as _glob
 
-    from ..state.runfold import list_runs
+    from ..state.runfold import plan_runs
 
-    run_files: list[str] = []
-    covered: dict[int, set[int]] = {}
-    runs_root = os.path.join(lake_dir, "_errors", "runs")
-    if os.path.isdir(runs_root):
-        for name in os.listdir(runs_root):
-            if not name.startswith("part="):
-                continue
-            part = int(name.split("=", 1)[1])
-            runs = list_runs(os.path.join(runs_root, name))
-            if runs:
-                run_files.append(runs[-1][1])
-                covered[part] = set(runs[-1][2]["covered_epochs"])
-    fresh: dict[int, list[tuple[int, str]]] = {}
+    committed = []
     for f in sorted(_glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet"))):
         epoch = int(os.path.basename(os.path.dirname(f)).split("=")[1])
         part = int(os.path.basename(f)[: -len(".parquet")].split("=")[1])
-        if epoch not in covered.get(part, ()):
-            fresh.setdefault(part, []).append((epoch, f))
-    return run_files, fresh
+        if cl.is_committed(lake_dir, epoch, part):
+            committed.append((epoch, part, f))
+    return plan_runs(os.path.join(lake_dir, "_errors", "runs"), committed)
 
 
 def read_errors(lake_dir: str, pending_only: bool = False) -> pa.Table:
@@ -3095,18 +3067,9 @@ def compact_errors(lake_dir: str, min_files: int = 8) -> dict[str, int]:
             min_files=min_files,
         )
 
-    from ..state.runfold import list_runs
+    from ..state.runfold import parts_to_fold
 
-    todo = {
-        p: ef
-        for p, ef in retired.items()
-        if len(ef)
-        >= (
-            min_files
-            if list_runs(os.path.join(lake_dir, "_errors", "runs", cl.PART_FMT.format(p)))
-            else max(min_files, 2)
-        )
-    }
+    todo = parts_to_fold(os.path.join(lake_dir, "_errors", "runs"), retired, min_files)
     folded = sum(ray.get([compact_part.remote(p, ef) for p, ef in todo.items()]))
     return {"parts": len(todo), "files_folded": folded}
 

@@ -172,7 +172,7 @@ class Tailer:
                 for t in decoded_tables(self.lake_dir):
                     compact_decoded(
                         self.lake_dir, table=t,
-                        min_files=max(2, self.compact_states_every or 2),
+                        min_files=max(2, self.compact_states_every),
                     )
             self._applied_since_state_compact = 0
         windows_finalized = 0

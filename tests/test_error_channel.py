@@ -257,3 +257,34 @@ def test_compact_errors_folds_replayed_only(tmp_path):
     assert not any(
         os.path.exists(f + ".REPLAYED") for f in gen1
     )  # markers swept with them
+
+
+def test_orphan_error_file_invisible(tmp_path):
+    """An error file from a crashed, uncommitted unit must not surface as
+    pending backlog (replay_errors would refuse it) nor in the audit view."""
+    import pyarrow.parquet as pq_
+
+    spec = StreamSpec(n_events=500, n_repos=4, seed=7, segment_size=250)
+    t = generate_events(spec)
+    op = t.column("op").to_pylist()
+    op[10] = "upsurt"
+    t = t.set_column(t.column_names.index("op"), "op", pa.array(op, pa.string()))
+    files = write_segments(t, str(tmp_path / "segs"), spec)
+    lake = scratch_lake_dir("dlqorphan")
+    run_ingest(files, lake, num_partitions=2, segments_per_epoch=2, on_error="route")
+    committed = read_errors(lake).num_rows
+    assert committed >= 1
+    # forge an orphan: an error file for an epoch with no commit record
+    orphan_dir = os.path.join(lake, "_errors", "epoch=00000099")
+    os.makedirs(orphan_dir)
+    src = sorted(
+        f for f in os.listdir(os.path.join(lake, "_errors"))
+        if f.startswith("epoch=") and f != "epoch=00000099"
+    )[0]
+    import glob as _glob
+    import shutil as _shutil
+
+    real = _glob.glob(os.path.join(lake, "_errors", src, "part=*.parquet"))[0]
+    _shutil.copy(real, os.path.join(orphan_dir, os.path.basename(real)))
+    assert read_errors(lake).num_rows == committed
+    assert read_errors(lake, pending_only=True).num_rows == committed

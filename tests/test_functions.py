@@ -1215,3 +1215,40 @@ def test_near_dup_keep_best_policy(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_prep_corpus_full_keeps_best_survivor(ray_session, tmp_path):
+    """If a cluster's overall-best copy fails the quality filter, the best
+    SURVIVING member is kept — content is never lost wholesale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.pipelines.corpus import prep_corpus_full
+
+    base = " ".join(f"w{i}" for i in range(30))
+    # doc 0: the same content repeated until it fails max_tokens — its
+    # shingle SET stays ~doc 2's (high Jaccard), so it IS the cluster's
+    # longest member while being quality-filtered
+    giant = " ".join([base + " tail"] * 200)
+    docs = [
+        (0, giant, "en", "s"),                # cluster best overall, filtered out
+        (1, base + " tail one", "en", "s"),   # survivor, near-dup of 2
+        (2, base + " tail", "en", "s"),       # survivor
+        (3, " ".join(f"z{i}" for i in range(40)), "en", "s"),  # unclustered survivor
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array([d[3] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = prep_corpus_full(str(tmp_path), threshold=0.5, max_tokens=5000)
+    ids = set(out["doc_id"])
+    assert 0 not in ids          # quality-filtered
+    assert 3 in ids              # untouched
+    # the 1-2 near-dup pair keeps exactly its best survivor (1: longer)
+    assert 1 in ids and 2 not in ids
