@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray.data
 
 from ..state import commitlog as cl
+from ..state.runfold import EpochCover
 
 HISTORY_DIR = "_history"
 COMPACT_DIR = "compacted"
@@ -82,11 +83,10 @@ def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
             if not runs:
                 continue
             _, data_file, marker = runs[-1]
-            if as_of_epoch is not None and any(
-                e > as_of_epoch for e in marker["covered_epochs"]
-            ):
+            cov = EpochCover.from_marker(marker)
+            if as_of_epoch is not None and cov and cov.max() > as_of_epoch:
                 continue  # run spans past the as-of point; fall back to originals
-            covered[part] = set(marker["covered_epochs"])
+            covered[part] = cov
             compacted.append(data_file)
     out: list[tuple[int, int, str]] = []
     for f in glob.glob(
@@ -127,14 +127,13 @@ def _part_history_files(
     """One partition's committed history files (compacted run first) —
     the pruned-read unit :func:`lookup_key_history` needs."""
     runs = _compact_runs(lake_dir, part)
-    covered: set[int] = set()
+    covered: "EpochCover" = EpochCover([])
     out: list[str] = []
     if runs:
         _, data_file, marker = runs[-1]
-        if as_of_epoch is None or all(
-            e <= as_of_epoch for e in marker["covered_epochs"]
-        ):
-            covered = set(marker["covered_epochs"])
+        cov = EpochCover.from_marker(marker)
+        if as_of_epoch is None or not cov or cov.max() <= as_of_epoch:
+            covered = cov
             out.append(data_file)
     for f in glob.glob(
         os.path.join(lake_dir, HISTORY_DIR, "epoch=*", cl.PART_FMT.format(part) + ".parquet")
@@ -297,7 +296,8 @@ def expire_history(lake_dir: str, before_epoch: int) -> dict[str, int]:
         for pdir in sorted(os.listdir(cdir)):
             part = int(pdir.split("=")[1])
             for seq, data_file, marker in _compact_runs(lake_dir, part):
-                if all(e < before_epoch for e in marker["covered_epochs"]):
+                cov = EpochCover.from_marker(marker)
+                if not cov or cov.max() < before_epoch:
                     os.remove(data_file)
                     os.remove(
                         os.path.join(cdir, pdir, f"run-seq={seq:08d}.json")
@@ -363,7 +363,7 @@ def compact_history(lake_dir: str, min_files: int = 8) -> dict[str, int]:
     todo: dict[int, list[tuple[int, str]]] = {}
     for p, ef in by_part.items():
         runs = _compact_runs(lake_dir, p)
-        covered = set(runs[-1][2]["covered_epochs"]) if runs else set()
+        covered = EpochCover.from_marker(runs[-1][2]) if runs else EpochCover([])
         fresh_n = sum(1 for e, _ in ef if e not in covered)
         if fresh_n >= (min_files if runs else max(min_files, 2)):
             todo[p] = ef

@@ -41,6 +41,58 @@ from ..config import parquet_write_kwargs
 _MARKER_RE = re.compile(r"run-seq=(\d+)\.json$")
 
 
+class EpochCover:
+    """A run marker's covered-epoch set as contiguous inclusive ranges —
+    O(gaps) memory and marker bytes, never O(epochs) (a 10^6-epoch fold
+    history is 1-2 ranges, not a million-int JSON list). Membership is a
+    bisect; union with a fresh epoch batch merges range lists."""
+
+    __slots__ = ("ranges",)
+
+    def __init__(self, ranges):
+        self.ranges = [(int(a), int(b)) for a, b in ranges]
+
+    @classmethod
+    def from_epochs(cls, epochs) -> "EpochCover":
+        rs: list[tuple[int, int]] = []
+        for e in sorted(set(int(x) for x in epochs)):
+            if rs and e == rs[-1][1] + 1:
+                rs[-1] = (rs[-1][0], e)
+            else:
+                rs.append((e, e))
+        return cls(rs)
+
+    @classmethod
+    def from_marker(cls, marker: dict) -> "EpochCover":
+        if "covered_ranges" in marker:
+            return cls(marker["covered_ranges"])
+        return cls.from_epochs(marker.get("covered_epochs", []))
+
+    def __contains__(self, e: int) -> bool:
+        import bisect
+
+        i = bisect.bisect_right(self.ranges, (int(e), float("inf"))) - 1
+        return i >= 0 and self.ranges[i][0] <= int(e) <= self.ranges[i][1]
+
+    def __bool__(self) -> bool:
+        return bool(self.ranges)
+
+    def min(self) -> int:
+        return self.ranges[0][0]
+
+    def max(self) -> int:
+        return self.ranges[-1][1]
+
+    def union_epochs(self, epochs) -> "EpochCover":
+        merged: list[tuple[int, int]] = []
+        for lo, hi in sorted(self.ranges + EpochCover.from_epochs(epochs).ranges):
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return EpochCover(merged)
+
+
 def list_runs(run_dir: str) -> list[tuple[int, str, dict]]:
     """Committed runs in one partition's run directory, seq-ascending:
     (seq, data_file, marker). A marker whose data file is missing (crash
@@ -76,7 +128,7 @@ def fold_partition_runs(
     semantics)."""
     runs = list_runs(run_dir)
     prev = runs[-1] if runs else None
-    prev_covered = set(prev[2]["covered_epochs"]) if prev else set()
+    prev_covered = EpochCover.from_marker(prev[2]) if prev else EpochCover([])
     todo = sorted((e, f) for e, f in fresh if e not in prev_covered)
     if len(todo) < (min_files if prev else max(min_files, 2)):
         return 0
@@ -90,7 +142,8 @@ def fold_partition_runs(
     os.rename(tmp, data_file)
     marker = {
         "data_file": data_file,
-        "covered_epochs": sorted(prev_covered | {e for e, _ in todo}),
+        # ranges, not a list: O(gaps) marker bytes at any epoch count
+        "covered_ranges": prev_covered.union_epochs(e for e, _ in todo).ranges,
         "n_rows": merged.num_rows,
     }
     mpath = os.path.join(run_dir, f"run-seq={seq:08d}.json")
@@ -130,7 +183,7 @@ def plan_runs(
             runs = list_runs(os.path.join(runs_root, name))
             if runs:
                 run_files.append(runs[-1][1])
-                covered[int(name.split("=", 1)[1])] = set(runs[-1][2]["covered_epochs"])
+                covered[int(name.split("=", 1)[1])] = EpochCover.from_marker(runs[-1][2])
     fresh: dict[int, list[tuple[int, str]]] = {}
     for epoch, part, path in epoch_files:
         if epoch not in covered.get(part, ()):

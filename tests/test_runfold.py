@@ -10,7 +10,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from sonic_etl_ray.state.runfold import fold_partition_runs, list_runs
+from sonic_etl_ray.state.runfold import EpochCover, fold_partition_runs, list_runs
 
 
 def _t(vals):
@@ -39,7 +39,7 @@ def test_fold_refold_coverage_and_gc(tmp_path):
     n = fold_partition_runs(run_dir, [e0, e1], [e0, e1], _merge, min_files=2)
     assert n == 2
     runs = list_runs(run_dir)
-    assert len(runs) == 1 and runs[0][2]["covered_epochs"] == [0, 1]
+    assert len(runs) == 1 and runs[0][2]["covered_ranges"] == [[0, 1]]
     assert pq.read_table(runs[0][1]).column("v").to_pylist() == [1, 2, 3]
     # originals survive the first fold (one-generation grace)
     assert os.path.exists(e0[1]) and os.path.exists(e1[1])
@@ -52,7 +52,7 @@ def test_fold_refold_coverage_and_gc(tmp_path):
     # the superseded run gets one generation of grace too: both present,
     # newest (seq 1) is authoritative
     assert [r[0] for r in runs2] == [0, 1]
-    assert runs2[-1][2]["covered_epochs"] == [0, 1, 2]
+    assert runs2[-1][2]["covered_ranges"] == [[0, 2]]
     assert pq.read_table(runs2[-1][1]).column("v").to_pylist() == [1, 2, 3, 5]
     # generation-1 originals swept now; the new epoch's original still graced
     assert not os.path.exists(e0[1]) and not os.path.exists(e1[1])
@@ -102,3 +102,38 @@ def test_marker_without_data_file_ignored(tmp_path):
     with open(os.path.join(run_dir, "run-seq=00000003.json"), "w") as fh:
         json.dump({"data_file": os.path.join(run_dir, "gone.parquet"), "covered_epochs": [7]}, fh)
     assert list_runs(run_dir) == []
+
+
+def test_epoch_cover_ranges_and_legacy(tmp_path):
+    """Range-compressed coverage: membership, min/max, union, and legacy
+    covered_epochs list markers still read."""
+    c = EpochCover.from_epochs([0, 1, 2, 5, 7, 8])
+    assert c.ranges == [(0, 2), (5, 5), (7, 8)]
+    assert 1 in c and 5 in c and 8 in c
+    assert 3 not in c and 6 not in c and 9 not in c
+    assert c.min() == 0 and c.max() == 8
+    u = c.union_epochs([3, 4, 9])
+    assert u.ranges == [(0, 5), (7, 9)]
+    legacy = EpochCover.from_marker({"covered_epochs": [4, 2, 3]})
+    assert legacy.ranges == [(2, 4)] and 3 in legacy
+    # a fully-contiguous million-epoch history is ONE range
+    big = EpochCover.from_epochs(range(1_000_000))
+    assert big.ranges == [(0, 999_999)] and 999_999 in big
+
+    # legacy marker on disk folds forward into the ranges format
+    import json
+
+    import pyarrow.parquet as pq
+
+    run_dir = str(tmp_path / "runs")
+    os.makedirs(run_dir)
+    pq.write_table(_t([1, 2]), os.path.join(run_dir, "run-seq=00000000.parquet"))
+    with open(os.path.join(run_dir, "run-seq=00000000.json"), "w") as fh:
+        json.dump({"data_file": os.path.join(run_dir, "run-seq=00000000.parquet"),
+                   "covered_epochs": [0, 1], "n_rows": 2}, fh)
+    src = str(tmp_path / "src")
+    e2 = _write_epoch(src, 2, [9])
+    assert fold_partition_runs(run_dir, [e2], [e2], _merge, min_files=1) == 1
+    runs = list_runs(run_dir)
+    assert runs[-1][2]["covered_ranges"] == [[0, 2]]
+    assert pq.read_table(runs[-1][1]).column("v").to_pylist() == [1, 2, 9]
