@@ -3159,7 +3159,14 @@ def clone_lake(
             out_root = os.path.join(dst_dir, rel) if rel != "." else dst_dir
             os.makedirs(out_root, exist_ok=True)
             for name in files:
-                if name == "_WRITER_LEASE.json" or name.startswith(".manifest."):
+                # in-flight staging never crosses a branch: crashed
+                # tmp+rename leftovers (".tmp.<hex>" suffixes) are not
+                # committed artifacts
+                if (
+                    name == "_WRITER_LEASE.json"
+                    or name.startswith(".manifest.")
+                    or ".tmp." in name
+                ):
                     continue
                 sp = os.path.join(root, name)
                 dp = os.path.join(out_root, name)
