@@ -127,6 +127,21 @@ def main(argv: list[str] | None = None) -> int:
     eh.add_argument("--lake", required=True)
     eh.add_argument("--before-epoch", type=int, required=True)
 
+    ed = sub.add_parser(
+        "expire-decoded",
+        help="decoded-table retention: drop decoded rows for epochs below a cutoff",
+    )
+    ed.add_argument("--lake", required=True)
+    ed.add_argument("--before-epoch", type=int, required=True)
+    ed.add_argument("--table", default=None)
+
+    ee = sub.add_parser(
+        "expire-errors",
+        help="dead-letter retention: drop error rows for epochs below a cutoff",
+    )
+    ee.add_argument("--lake", required=True)
+    ee.add_argument("--before-epoch", type=int, required=True)
+
     se = sub.add_parser(
         "schema-export",
         help="publish table contracts as BigQuery JSON + Avro + proto2",
@@ -313,6 +328,20 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.history import expire_history
 
         print(json.dumps(expire_history(args.lake, before_epoch=args.before_epoch)))
+        return 0
+    if args.cmd == "expire-decoded":
+        from .pipelines.ingest import expire_decoded
+
+        print(
+            json.dumps(
+                expire_decoded(args.lake, before_epoch=args.before_epoch, table=args.table)
+            )
+        )
+        return 0
+    if args.cmd == "expire-errors":
+        from .pipelines.ingest import expire_errors
+
+        print(json.dumps(expire_errors(args.lake, before_epoch=args.before_epoch)))
         return 0
     if args.cmd == "schema-export":
         from .schemas_export import export_table_contracts

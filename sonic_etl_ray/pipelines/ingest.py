@@ -3187,3 +3187,52 @@ def clone_lake(
         if token is not None:
             cl.release_writer_lease(src_dir, token)
     return {"files_linked": linked, "files_copied": copied, "bytes": nbytes}
+
+
+def expire_decoded(
+    lake_dir: str, before_epoch: int, table: str | None = None
+) -> dict[str, int]:
+    """Decoded-table retention: drop decoded rows for epochs
+    ``< before_epoch`` — per-epoch files below the cutoff and runs whose
+    covered epochs are all below it (straddling runs stay; same
+    granularity trade as :func:`history.expire_history`). Commit records
+    are untouched."""
+    import glob as _glob
+
+    from ..state.runfold import expire_runs
+
+    removed_files = 0
+    for f in _glob.glob(
+        os.path.join(_decoded_root(lake_dir, table), "epoch=*", "part=*.parquet")
+    ):
+        if int(os.path.basename(os.path.dirname(f)).split("=")[1]) < before_epoch:
+            os.remove(f)
+            removed_files += 1
+    removed_runs = expire_runs(
+        os.path.join(_decoded_root(lake_dir, table), "runs"), before_epoch
+    )
+    return {"files_removed": removed_files, "runs_removed": removed_runs}
+
+
+def expire_errors(lake_dir: str, before_epoch: int) -> dict[str, int]:
+    """Dead-letter retention: drop error rows for epochs ``< before_epoch``
+    — per-epoch files (with their ``.REPLAYED`` markers) below the cutoff
+    and audit runs entirely below it. Pending (un-replayed) files below
+    the cutoff ARE removed: retention is an explicit operator decision to
+    abandon that backlog, mirroring :func:`history.expire_history`'s
+    truncation semantics."""
+    import glob as _glob
+
+    from ..state.runfold import expire_runs
+
+    removed_files = 0
+    for f in _glob.glob(os.path.join(lake_dir, "_errors", "epoch=*", "part=*.parquet")):
+        if int(os.path.basename(os.path.dirname(f)).split("=")[1]) < before_epoch:
+            for p in (f, f + ".REPLAYED"):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            removed_files += 1
+    removed_runs = expire_runs(os.path.join(lake_dir, "_errors", "runs"), before_epoch)
+    return {"files_removed": removed_files, "runs_removed": removed_runs}

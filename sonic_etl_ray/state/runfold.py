@@ -209,3 +209,27 @@ def parts_to_fold(
             else max(min_files, 2)
         )
     }
+
+
+def expire_runs(runs_root: str, before_epoch: int) -> int:
+    """Retention over a run family: delete runs whose covered epochs are
+    ALL below the cutoff; a run straddling it stays intact (retention is
+    approximate at run granularity — the same trade the history archive
+    and state vacuum make). Returns the number of runs removed."""
+    removed = 0
+    if not os.path.isdir(runs_root):
+        return 0
+    for name in sorted(os.listdir(runs_root)):
+        if not name.startswith("part="):
+            continue
+        run_dir = os.path.join(runs_root, name)
+        for seq, data_file, marker in list_runs(run_dir):
+            cov = EpochCover.from_marker(marker)
+            if not cov or cov.max() < before_epoch:
+                for p in (data_file, os.path.join(run_dir, f"run-seq={seq:08d}.json")):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+                removed += 1
+    return removed

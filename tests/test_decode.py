@@ -279,3 +279,29 @@ def test_tailer_decodes_and_folds(tmp_path):
     # idempotent second tick: nothing new, reads stable
     tailer.tick()
     assert read_decoded(lake).equals(dec)
+
+
+def test_expire_decoded_epoch_cutoff(tmp_path):
+    """Retention drops epoch files and fully-below-cutoff runs; straddling
+    runs stay intact (approximate at run granularity, like the history
+    archive's expiry)."""
+    from sonic_etl_ray.pipelines.ingest import compact_decoded, expire_decoded, read_decoded
+
+    lake = str(tmp_path / "lake")
+    for e in range(4):
+        apply_epoch(_stream([_ev(e * 10 + j) for j in range(2)]), lake, epoch=e,
+                    num_partitions=2, decode_catalog=CATALOG)
+    compact_decoded(lake, min_files=2)  # one run covering epochs 0-3
+    apply_epoch(_stream([_ev(100)]), lake, epoch=4,
+                num_partitions=2, decode_catalog=CATALOG)
+    before = read_decoded(lake).num_rows
+    assert before == 9
+    # cutoff 2: the run straddles (covers 0-3) -> stays; no epoch files
+    # below 2 remain uncovered, so nothing is lost
+    r = expire_decoded(lake, before_epoch=2)
+    assert r["runs_removed"] == 0
+    assert read_decoded(lake).num_rows == before
+    # cutoff 10: everything below -> run and epoch-4 file both go
+    r2 = expire_decoded(lake, before_epoch=10)
+    assert r2["runs_removed"] >= 1
+    assert read_decoded(lake).num_rows == 0
