@@ -137,3 +137,33 @@ def test_epoch_cover_ranges_and_legacy(tmp_path):
     runs = list_runs(run_dir)
     assert runs[-1][2]["covered_ranges"] == [[0, 2]]
     assert pq.read_table(runs[-1][1]).column("v").to_pylist() == [1, 2, 9]
+
+
+def test_epoch_cover_property_vs_set_model():
+    """EpochCover behaves exactly like a set of ints under construction,
+    membership, union, and min/max — property-checked."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 200), max_size=40),
+        st.lists(st.integers(0, 200), max_size=40),
+        st.integers(-1, 201),
+    )
+    def prop(a, b, probe):
+        model = set(a)
+        c = EpochCover.from_epochs(a)
+        assert (probe in c) == (probe in model)
+        if model:
+            assert c.min() == min(model) and c.max() == max(model)
+        assert bool(c) == bool(model)
+        u = c.union_epochs(b)
+        um = model | set(b)
+        assert (probe in u) == (probe in um)
+        # ranges are canonical: sorted, disjoint, non-adjacent
+        for (lo1, hi1), (lo2, hi2) in zip(u.ranges, u.ranges[1:]):
+            assert hi1 + 1 < lo2
+        assert sum(hi - lo + 1 for lo, hi in u.ranges) == len(um)
+
+    prop()
