@@ -3236,3 +3236,67 @@ def expire_errors(lake_dir: str, before_epoch: int) -> dict[str, int]:
             removed_files += 1
     removed_runs = expire_runs(os.path.join(lake_dir, "_errors", "runs"), before_epoch)
     return {"files_removed": removed_files, "runs_removed": removed_runs}
+
+
+class FeedConsumer:
+    """Durable change-feed subscription for NON-lake consumers (search
+    index, cache, metrics store): a file-backed cursor over the upstream's
+    committed epochs, with the consumer controlling the commit point.
+
+    Protocol (at-least-once, exactly-once with an idempotent consumer —
+    the reference's delivery stance, ``iac/terraform/dataflow.tf:22``):
+    :meth:`poll` yields (epoch, feed Dataset) for every committed epoch
+    past the acked cursor, in commit order; the consumer processes, then
+    :meth:`ack`\\ s the epoch — an atomic tmp+rename of the cursor file. A
+    crash between process and ack re-delivers that epoch on the next poll
+    (never skips, never loses); acks must be in order (monotonic guard).
+    Vacuumed early history degrades to snapshot-mode feeds per
+    :func:`read_change_feed` — a NEW subscriber against a vacuumed source
+    starts from the cut's full state.
+
+    The cursor is the consumer's OWN durable state, deliberately outside
+    the lake (many consumers, one lake; a lake clone does not duplicate
+    subscriptions)."""
+
+    def __init__(self, lake_dir: str, cursor_path: str):
+        self.lake_dir = lake_dir
+        self.cursor_path = cursor_path
+
+    def acked_epoch(self) -> int | None:
+        import json
+
+        try:
+            with open(self.cursor_path) as fh:
+                return int(json.load(fh)["acked_epoch"])
+        except FileNotFoundError:
+            return None
+
+    def pending_epochs(self, max_epochs: int | None = None) -> list[int]:
+        acked = self.acked_epoch()
+        out = [e for e in cl.committed_epochs(self.lake_dir) if acked is None or e > acked]
+        return out[:max_epochs] if max_epochs is not None else out
+
+    def poll(self, max_epochs: int | None = None):
+        """Yield (epoch, change-feed Dataset) for each pending epoch, in
+        commit order. The Dataset is lazy — a 100 TB epoch's feed streams
+        through the consumer without materializing."""
+        for e in self.pending_epochs(max_epochs):
+            yield e, read_change_feed(self.lake_dir, e, on_vacuumed="snapshot")
+
+    def ack(self, epoch: int) -> None:
+        import json
+        import uuid as _uuid
+
+        acked = self.acked_epoch()
+        if acked is not None and epoch <= acked:
+            return  # idempotent re-ack
+        pending = self.pending_epochs()
+        if pending and epoch != pending[0]:
+            raise ValueError(
+                f"out-of-order ack: epoch {epoch} but oldest pending is {pending[0]}"
+            )
+        os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
+        tmp = f"{self.cursor_path}.tmp.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"acked_epoch": int(epoch), "lake": self.lake_dir}, fh)
+        os.replace(tmp, self.cursor_path)

@@ -171,3 +171,61 @@ def test_change_feed_commit_order_stable_around_dml():
     e1 = feed(lake, 1)
     assert e1["change_type"].to_pylist() == ["insert"]
     assert e1.filter(pc.equal(e1["path"], "b.py"))["content"].to_pylist() == ["beta-v2"]
+
+
+def test_feed_consumer_cursor_protocol(ray_session, tmp_path):
+    """Durable subscription: poll → process → ack; a crash between process
+    and ack re-delivers (at-least-once), acked epochs never re-deliver,
+    out-of-order acks refuse, and the cursor survives 'restart' (a fresh
+    consumer object)."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import FeedConsumer, apply_epoch
+
+    lake = str(tmp_path / "lake")
+
+    def ev(lsn, path, content):
+        return pa.table(
+            {
+                "op": pa.array(["insert"], pa.string()),
+                "lsn": pa.array([lsn], pa.int64()),
+                "repo": pa.array(["r0"], pa.string()),
+                "path": pa.array([path], pa.string()),
+                "commit": pa.array([f"c{lsn}"], pa.string()),
+                "lang": pa.array(["py"], pa.string()),
+                "content": pa.array([content], pa.string()),
+            }
+        )
+
+    for e in range(3):
+        apply_epoch(ray.data.from_arrow(ev(e * 10, f"f{e}", f"v{e}")), lake,
+                    epoch=e, num_partitions=2)
+
+    cur = str(tmp_path / "consumer" / "cursor.json")
+    c = FeedConsumer(lake, cur)
+    assert c.acked_epoch() is None
+    got = [(e, ds.count()) for e, ds in c.poll()]
+    assert [e for e, _ in got] == [0, 1, 2]
+    assert all(n == 1 for _, n in got)
+
+    # process epoch 0 then "crash" before ack: epoch 0 re-delivers
+    assert [e for e, _ in FeedConsumer(lake, cur).poll()] == [0, 1, 2]
+    c.ack(0)
+    assert [e for e, _ in FeedConsumer(lake, cur).poll()] == [1, 2]
+
+    # out-of-order ack refuses; in-order proceeds; re-ack is idempotent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        c.ack(2)
+    c.ack(1)
+    c.ack(1)
+    assert c.acked_epoch() == 1
+
+    # new upstream epoch becomes visible to the same cursor
+    apply_epoch(ray.data.from_arrow(ev(100, "f9", "v9")), lake, epoch=3, num_partitions=2)
+    assert [e for e, _ in c.poll()] == [2, 3]
+    c.ack(2)
+    c.ack(3)
+    assert list(c.poll()) == []
