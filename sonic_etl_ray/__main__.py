@@ -155,6 +155,14 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("qc", help="freshness + count invariants of a lake")
     q.add_argument("--lake", required=True)
+    q.add_argument(
+        "--constraints-json",
+        default=None,
+        help="path to a JSON list of constraint specs "
+        '(e.g. [{"name":"pk","kind":"unique","columns":["repo","path"]}]); '
+        "adds a violations report to the QC output",
+    )
+
 
     an = sub.add_parser("analyze", help="per-column table statistics of a lake")
     an.add_argument("--lake", required=True)
@@ -476,15 +484,32 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "qc":
             from .pipelines.qc import freshness, skew_report, verify_lake_counts
 
-            print(
-                json.dumps(
-                    {
-                        "freshness": freshness(args.lake),
-                        "counts_ok": verify_lake_counts(args.lake),
-                        "skew": skew_report(args.lake),
-                    }
+            out = {
+                "freshness": freshness(args.lake),
+                "counts_ok": verify_lake_counts(args.lake),
+                "skew": skew_report(args.lake),
+            }
+            if args.constraints_json:
+                from .pipelines.qc import Constraint, check_constraints
+
+                with open(args.constraints_json) as fh:
+                    specs = json.load(fh)
+                cons = [
+                    Constraint(
+                        name=s["name"],
+                        kind=s["kind"],
+                        columns=tuple(s["columns"]),
+                        values=tuple(s.get("values", ())),
+                        lo=s.get("lo"),
+                        hi=s.get("hi"),
+                        pattern=s.get("pattern"),
+                    )
+                    for s in specs
+                ]
+                out["constraints"] = check_constraints(args.lake, cons).to_dict(
+                    orient="records"
                 )
-            )
+            print(json.dumps(out))
         elif args.cmd == "analyze":
             from .pipelines.qc import analyze_lake, analyze_lake_approx
 

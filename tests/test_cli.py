@@ -131,3 +131,27 @@ def test_cli_analyze(tmp_path):
     rows = json.loads(out.stdout.strip().splitlines()[-1])
     nd = by_col["repo"]["n_distinct"]  # small ndv → LC regime: within a couple of bucket collisions
     assert abs(rows[0]["est_distinct"] - nd) <= max(2, nd // 5)
+
+
+def test_cli_qc_constraints_and_replay_errors(tmp_path):
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    _run("generate", "--out", segs, "--events", "1500", "--segment-size", "500")
+    _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+         "--partitions", "2", "--segments-per-epoch", "1")
+
+    spec = tmp_path / "cons.json"
+    spec.write_text(json.dumps([
+        {"name": "pk", "kind": "unique", "columns": ["repo", "path"]},
+        {"name": "repo_nn", "kind": "not_null", "columns": ["repo"]},
+        {"name": "size_pos", "kind": "range", "columns": ["size_bytes"], "lo": 0},
+    ]))
+    r = _run("--num-cpus", "2", "qc", "--lake", lake, "--constraints-json", str(spec))
+    by = {c["constraint"]: c for c in r["constraints"]}
+    assert by["pk"]["violations"] == 0
+    assert by["repo_nn"]["violations"] == 0
+    assert by["size_pos"]["violations"] == 0
+    assert r["counts_ok"] is True
+
+    # no routed errors -> replay is a clean no-op
+    r2 = _run("--num-cpus", "2", "replay-errors", "--lake", lake)
+    assert r2["files"] == 0 and r2["repair_epoch"] is None
