@@ -134,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     ed.add_argument("--lake", required=True)
     ed.add_argument("--before-epoch", type=int, required=True)
     ed.add_argument("--table", default=None)
+    ed.add_argument("--all-tables", action="store_true", help="expire every decoded table")
 
     ee = sub.add_parser(
         "expire-errors",
@@ -338,11 +339,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(expire_history(args.lake, before_epoch=args.before_epoch)))
         return 0
     if args.cmd == "expire-decoded":
-        from .pipelines.ingest import expire_decoded
+        from .pipelines.ingest import decoded_tables, expire_decoded
 
+        tables = decoded_tables(args.lake) if args.all_tables else [args.table]
         print(
             json.dumps(
-                expire_decoded(args.lake, before_epoch=args.before_epoch, table=args.table)
+                {
+                    t or "decoded": expire_decoded(
+                        args.lake, before_epoch=args.before_epoch, table=t
+                    )
+                    for t in tables
+                }
             )
         )
         return 0

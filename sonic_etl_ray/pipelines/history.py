@@ -73,7 +73,7 @@ def history_files(lake_dir: str, as_of_epoch: int | None = None) -> list[str]:
     time-travel granularity for file count (same trade as ``vacuum`` /
     ``compact_lake_states``): after a run folds epochs [0..E], as-of points
     strictly inside that range are no longer reconstructable."""
-    covered: dict[int, set[int]] = {}
+    covered: dict[int, EpochCover] = {}
     compacted: list[str] = []
     cdir = os.path.join(lake_dir, HISTORY_DIR, COMPACT_DIR)
     if os.path.isdir(cdir):

@@ -3285,18 +3285,23 @@ class FeedConsumer:
 
     def ack(self, epoch: int) -> None:
         import json
-        import uuid as _uuid
 
         acked = self.acked_epoch()
         if acked is not None and epoch <= acked:
             return  # idempotent re-ack
         pending = self.pending_epochs()
-        if pending and epoch != pending[0]:
+        # strict: only the oldest pending epoch may be acked — with NOTHING
+        # pending any forward ack would silently skip epochs the upstream
+        # commits later ("never skips" is the class contract)
+        if not pending or epoch != pending[0]:
             raise ValueError(
-                f"out-of-order ack: epoch {epoch} but oldest pending is {pending[0]}"
+                f"out-of-order ack: epoch {epoch}, oldest pending "
+                f"{pending[0] if pending else '(none)'}"
             )
         os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
-        tmp = f"{self.cursor_path}.tmp.{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"acked_epoch": int(epoch), "lake": self.lake_dir}, fh)
-        os.replace(tmp, self.cursor_path)
+        # fsync'd tmp+rename (commitlog's durability discipline): a crash
+        # never leaves a torn cursor file
+        cl._atomic_write(
+            self.cursor_path,
+            json.dumps({"acked_epoch": int(epoch), "lake": self.lake_dir}).encode(),
+        )

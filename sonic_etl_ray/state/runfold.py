@@ -50,7 +50,16 @@ class EpochCover:
     __slots__ = ("ranges",)
 
     def __init__(self, ranges):
-        self.ranges = [(int(a), int(b)) for a, b in ranges]
+        # canonicalize defensively (sorted, disjoint, non-adjacent): bisect
+        # membership silently returns wrong answers on unsorted input, and
+        # markers may be hand-repaired
+        rs: list[tuple[int, int]] = []
+        for lo, hi in sorted((int(a), int(b)) for a, b in ranges):
+            if rs and lo <= rs[-1][1] + 1:
+                rs[-1] = (rs[-1][0], max(rs[-1][1], hi))
+            else:
+                rs.append((lo, hi))
+        self.ranges = rs
 
     @classmethod
     def from_epochs(cls, epochs) -> "EpochCover":
@@ -175,7 +184,7 @@ def plan_runs(
     visibility gating (commit records, replay markers) is the caller's
     semantics, the covered-epoch bookkeeping is shared here."""
     run_files: list[str] = []
-    covered: dict[int, set[int]] = {}
+    covered: dict[int, EpochCover] = {}
     if os.path.isdir(runs_root):
         for name in os.listdir(runs_root):
             if not name.startswith("part="):
@@ -226,7 +235,11 @@ def expire_runs(runs_root: str, before_epoch: int) -> int:
         for seq, data_file, marker in list_runs(run_dir):
             cov = EpochCover.from_marker(marker)
             if not cov or cov.max() < before_epoch:
-                for p in (data_file, os.path.join(run_dir, f"run-seq={seq:08d}.json")):
+                # marker FIRST: an orphan data file is invisible to
+                # list_runs, but an orphan marker would be re-validated
+                # with stale coverage when a later fold reuses the seq
+                # filename after a crash between the two removes
+                for p in (os.path.join(run_dir, f"run-seq={seq:08d}.json"), data_file):
                     try:
                         os.remove(p)
                     except FileNotFoundError:

@@ -229,3 +229,7 @@ def test_feed_consumer_cursor_protocol(ray_session, tmp_path):
     c.ack(2)
     c.ack(3)
     assert list(c.poll()) == []
+    # nothing pending: a forward ack must refuse, not silently skip
+    with _pytest.raises(ValueError):
+        c.ack(99)
+    assert c.acked_epoch() == 3

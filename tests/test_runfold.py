@@ -167,3 +167,11 @@ def test_epoch_cover_property_vs_set_model():
         assert sum(hi - lo + 1 for lo, hi in u.ranges) == len(um)
 
     prop()
+
+
+def test_epoch_cover_canonicalizes_marker_input():
+    """Non-canonical (unsorted/overlapping/adjacent) marker ranges are
+    normalized on construction — bisect membership stays correct."""
+    c = EpochCover([[5, 9], [0, 3], [4, 4], [11, 11]])
+    assert c.ranges == [(0, 9), (11, 11)]
+    assert 1 in c and 4 in c and 9 in c and 11 in c and 10 not in c
