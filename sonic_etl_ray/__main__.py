@@ -143,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
     ee.add_argument("--lake", required=True)
     ee.add_argument("--before-epoch", type=int, required=True)
 
+    pj = sub.add_parser(
+        "pit-join",
+        help="point-in-time enrich a probe parquet file from the history archive",
+    )
+    pj.add_argument("--lake", required=True)
+    pj.add_argument("--probe", required=True, help="parquet with repo, path and the at-column")
+    pj.add_argument("--at-column", default="at_lsn")
+    pj.add_argument("--out", required=True, help="output parquet path")
+
     se = sub.add_parser(
         "schema-export",
         help="publish table contracts as BigQuery JSON + Avro + proto2",
@@ -517,6 +526,22 @@ def main(argv: list[str] | None = None) -> int:
                     orient="records"
                 )
             print(json.dumps(out))
+        elif args.cmd == "pit-join":
+            import os as _os
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+            import ray.data as _rd
+
+            from .pipelines.history import pit_join
+
+            res = pit_join(
+                args.lake, _rd.read_parquet(args.probe), at_column=args.at_column
+            )
+            _os.makedirs(_os.path.dirname(args.out) or ".", exist_ok=True)
+            tbl = _pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+            _pq.write_table(tbl, args.out)
+            print(json.dumps({"rows": tbl.num_rows, "out": args.out}))
         elif args.cmd == "analyze":
             from .pipelines.qc import analyze_lake, analyze_lake_approx
 

@@ -155,3 +155,30 @@ def test_cli_qc_constraints_and_replay_errors(tmp_path):
     # no routed errors -> replay is a clean no-op
     r2 = _run("--num-cpus", "2", "replay-errors", "--lake", lake)
     assert r2["files"] == 0 and r2["repair_epoch"] is None
+
+
+def test_cli_pit_join(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    _run("generate", "--out", segs, "--events", "1500", "--segment-size", "500")
+    _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+         "--partitions", "2", "--segments-per-epoch", "1", "--track-history")
+    # probe: ask for state far past every lsn -> matches = current versions
+    seg0 = pq.read_table(sorted(__import__("glob").glob(segs + "/*.parquet"))[0])
+    probe = pa.table(
+        {
+            "repo": seg0.column("repo").slice(0, 3),
+            "path": seg0.column("path").slice(0, 3),
+            "at_lsn": pa.array([10**9] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(probe, str(tmp_path / "probe.parquet"))
+    out_path = str(tmp_path / "pit.parquet")
+    r = _run("--num-cpus", "2", "pit-join", "--lake", lake,
+             "--probe", str(tmp_path / "probe.parquet"), "--out", out_path)
+    assert r["rows"] == 3
+    t = pq.read_table(out_path)
+    assert set(t.column_names) >= {"repo", "path", "at_lsn", "asof_lsn", "asof_op"}
+    assert all(v >= 0 for v in t.column("asof_lsn").to_pylist())
