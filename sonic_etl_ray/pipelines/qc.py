@@ -553,7 +553,45 @@ class Constraint:
     pattern: str | None = None
 
 
-def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
+def map_violations(t: pa.Table, con: Constraint) -> int:
+    """Violation count of one MAP-kind constraint (not_null /
+    accepted_values / range / regex) over one Arrow batch — the
+    vectorized per-row predicate shared by the full scan
+    (:func:`check_constraints`) and the incremental monitor
+    (:class:`ConstraintMonitor`); a map kind is a pure row predicate, so
+    counts are sign-decomposable over change-feed pre/post images."""
+    import pyarrow.compute as pc
+
+    arr = t.column(con.columns[0])
+    vals = arr.drop_null()
+    if con.kind == "not_null":
+        return int(arr.null_count)
+    if con.kind == "accepted_values":
+        if not len(vals):
+            return 0
+        ok = pc.is_in(vals, value_set=pa.array(list(con.values), arr.type))
+        return int(len(vals) - pc.sum(ok).as_py())
+    if con.kind == "range":
+        v = 0
+        if len(vals):
+            if con.lo is not None:
+                v += pc.sum(pc.less(vals, con.lo)).as_py() or 0
+            if con.hi is not None:
+                v += pc.sum(pc.greater(vals, con.hi)).as_py() or 0
+        return int(v)
+    if con.kind == "regex":
+        if not len(vals):
+            return 0
+        return int(len(vals) - (pc.sum(pc.match_substring_regex(vals, con.pattern)).as_py() or 0))
+    raise ValueError(f"unknown constraint kind {con.kind!r}")
+
+
+def check_constraints(
+    lake_dir: str,
+    constraints: list[Constraint],
+    consistent: bool = False,
+    as_of_epoch: int | None = None,
+) -> "Any":
     """Evaluate constraints over the live lake state, distributed, in ONE
     column-pruned scan: the map kinds (not_null / accepted_values / range
     / regex) are fixed-size per-batch counter partials, and ALL unique
@@ -570,7 +608,7 @@ def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
     from .ingest import read_lake
 
     cols = sorted({c for con in constraints for c in con.columns})
-    ds = read_lake(lake_dir, columns=cols)
+    ds = read_lake(lake_dir, columns=cols, consistent=consistent, as_of_epoch=as_of_epoch)
     maps = [c for c in constraints if c.kind != "unique"]
     uniqs = [c for c in constraints if c.kind == "unique"]
 
@@ -587,30 +625,8 @@ def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
         names = [TOTAL]
         viols = [t.num_rows]
         for con in maps:
-            arr = t.column(con.columns[0])
-            vals = arr.drop_null()
-            if con.kind == "not_null":
-                v = arr.null_count
-            elif con.kind == "accepted_values":
-                ok = pc.is_in(vals, value_set=pa.array(list(con.values), arr.type))
-                v = len(vals) - pc.sum(ok).as_py() if len(vals) else 0
-            elif con.kind == "range":
-                v = 0
-                if len(vals):
-                    if con.lo is not None:
-                        v += pc.sum(pc.less(vals, con.lo)).as_py() or 0
-                    if con.hi is not None:
-                        v += pc.sum(pc.greater(vals, con.hi)).as_py() or 0
-            elif con.kind == "regex":
-                v = (
-                    len(vals) - (pc.sum(pc.match_substring_regex(vals, con.pattern)).as_py() or 0)
-                    if len(vals)
-                    else 0
-                )
-            else:
-                raise ValueError(f"unknown constraint kind {con.kind!r}")
             names.append(con.name)
-            viols.append(int(v))
+            viols.append(map_violations(t, con))
         # unique rules ride the SAME exchange: a nonnull counter row per
         # rule plus the batch's distinct (rule, key) pairs. Counter rows
         # use a sentinel key so the groupby sums them; pair rows carry
@@ -673,3 +689,129 @@ def check_constraints(lake_dir: str, constraints: list[Constraint]) -> "Any":
         )
     out = pd.DataFrame(out_rows, columns=["constraint", "violations", "n_rows"])
     return out.sort_values("constraint").reset_index(drop=True)
+
+
+class ConstraintMonitor:
+    """Incremental data-quality monitoring: MAP-kind constraint counters
+    over the lake's LIVE state, maintained from the change feed instead of
+    rescanning — streaming QC for a long-running tail.
+
+    Map kinds (not_null / accepted_values / range / regex) are pure row
+    predicates, so their live-state counts decompose over the feed's
+    signed images: insert/update post-images add, update_preimage/delete
+    rows (which carry the removed row's last live values,
+    ``read_change_feed(include_preimages=True)``) subtract. Per refreshed
+    epoch the monitor folds one lazy feed Dataset (per-batch counter
+    partials — no lake read, no shuffle) and atomically persists
+    counters + cursor in ONE fsync'd state file, so a crash between fold
+    and persist simply refolds that epoch (the fold is a pure function of
+    the feed). Bootstrap runs one full :func:`check_constraints` scan
+    pinned to the committed frontier and starts the cursor there.
+
+    Unique rules are rejected (their state is the key multiset, not a
+    counter — use the full scan); the monitored epochs' pre-states must
+    not be vacuumed away before refresh (size ``vacuum(keep_epochs=...)``
+    to the refresh cadence, same discipline the replica feed needs)."""
+
+    def __init__(self, lake_dir: str, constraints: list[Constraint], state_path: str):
+        bad = [c.name for c in constraints if c.kind == "unique"]
+        if bad:
+            raise ValueError(f"unique constraints cannot be monitored incrementally: {bad}")
+        self.lake_dir = lake_dir
+        self.constraints = list(constraints)
+        self.state_path = state_path
+
+    def _load(self) -> dict | None:
+        import json
+
+        try:
+            with open(self.state_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _persist(self, state: dict) -> None:
+        import json
+        import os
+
+        from ..state import commitlog as cl
+
+        os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        cl._atomic_write(self.state_path, json.dumps(state).encode())
+
+    def _bootstrap(self) -> dict:
+        from .ingest import committed_frontier
+
+        pin = committed_frontier(self.lake_dir)
+        full = check_constraints(
+            self.lake_dir, self.constraints, consistent=True
+        ).set_index("constraint")
+        n_rows = int(full["n_rows"].iloc[0]) if len(full) else 0
+        return {
+            "acked_epoch": pin,
+            "n_rows": n_rows,
+            "violations": {c.name: int(full.loc[c.name, "violations"]) for c in self.constraints},
+        }
+
+    def _fold_epoch(self, epoch: int) -> dict[str, int]:
+        """Signed counter deltas from one epoch's feed."""
+        from .ingest import read_change_feed
+
+        feed = read_change_feed(self.lake_dir, epoch, include_preimages=True)
+        cons = self.constraints
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ct = t.column("change_type")
+            plus = t.filter(pc.is_in(ct, value_set=pa.array(["insert", "update"])))
+            minus = t.filter(pc.is_in(ct, value_set=pa.array(["update_preimage", "delete"])))
+            names = ["\x00__rows__"]
+            deltas = [
+                int(pc.sum(pc.equal(ct, "insert")).as_py() or 0)
+                - int(pc.sum(pc.equal(ct, "delete")).as_py() or 0)
+            ]
+            for con in cons:
+                names.append(con.name)
+                deltas.append(map_violations(plus, con) - map_violations(minus, con))
+            return pa.table(
+                {"constraint": pa.array(names, pa.string()), "d": pa.array(deltas, pa.int64())}
+            )
+
+        out = feed.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return out.groupby("constraint")["d"].sum().to_dict()
+
+    def refresh(self) -> dict:
+        """Fold every committed epoch past the cursor; returns the state."""
+        from ..state import commitlog as cl
+
+        state = self._load()
+        if state is None:
+            state = self._bootstrap()
+            self._persist(state)
+        acked = state["acked_epoch"]
+        for e in cl.committed_epochs(self.lake_dir):
+            if acked is not None and e <= acked:
+                continue
+            deltas = self._fold_epoch(e)
+            state["n_rows"] += int(deltas.pop("\x00__rows__", 0))
+            for name, d in deltas.items():
+                state["violations"][name] = state["violations"].get(name, 0) + int(d)
+            state["acked_epoch"] = acked = e
+            self._persist(state)  # atomic per epoch: crash refolds, never skips
+        return state
+
+    def report(self) -> "Any":
+        """Current counters as the same frame shape as check_constraints."""
+        import pandas as pd
+
+        state = self.refresh()
+        rows = [
+            (c.name, int(state["violations"].get(c.name, 0)), int(state["n_rows"]))
+            for c in self.constraints
+        ]
+        return (
+            pd.DataFrame(rows, columns=["constraint", "violations", "n_rows"])
+            .sort_values("constraint")
+            .reset_index(drop=True)
+        )

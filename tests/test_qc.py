@@ -241,3 +241,69 @@ def test_check_constraints_all_kinds(ray_session, tmp_path):
     assert got.loc["lang_uni", "violations"] == int(
         truth["lang"].notna().sum() - truth["lang"].dropna().nunique()
     )
+
+
+def test_constraint_monitor_incremental_matches_full(ray_session, tmp_path):
+    """Counters maintained from the change feed equal a full rescan after
+    inserts, updates (violation appearing AND clearing) and deletes; the
+    per-epoch persist makes re-refresh a no-op."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+    from sonic_etl_ray.pipelines.qc import Constraint, ConstraintMonitor, check_constraints
+
+    lake = str(tmp_path / "lake")
+
+    def ev(rows):
+        return pa.table(
+            {
+                "op": pa.array([r[0] for r in rows], pa.string()),
+                "lsn": pa.array([r[1] for r in rows], pa.int64()),
+                "repo": pa.array([r[2] for r in rows], pa.string()),
+                "path": pa.array([r[3] for r in rows], pa.string()),
+                "commit": pa.array([f"c{r[1]}" for r in rows], pa.string()),
+                "lang": pa.array([r[4] for r in rows], pa.string()),
+                "content": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+
+    cons = [
+        Constraint("lang_ok", "accepted_values", ("lang",), values=("py", "rs")),
+        Constraint("small", "range", ("size_bytes",), hi=5),
+    ]
+    # epoch 0: 3 rows, one lang violation, one size violation
+    apply_epoch(ray.data.from_arrow(ev([
+        ("insert", 0, "r0", "a", "py", "xx"),
+        ("insert", 1, "r0", "b", "zz", "xxx"),          # lang violation
+        ("insert", 2, "r0", "c", "rs", "xxxxxxxxxx"),   # size violation
+    ])), lake, epoch=0, num_partitions=2)
+
+    mon = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
+    r0 = mon.report().set_index("constraint")
+    full0 = check_constraints(lake, cons).set_index("constraint")
+    assert r0.equals(full0)
+
+    # epoch 1: update clears the lang violation, another introduces a size
+    # violation, a delete removes the size-violating row, new insert adds
+    apply_epoch(ray.data.from_arrow(ev([
+        ("insert", 10, "r0", "b", "py", "ok"),           # clears lang violation
+        ("insert", 11, "r0", "a", "py", "xxxxxxxxxxxx"), # size violation appears
+        ("delete", 12, "r0", "c", "rs", None),           # removes old size violation
+        ("insert", 13, "r1", "d", "qq", "x"),            # new lang violation
+    ])), lake, epoch=1, num_partitions=2)
+
+    r1 = mon.report().set_index("constraint")
+    full1 = check_constraints(lake, cons).set_index("constraint")
+    assert r1.equals(full1), (r1, full1)
+    assert int(r1.loc["lang_ok", "violations"]) == 1
+    assert int(r1.loc["small", "violations"]) == 1
+    assert int(r1.loc["small", "n_rows"]) == 3
+
+    # idempotent: nothing new -> state unchanged
+    again = mon.report().set_index("constraint")
+    assert again.equals(r1)
+
+    # a fresh monitor object resumes from the persisted state file
+    mon2 = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
+    assert mon2.report().set_index("constraint").equals(r1)
