@@ -50,6 +50,7 @@ class Tailer:
         track_history: bool = False,
         window_views: list | None = None,
         decode_catalog: Any | None = None,
+        monitors: list | None = None,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -81,6 +82,10 @@ class Tailer:
         # decoded fan-out on the tail: each closed epoch publishes its
         # decoded sidecars (commit-gated); folds ride the state cadence
         self.decode_catalog = decode_catalog
+        # cursor-keeping incremental consumers (qc.ConstraintMonitor and
+        # anything with .refresh()): advanced after each tick's applies so
+        # streaming QC tracks the frontier without lake rescans
+        self.monitors = monitors or []
         self._applied_since_compact = 0
         self._applied_since_state_compact = 0
         self._stop = False
@@ -175,6 +180,8 @@ class Tailer:
                         min_files=max(2, self.compact_states_every),
                     )
             self._applied_since_state_compact = 0
+        for mon in self.monitors:
+            mon.refresh()
         windows_finalized = 0
         for view in self.window_views:
             r = view.refresh(files)

@@ -4,6 +4,8 @@ freshness — the pytest analog of the reference's QC-as-production-DAGs
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data
 
@@ -307,3 +309,49 @@ def test_constraint_monitor_incremental_matches_full(ray_session, tmp_path):
     # a fresh monitor object resumes from the persisted state file
     mon2 = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
     assert mon2.report().set_index("constraint").equals(r1)
+
+
+def test_tailer_drives_constraint_monitor(ray_session, tmp_path):
+    """A Tailer(monitors=[...]) advances streaming QC each tick."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.pipelines.qc import Constraint, ConstraintMonitor, check_constraints
+    from sonic_etl_ray.pipelines.tail import Tailer
+
+    seg_dir = str(tmp_path / "segs")
+    lake = str(tmp_path / "lake")
+    os.makedirs(seg_dir)
+
+    def seg(i, rows):
+        t = pa.table(
+            {
+                "op": pa.array(["insert"] * len(rows), pa.string()),
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "repo": pa.array([r[1] for r in rows], pa.string()),
+                "path": pa.array([r[2] for r in rows], pa.string()),
+                "commit": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+                "lang": pa.array([r[3] for r in rows], pa.string()),
+                "content": pa.array(["x" * r[4] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, f"{seg_dir}/segment_{i:05d}.parquet")
+
+    seg(0, [(0, "r0", "a", "py", 2), (1, "r0", "b", "zz", 3)])
+    seg(1, [(2, "r0", "c", "py", 9)])
+    cons = [Constraint("lang_ok", "accepted_values", ("lang",), values=("py",)),
+            Constraint("small", "range", ("size_bytes",), hi=5)]
+    mon = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
+    t = Tailer(seg_dir, lake, num_partitions=2, segments_per_epoch=1, monitors=[mon])
+    t.tick()
+    got = mon.report().set_index("constraint")
+    want = check_constraints(lake, cons).set_index("constraint")
+    assert got.equals(want)
+    assert int(got.loc["lang_ok", "violations"]) == 1
+    assert int(got.loc["small", "violations"]) == 1
+    # stream grows; next tick advances the monitor incrementally
+    seg(2, [(10, "r1", "d", "qq", 1)])
+    t.tick()
+    got2 = mon.report().set_index("constraint")
+    assert got2.equals(check_constraints(lake, cons).set_index("constraint"))
+    assert int(got2.loc["lang_ok", "violations"]) == 2
