@@ -827,16 +827,51 @@ def _q_text_search_ranked(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # COVERAGE-FIRST ORDERING: the round-2 driver gate stopped at exactly
-    # the first 50 dict entries, leaving everything after `repetition_stats`
-    # (the whole dedup/ANN/sketch/corpus surface) without a driver row. The
-    # never-yet-driver-verified queries therefore run FIRST, then the ones
-    # whose implementation changed this round, then the rows that already
-    # passed the gate twice — if the budget truncates again, it truncates
-    # into the twice-verified tail. Grouping comments mark the surfaces.
+    # COVERAGE-FIRST ORDERING (round 4): the driver gate checks exactly the
+    # first 50 dict entries per round and never re-checks greens before
+    # exhausting unverified rows. Rounds 1-3 put cumulative green rows on 101
+    # of 124 queries with zero failures. The 23 never-driver-verified queries
+    # (r03 positions 50-72 + corpus_profile at 119) therefore run FIRST this
+    # round — completing them ends the coverage campaign at 124/124. After
+    # them: queries whose implementation changed this round (gram caps, q5
+    # join rework, Bloom cache, pit-join fix), then the verified tail.
     return {
-        # --- NEW this round (never driver-verified): bulk DML via the
-        # exactly-once path (pipelines/dml.py)
+        # --- never driver-verified (r01 'no_oracle' errs predate oracles)
+        "embedding_lsh_topk": _q_embed_lsh,
+        "embedding_lsh_indexed": _q_embed_lsh_indexed,
+        "embedding_ivf_topk": _q_embed_ivf,
+        "embedding_ivf_indexed": _q_embed_ivf_indexed,
+        "quantize_embeddings": _q_quantize,
+        "media_payload_stats": _q_media_stats,
+        "media_frame_sample": _q_frame_sample,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_docs,
+        "prep_corpus_full": _q_prep_corpus_full,
+        "token_shards": _q_token_shards,
+        "decode_props_rollup": _q_decode_props,
+        "sliding_user_window": _q_sliding_window,
+        "grouped_price_percentiles": _q_grouped_percentiles,
+        "churned_customers": _q_churned,
+        "funnel_conversion": _q_funnel,
+        "distinct_customers_per_priority": _q_distinct_cust,
+        "orders_above_customer_avg": _q_above_avg,
+        "retention_cohorts": _q_retention,
+        "cdc_scd2_incremental": _q_cdc_scd2_inc,
+        "cdc_state_at_lsn": _q_cdc_state_at_lsn,
+        "cdc_key_history": _q_cdc_key_history,
+        "corpus_profile": _q_corpus_profile,
+        # --- implementation changed in round 4 (re-verify early)
+        "semantic_dedup": _q_semantic_dedup,  # gram tiling cap
+        "embedding_neardup_pairs": _q_embed_neardup,  # gram tiling cap
+        "q5_revenue_by_nation": _q_q5,  # customer via hash join, not broadcast
+        "dedup_incremental": _q_dedup_incremental,  # persisted Bloom shards
+        "dedup_incremental_sharded": _q_dedup_incremental_sharded,
+        "cdc_pit_enrich": _q_cdc_pit_enrich,  # payload/probe collision fix
+        "cdc_constraints": _q_cdc_constraints,  # monitor bootstrap pin
+        "cdc_apply_upserts": _q_cdc_upserts,  # auto two-level exchange
+        "cdc_apply_mor": _q_cdc_mor,
+        "cdc_apply_dup_replay": _q_cdc_dup,
+        # --- verified tail (cumulatively green r01-r03; order = age)
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
         "cdc_reconcile_snapshot": _q_cdc_reconcile_snapshot,
@@ -857,13 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_session_windows": _q_cdc_session_windows,
         "cdc_lake_stats": _q_cdc_lake_stats,
         "cdc_lake_stats_approx": _q_cdc_lake_stats_approx,
-        "cdc_constraints": _q_cdc_constraints,
-        "cdc_pit_enrich": _q_cdc_pit_enrich,
-        # --- driver-unverified as of r02: LLM-data / dedup / ANN / sketch
         "dedup_exact": _q_dedup_exact,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_incremental_sharded": _q_dedup_incremental_sharded,
-        "semantic_dedup": _q_semantic_dedup,
         "minhash_lsh_dedup": _q_minhash,
         "near_dup_clusters": _q_neardup_clusters,
         "near_dup_keep_best": _q_neardup_keep_best,
@@ -887,32 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign_grouped": _q_split_grouped,
         "stratified_sample": _q_stratified,
         "embedding_topk_cosine": _q_embed_topk,
-        "embedding_neardup_pairs": _q_embed_neardup,
-        "embedding_lsh_topk": _q_embed_lsh,
-        "embedding_lsh_indexed": _q_embed_lsh_indexed,
-        "embedding_ivf_topk": _q_embed_ivf,
-        "embedding_ivf_indexed": _q_embed_ivf_indexed,
-        "quantize_embeddings": _q_quantize,
-        "media_payload_stats": _q_media_stats,
-        "media_frame_sample": _q_frame_sample,
-        "pack_sequences": _q_pack_sequences,
-        "chunk_documents": _q_chunk_docs,
         "prep_corpus": _q_prep_corpus,
-        "prep_corpus_full": _q_prep_corpus_full,
-        "token_shards": _q_token_shards,
-        # --- driver-unverified as of r02: relational tail
-        "decode_props_rollup": _q_decode_props,
-        "sliding_user_window": _q_sliding_window,
-        "grouped_price_percentiles": _q_grouped_percentiles,
-        "churned_customers": _q_churned,
-        "funnel_conversion": _q_funnel,
-        "distinct_customers_per_priority": _q_distinct_cust,
-        "orders_above_customer_avg": _q_above_avg,
-        "retention_cohorts": _q_retention,
-        # --- implementation changed this round (re-verify early)
-        "cdc_scd2_incremental": _q_cdc_scd2_inc,  # NEW: merge-path history sidecar
-        "cdc_state_at_lsn": _q_cdc_state_at_lsn,  # NEW: archive time travel
-        "cdc_key_history": _q_cdc_key_history,  # NEW: pruned per-key chain lookup
         "sessionize_events": _q_sessionize,
         "asof_join_last_signup": _q_asof,
         "user_running_value": _q_running_value,
@@ -920,9 +924,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_gap_detect": _q_cdc_gaps,
         "cdc_export_snapshot": _q_cdc_export,
         # --- CDC engine core (green in r01 AND r02)
-        "cdc_apply_upserts": _q_cdc_upserts,
-        "cdc_apply_dup_replay": _q_cdc_dup,
-        "cdc_apply_mor": _q_cdc_mor,
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
         "cdc_scd2_history": _q_cdc_scd2,
@@ -951,7 +952,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": _q_join,
         "native_join_revenue_by_segment": _q_native_join,
         "top_orders_by_revenue": _q_top_orders,
-        "q5_revenue_by_nation": _q_q5,
         "distinct_mktsegments": _q_distinct,
         "supplier_balance_stats": _q_supplier_stats,
         "windowed_user_daily": _q_window,
@@ -962,7 +962,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_moments": _q_moments,
         "multitable_fanout_stats": _q_multitable,
         # --- text scoring (green in r02)
-        "corpus_profile": _q_corpus_profile,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
