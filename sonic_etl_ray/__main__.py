@@ -538,10 +538,22 @@ def main(argv: list[str] | None = None) -> int:
             res = pit_join(
                 args.lake, _rd.read_parquet(args.probe), at_column=args.at_column
             )
-            _os.makedirs(_os.path.dirname(args.out) or ".", exist_ok=True)
-            tbl = _pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
-            _pq.write_table(tbl, args.out)
-            print(json.dumps({"rows": tbl.num_rows, "out": args.out}))
+            if args.out.endswith(".parquet"):
+                # single-file convenience path: materializes on the driver —
+                # for SMALL results only; large probes must use the streamed
+                # directory form below
+                _os.makedirs(_os.path.dirname(args.out) or ".", exist_ok=True)
+                tbl = _pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+                _pq.write_table(tbl, args.out)
+                n = tbl.num_rows
+            else:
+                # streamed: each bucket's output block is written by its own
+                # task — nothing materializes on the driver, resumable layout
+                res.write_parquet(args.out)
+                import pyarrow.dataset as _pds
+
+                n = _pds.dataset(args.out, format="parquet").count_rows()
+            print(json.dumps({"rows": n, "out": args.out}))
         elif args.cmd == "analyze":
             from .pipelines.qc import analyze_lake, analyze_lake_approx
 

@@ -564,7 +564,12 @@ def pit_join(
         b = b.rename(columns={"lsn": "__lsn"})
         b["__side"] = np.int64(0)
         for c, default in probe_defaults.items():
-            b[c] = default
+            # only fill columns the version block LACKS: a payload column
+            # that also exists in the probe schema is already present here
+            # with the archived values — overwriting it with the probe-side
+            # typed default would make asof_<col> silently report 0/None
+            if c not in b.columns:
+                b[c] = default
         return b
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:

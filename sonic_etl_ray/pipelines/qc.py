@@ -743,9 +743,18 @@ class ConstraintMonitor:
         from .ingest import committed_frontier
 
         pin = committed_frontier(self.lake_dir)
-        full = check_constraints(
-            self.lake_dir, self.constraints, consistent=True
-        ).set_index("constraint")
+        # Scan pinned to the SAME epoch the cursor starts at: consistent=True
+        # alone re-resolves the frontier inside read_lake, so a concurrent
+        # writer committing between the two calls would be both included in
+        # the bootstrap scan AND re-folded by refresh() — double-counted.
+        if pin is not None:
+            full = check_constraints(
+                self.lake_dir, self.constraints, as_of_epoch=pin
+            ).set_index("constraint")
+        else:
+            full = check_constraints(
+                self.lake_dir, self.constraints, consistent=True
+            ).set_index("constraint")
         n_rows = int(full["n_rows"].iloc[0]) if len(full) else 0
         return {
             "acked_epoch": pin,

@@ -182,3 +182,33 @@ def test_cli_pit_join(tmp_path):
     t = pq.read_table(out_path)
     assert set(t.column_names) >= {"repo", "path", "at_lsn", "asof_lsn", "asof_op"}
     assert all(v >= 0 for v in t.column("asof_lsn").to_pylist())
+
+def test_cli_pit_join_streamed_dir(tmp_path):
+    """An --out WITHOUT a .parquet suffix streams via write_parquet — no
+    driver materialization — and still reports the row count."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    segs, lake = str(tmp_path / "segs"), str(tmp_path / "lake")
+    _run("generate", "--out", segs, "--events", "1500", "--segment-size", "500")
+    _run("--num-cpus", "2", "ingest", "--segments", segs, "--lake", lake,
+         "--partitions", "2", "--segments-per-epoch", "1", "--track-history")
+    seg0 = pq.read_table(sorted(_glob.glob(segs + "/*.parquet"))[0])
+    probe = pa.table(
+        {
+            "repo": seg0.column("repo").slice(0, 3),
+            "path": seg0.column("path").slice(0, 3),
+            "at_lsn": pa.array([10**9] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(probe, str(tmp_path / "probe.parquet"))
+    out_dir = str(tmp_path / "pit_out")
+    r = _run("--num-cpus", "2", "pit-join", "--lake", lake,
+             "--probe", str(tmp_path / "probe.parquet"), "--out", out_dir)
+    assert r["rows"] == 3
+    t = pds.dataset(out_dir, format="parquet").to_table()
+    assert t.num_rows == 3
+    assert set(t.column_names) >= {"repo", "path", "at_lsn", "asof_lsn", "asof_op"}

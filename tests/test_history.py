@@ -487,3 +487,32 @@ def test_pit_join_preserves_probe_int_dtypes(stream):
     assert out["probe_id"].dtype == "int64" and out["probe_id"].iloc[0] == big
     assert out["at_lsn"].dtype == "int64"
     assert out["asof_lsn"].dtype == "int64"
+
+def test_pit_join_probe_payload_column_collision(stream):
+    """A probe column named like a payload column ('commit') must not
+    clobber the archived payload: asof_commit reports the ARCHIVE value
+    and the probe's own 'commit' column passes through unchanged
+    (regression: tag_ver used to overwrite version-side payload with the
+    probe-side typed default, so asof_commit silently became 0/None)."""
+    import ray.data
+
+    from sonic_etl_ray.pipelines.history import pit_join
+
+    lake = scratch_lake_dir("pitcol")
+    run_ingest(stream, lake, num_partitions=4, segments_per_epoch=3, track_history=True)
+
+    events = pd.concat([pq.read_table(f).to_pandas() for f in stream]).sort_values("lsn")
+    live = events[events["op"] != "delete"].iloc[-1]
+    probe = pd.DataFrame(
+        {
+            "repo": [live["repo"]],
+            "path": [live["path"]],
+            "commit": ["my-probe-commit"],  # collides with payload column
+            "at_lsn": np.array([live["lsn"]], "int64"),
+        }
+    )
+    out = pit_join(lake, ray.data.from_pandas(probe), at_column="at_lsn").to_pandas()
+    assert len(out) == 1
+    assert out["commit"].iloc[0] == "my-probe-commit"
+    assert out["asof_lsn"].iloc[0] == live["lsn"]
+    assert out["asof_commit"].iloc[0] == live["commit"]  # archive value, not default

@@ -355,3 +355,52 @@ def test_tailer_drives_constraint_monitor(ray_session, tmp_path):
     got2 = mon.report().set_index("constraint")
     assert got2.equals(check_constraints(lake, cons).set_index("constraint"))
     assert int(got2.loc["lang_ok", "violations"]) == 2
+
+def test_constraint_monitor_bootstrap_pins_scan_epoch(ray_session, tmp_path, monkeypatch):
+    """A writer committing BETWEEN the bootstrap's frontier pin and its full
+    scan must not be double-counted (scan includes it + refresh re-folds
+    it). The bootstrap scan is pinned to the cursor epoch, so the racing
+    epoch is seen exactly once — by refresh()."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines import qc as qc_mod
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+    from sonic_etl_ray.pipelines.qc import Constraint, ConstraintMonitor, check_constraints
+
+    lake = str(tmp_path / "lake")
+
+    def ev(rows):
+        return pa.table(
+            {
+                "op": pa.array(["insert"] * len(rows), pa.string()),
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "repo": pa.array([r[1] for r in rows], pa.string()),
+                "path": pa.array([r[2] for r in rows], pa.string()),
+                "commit": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+                "lang": pa.array([r[3] for r in rows], pa.string()),
+                "content": pa.array(["xxx"] * len(rows), pa.string()),
+            }
+        )
+
+    cons = [Constraint("lang_ok", "accepted_values", ("lang",), values=("py",))]
+    apply_epoch(ray.data.from_arrow(ev([(0, "r0", "a", "py"), (1, "r0", "b", "zz")])),
+                lake, epoch=0, num_partitions=2)
+
+    # racing writer: commits epoch 1 AFTER the monitor pinned the frontier
+    # but BEFORE the bootstrap scan runs
+    real = qc_mod.check_constraints
+
+    def racing(lake_dir, constraints, **kw):
+        apply_epoch(ray.data.from_arrow(ev([(10, "r1", "c", "qq")])),
+                    lake, epoch=1, num_partitions=2)
+        return real(lake_dir, constraints, **kw)
+
+    monkeypatch.setattr(qc_mod, "check_constraints", racing)
+    mon = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
+    got = mon.report().set_index("constraint")
+    monkeypatch.setattr(qc_mod, "check_constraints", real)
+    want = check_constraints(lake, cons).set_index("constraint")
+    assert got.equals(want), (got, want)
+    assert int(got.loc["lang_ok", "violations"]) == 2  # zz + qq, each once
+    assert int(got.loc["lang_ok", "n_rows"]) == 3
