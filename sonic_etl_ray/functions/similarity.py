@@ -24,6 +24,65 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
+# Peak float64 elements any single gram TILE may hold (~32 MB). The pairwise
+# kernels never allocate an n×n matrix: they stream row-tiles of
+# ceil(_GRAM_TILE_ELEMS / n) rows against the full normalized matrix, so a
+# hot cluster of 1M vectors costs O(tile·n) ≈ 32 MB per step instead of the
+# 8 TB dense gram (the guardrail class ngram_jaccard_pairs' max_block_pairs
+# established; tests shrink this to force multi-tile execution).
+_GRAM_TILE_ELEMS = 4_000_000
+
+
+def _gram_tile_rows(n: int) -> int:
+    return max(1, _GRAM_TILE_ELEMS // max(n, 1))
+
+
+def _tiled_neardup_pairs(
+    ids: np.ndarray, m: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All strict-upper-triangle (i<j) cosine pairs ≥ threshold over the
+    normalized row matrix ``m``, computed in (tile × n) slabs — peak extra
+    memory O(tile·n), never the dense n×n gram. Returns (vec_a, vec_b,
+    cosine) aligned arrays; ids must be ascending."""
+    n = len(ids)
+    step = _gram_tile_rows(n)
+    a_parts, b_parts, c_parts = [], [], []
+    for i0 in range(0, n, step):
+        i1 = min(i0 + step, n)
+        blk = m[i0:i1] @ m.T  # (tile, n)
+        ia, ib = np.nonzero(blk >= threshold)
+        upper = ib > (ia + i0)  # strict upper triangle only
+        ia, ib = ia[upper], ib[upper]
+        a_parts.append(ids[ia + i0])
+        b_parts.append(ids[ib])
+        c_parts.append(blk[ia, ib])
+    if not a_parts:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.float64),
+        )
+    return np.concatenate(a_parts), np.concatenate(b_parts), np.concatenate(c_parts)
+
+
+def _tiled_dropped_mask(m: np.ndarray, threshold: float) -> np.ndarray:
+    """dropped[j] = any i<j with cos(i,j) ≥ threshold, in (tile × n) slabs
+    (strict i<j via column-index mask: a zero fill of the lower triangle
+    would spuriously drop EVERY vector at threshold ≤ 0). Rows must be in
+    keep-priority (ascending vec_id) order."""
+    n = len(m)
+    step = _gram_tile_rows(n)
+    dropped = np.zeros(n, dtype=bool)
+    cols = np.arange(n)
+    for i0 in range(0, n, step):
+        i1 = min(i0 + step, n)
+        blk = m[i0:i1] @ m.T  # (tile, n)
+        hit = blk >= threshold
+        hit &= cols[None, :] > (np.arange(i0, i1)[:, None])  # j > i only
+        dropped |= hit.any(axis=0)
+    return dropped
+
+
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """Point-lookup of one query vector: a filtered Parquet read — the
     predicate prunes row groups via vec_id min/max statistics, so query
@@ -338,14 +397,14 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="stable")
         ids = g["vec_id"].to_numpy()
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
+        # tiled upper-triangle scan (O(tile·n) memory, never the dense
+        # n×n gram — a 1M-vector hot label stays ~32 MB/step)
+        va, vb, cs = _tiled_neardup_pairs(ids, m, threshold)
         return pd.DataFrame(
             {
-                "vec_a": ids[ia][keep].astype("int64"),
-                "vec_b": ids[ib][keep].astype("int64"),
-                "cosine": sims[ia, ib][keep].astype("float64"),
+                "vec_a": va.astype("int64"),
+                "vec_b": vb.astype("int64"),
+                "cosine": cs.astype("float64"),
             }
         )
 
@@ -546,12 +605,10 @@ def semantic_dedup(
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="stable")
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        # only i < j entries count: mask diagonal+lower with -inf (a zero
-        # fill would spuriously drop EVERY vector at threshold <= 0)
-        sims[np.tril_indices(len(sims), 0)] = -np.inf
-        dropped = (sims >= threshold).any(axis=0)
-        keep = g.loc[~dropped]
+        # tiled: dropped[j] = any i<j with cos(i,j) >= threshold, in
+        # (tile × n) slabs — never the dense n×n gram (a 1M-vector hot
+        # cluster would be 8 TB)
+        keep = g.loc[~_tiled_dropped_mask(m, threshold)]
         return pd.DataFrame(
             {
                 "vec_id": keep["vec_id"].astype("int64"),

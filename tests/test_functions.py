@@ -1252,3 +1252,83 @@ def test_prep_corpus_full_keeps_best_survivor(ray_session, tmp_path):
     assert 3 in ids              # untouched
     # the 1-2 near-dup pair keeps exactly its best survivor (1: longer)
     assert 1 in ids and 2 not in ids
+
+def test_gram_kernels_tiled_bounded_memory(monkeypatch):
+    """The pairwise kernels must never allocate an n×n gram. The tiled
+    helpers are unit-tested in-process with the tile budget shrunk so even
+    sf0.001 needs many tiles, asserting (a) no matmul slab ever exceeds
+    tile×n elements and (b) results identical to the dense brute force;
+    the Ray-driven ops are then checked against the same references."""
+    import sonic_etl_ray.functions.similarity as sim
+    from sonic_etl_ray.functions.similarity import _normalize
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids_s = ids[order].astype(np.int64)
+    m = _normalize(np.stack(emb["embedding"].to_numpy())[order].astype(np.float64))
+    labels = emb["label"].to_numpy()[order]
+    n = len(ids_s)
+    th = 0.35
+
+    # force multi-tile: 7 rows/tile
+    monkeypatch.setattr(sim, "_GRAM_TILE_ELEMS", n * 7)
+    assert sim._gram_tile_rows(n) == 7
+
+    # dense references (test-only n×n is fine at sf0.001)
+    sims = np.triu(m @ m.T, k=1)
+    want_keep = ids_s[~(sims >= th).any(axis=0)]
+    want_pairs = set()
+    for lab in np.unique(labels):
+        mem = np.where(labels == lab)[0]
+        sub = np.triu(m[mem] @ m[mem].T, k=1)
+        ia, ib = np.nonzero(sub >= th)
+        for a, b in zip(mem[ia], mem[ib]):
+            want_pairs.add((int(ids_s[a]), int(ids_s[b])))
+
+    # spy: every slab the helpers produce must be <= tile×n elements
+    max_elems = 0
+    real_matmul = np.matmul
+
+    class Spy:
+        def __init__(self, base):
+            self.base = base
+
+        def __matmul__(self, other):
+            nonlocal max_elems
+            out = real_matmul(self.base, other)
+            max_elems = max(max_elems, out.size)
+            return out
+
+        def __getitem__(self, idx):
+            got = self.base[idx]
+            return Spy(got) if getattr(got, "ndim", 0) == 2 else got
+
+        @property
+        def T(self):
+            return self.base.T
+
+        def __len__(self):
+            return len(self.base)
+
+    va, vb, cs = sim._tiled_neardup_pairs(ids_s, Spy(m), th)
+    assert 0 < max_elems <= 7 * n, max_elems  # never an n×n slab
+    got_all_pairs = set(zip(va.tolist(), vb.tolist()))
+    ia, ib = np.nonzero(sims >= th)
+    assert got_all_pairs == {(int(ids_s[a]), int(ids_s[b])) for a, b in zip(ia, ib)}
+
+    max_elems = 0
+    dropped = sim._tiled_dropped_mask(Spy(m), th)
+    assert 0 < max_elems <= 7 * n, max_elems
+    assert ids_s[~dropped].tolist() == sorted(int(v) for v in want_keep)
+
+    # the Ray-driven ops use the same helpers: end-to-end parity
+    out1 = sim.semantic_dedup(SF, threshold=th, k=1)
+    assert out1["vec_id"].tolist() == sorted(int(v) for v in want_keep)
+    pairs = sim.cosine_neardup_pairs(SF, threshold=th)
+    got_pairs = set(zip(pairs["vec_a"].astype(int), pairs["vec_b"].astype(int)))
+    assert got_pairs == want_pairs
+    id_pos = {int(v): i for i, v in enumerate(ids_s)}
+    for _, r in pairs.iterrows():
+        a, b = id_pos[int(r["vec_a"])], id_pos[int(r["vec_b"])]
+        assert abs(float(r["cosine"]) - float(m[a] @ m[b])) < 1e-9
