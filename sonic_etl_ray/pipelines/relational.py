@@ -201,41 +201,48 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5-shaped multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
     region, revenue per nation for one region.
 
-    Scale shape: ONLY the genuinely small dimension chain (customer ⋈
-    nation ⋈ region, pre-filtered to the target region) is built on the
-    driver and broadcast via ``ray.put``; both FACT tables stream — orders
-    is enriched to (o_orderkey, n_name) by a broadcast lookup inside
-    ``map_batches``, lineitem is pre-aggregated per order inside each batch,
-    and the single fact⋈fact edge runs as the native hash-partitioned
-    ``Dataset.join`` on the order key. No fact table ever touches the
-    driver."""
+    Scale shape: ONLY the genuinely small dimension chain (nation ⋈
+    region, 25 rows, pre-filtered to the target region) is built on the
+    driver and broadcast via ``ray.put``. Customer — the classic
+    too-big-to-broadcast TPC-H dimension — STREAMS: each batch keeps the
+    target-region customers via the tiny nationkey→name lookup, and the
+    customer⋈orders edge goes through :func:`safe_join`, which broadcasts
+    the filtered customer side worker-side while it measures small and
+    switches to the hash-partitioned join when it doesn't (no full-table
+    driver read at any scale). Lineitem is pre-aggregated per order inside
+    each batch; the fact⋈fact edge is the native hash join on the order
+    key. No fact or large-dimension table ever touches the driver."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     target_region = region.sort_values("r_regionkey").r_name.iloc[0]
-    dim = (
-        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    )
-    dim = dim[dim.r_name == target_region][["c_custkey", "n_name"]]
-    ref = ray.put(dict(zip(dim.c_custkey, dim.n_name)))
+    ndim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ndim = ndim[ndim.r_name == target_region][["n_nationkey", "n_name"]]
+    ref = ray.put(dict(zip(ndim.n_nationkey, ndim.n_name)))
 
-    class EnrichOrders:
+    class EnrichCustomers:
         def __init__(self, ref):
-            self.lut = ray.get(ref)  # broadcast once per actor
+            self.lut = ray.get(ref)  # 25-entry nationkey→name, once per actor
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            n_name = b["o_custkey"].map(self.lut)
+            n_name = b["c_nationkey"].map(self.lut)
             keep = n_name.notna()
             return pd.DataFrame(
-                {"o_orderkey": b["o_orderkey"][keep], "n_name": n_name[keep]}
+                {"c_custkey": b["c_custkey"][keep], "n_name": n_name[keep]}
             )
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        EnrichOrders, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        EnrichCustomers, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
     )
+    orders = safe_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "n_name"])
 
     def li_partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
