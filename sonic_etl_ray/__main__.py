@@ -96,6 +96,21 @@ def main(argv: list[str] | None = None) -> int:
         help="serve /metrics (Prometheus text) + /healthz on this loopback "
         "port for the duration of the tail loop (0 = OS-assigned)",
     )
+    t.add_argument(
+        "--alert-cmd", default=None,
+        help="shell command invoked with each alert event as JSON on stdin "
+        "(epoch failures, freshness breaches, constraint violations) — the "
+        "pager hook the reference wires as task_fail_alert",
+    )
+    t.add_argument(
+        "--freshness-timeout", type=float, default=None,
+        help="alert when no epoch has been applied for this many seconds",
+    )
+    t.add_argument(
+        "--constraints-json", default=None,
+        help="constraint spec file; attaches an incremental ConstraintMonitor "
+        "whose violations feed the alert channel",
+    )
 
     ch = sub.add_parser(
         "compact-history",
@@ -478,6 +493,36 @@ def main(argv: list[str] | None = None) -> int:
 
             from .pipelines.tail import Tailer
 
+            on_alert = None
+            if args.alert_cmd:
+                import subprocess
+
+                def on_alert(evt, _cmd=args.alert_cmd):
+                    # pager hook: event JSON on stdin; a failing sink is
+                    # logged by the Tailer and never stops ingestion
+                    subprocess.run(
+                        _cmd, shell=True, input=json.dumps(evt).encode(), timeout=30
+                    )
+
+            monitors = []
+            if args.constraints_json:
+                import os as _os
+
+                from .pipelines.qc import Constraint, ConstraintMonitor
+
+                with open(args.constraints_json) as fh:
+                    specs = json.load(fh)
+                cons = [
+                    Constraint(
+                        name=s["name"], kind=s["kind"], columns=tuple(s["columns"]),
+                        values=tuple(s.get("values", ())), lo=s.get("lo"),
+                        hi=s.get("hi"), pattern=s.get("pattern"),
+                    )
+                    for s in specs
+                ]
+                monitors.append(ConstraintMonitor(
+                    args.lake, cons, _os.path.join(args.lake, "_monitor", "state.json")
+                ))
             tailer = Tailer(
                 args.segments,
                 args.lake,
@@ -485,6 +530,9 @@ def main(argv: list[str] | None = None) -> int:
                 segments_per_epoch=args.segments_per_epoch,
                 merge_mode=args.merge_mode,
                 compact_states_every=args.compact_states_every,
+                monitors=monitors,
+                on_alert=on_alert,
+                freshness_timeout_s=args.freshness_timeout,
             )
             signal.signal(signal.SIGTERM, lambda *_: tailer.stop())
             signal.signal(signal.SIGINT, lambda *_: tailer.stop())

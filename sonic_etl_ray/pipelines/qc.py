@@ -14,7 +14,7 @@ driver-side merge at the end (never ``take_all`` on the raw data).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
@@ -713,13 +713,27 @@ class ConstraintMonitor:
     not be vacuumed away before refresh (size ``vacuum(keep_epochs=...)``
     to the refresh cadence, same discipline the replica feed needs)."""
 
-    def __init__(self, lake_dir: str, constraints: list[Constraint], state_path: str):
+    def __init__(
+        self,
+        lake_dir: str,
+        constraints: list[Constraint],
+        state_path: str,
+        on_violation: "Callable[[dict], None] | None" = None,
+    ):
         bad = [c.name for c in constraints if c.kind == "unique"]
         if bad:
             raise ValueError(f"unique constraints cannot be monitored incrementally: {bad}")
         self.lake_dir = lake_dir
         self.constraints = list(constraints)
         self.state_path = state_path
+        # alert hook (the reference wires task_fail_alert into every QC DAG,
+        # daily_qc_airflow/google_chat_callbacks.py:1): called once per
+        # (epoch, constraint) whose violation counter INCREASED — and once
+        # per already-violated constraint at bootstrap — with a dict
+        # {constraint, new_violations, total, epoch, lake[, bootstrap]}.
+        # At-least-once: a crash between fold and persist refolds the epoch
+        # and may re-fire. Clean epochs never fire.
+        self.on_violation = on_violation
 
     def _load(self) -> dict | None:
         import json
@@ -798,6 +812,10 @@ class ConstraintMonitor:
         if state is None:
             state = self._bootstrap()
             self._persist(state)
+            if self.on_violation:
+                for name, v in state["violations"].items():
+                    if v > 0:
+                        self._fire(name, v, v, state["acked_epoch"], bootstrap=True)
         acked = state["acked_epoch"]
         for e in cl.committed_epochs(self.lake_dir):
             if acked is not None and e <= acked:
@@ -808,7 +826,27 @@ class ConstraintMonitor:
                 state["violations"][name] = state["violations"].get(name, 0) + int(d)
             state["acked_epoch"] = acked = e
             self._persist(state)  # atomic per epoch: crash refolds, never skips
+            if self.on_violation:
+                for name, d in deltas.items():
+                    if int(d) > 0:
+                        self._fire(name, int(d), state["violations"][name], e)
         return state
+
+    def _fire(self, name: str, new: int, total: int, epoch, **extra) -> None:
+        import logging
+
+        evt = {
+            "constraint": name,
+            "new_violations": new,
+            "total": total,
+            "epoch": epoch,
+            "lake": self.lake_dir,
+            **extra,
+        }
+        try:
+            self.on_violation(evt)
+        except Exception:  # an alert sink must never kill the monitor loop
+            logging.getLogger(__name__).exception("on_violation callback failed")
 
     def report(self) -> "Any":
         """Current counters as the same frame shape as check_constraints."""

@@ -51,6 +51,8 @@ class Tailer:
         window_views: list | None = None,
         decode_catalog: Any | None = None,
         monitors: list | None = None,
+        on_alert: Callable[[dict[str, Any]], None] | None = None,
+        freshness_timeout_s: float | None = None,
     ):
         self.seg_dir = seg_dir
         self.lake_dir = lake_dir
@@ -86,6 +88,23 @@ class Tailer:
         # anything with .refresh()): advanced after each tick's applies so
         # streaming QC tracks the frontier without lake rescans
         self.monitors = monitors or []
+        # operator alert channel (the reference wires task_fail_alert into
+        # every DAG, daily_qc_airflow/google_chat_callbacks.py:1 imported at
+        # row_counts.py:9): on_alert(event_dict) fires on epoch failure
+        # (then the exception still propagates), on a freshness breach (no
+        # new segments applied for freshness_timeout_s — one alert per
+        # breach, re-armed by progress), and on constraint violations from
+        # any attached monitor that has no callback of its own. Alert-sink
+        # exceptions are logged, never raised — a broken pager must not
+        # stop ingestion.
+        self.on_alert = on_alert
+        self.freshness_timeout_s = freshness_timeout_s
+        self._last_progress_t = time.monotonic()
+        self._freshness_alerted = False
+        if on_alert is not None:
+            for mon in self.monitors:
+                if getattr(mon, "on_violation", None) is None:
+                    mon.on_violation = self._monitor_violation
         self._applied_since_compact = 0
         self._applied_since_state_compact = 0
         self._stop = False
@@ -98,6 +117,17 @@ class Tailer:
     def stop(self) -> None:
         """Graceful shutdown flag (checked between epochs, never mid-epoch)."""
         self._stop = True
+
+    def _alert(self, kind: str, **info: Any) -> None:
+        if self.on_alert is None:
+            return
+        try:
+            self.on_alert({"kind": kind, "lake": self.lake_dir, **info})
+        except Exception:
+            log.exception("on_alert callback failed (alert dropped, tail continues)")
+
+    def _monitor_violation(self, evt: dict[str, Any]) -> None:
+        self._alert("constraint_violation", **evt)
 
     def metrics(self) -> dict[str, Any]:
         """Operational snapshot (ST7): counters + per-partition watermark lag."""
@@ -139,17 +169,21 @@ class Tailer:
                 continue
             efiles = files[epoch * self.segments_per_epoch : (epoch + 1) * self.segments_per_epoch]
             ds = ray.data.read_parquet(efiles, **self.read_kwargs)
-            records = apply_epoch(
-                ds,
-                self.lake_dir,
-                epoch,
-                num_partitions=self.num_partitions,
-                merge_concurrency=self.merge_concurrency,
-                input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
-                merge_mode=self.merge_mode,
-                track_history=self.track_history,
-                decode_catalog=self.decode_catalog,
-            )
+            try:
+                records = apply_epoch(
+                    ds,
+                    self.lake_dir,
+                    epoch,
+                    num_partitions=self.num_partitions,
+                    merge_concurrency=self.merge_concurrency,
+                    input_desc={"segments": [f.rsplit("/", 1)[-1] for f in efiles]},
+                    merge_mode=self.merge_mode,
+                    track_history=self.track_history,
+                    decode_catalog=self.decode_catalog,
+                )
+            except Exception as exc:
+                self._alert("epoch_failure", epoch=epoch, error=repr(exc))
+                raise
             self._metrics.record_commits(epoch, records)
             applied += 1
         self._applied_since_compact += applied
@@ -190,6 +224,14 @@ class Tailer:
             windows_finalized += r.get(
                 "windows_finalized", r.get("sessions_closed", 0)
             )
+        if applied > 0:
+            self._last_progress_t = time.monotonic()
+            self._freshness_alerted = False  # progress re-arms the breach alert
+        elif self.freshness_timeout_s is not None and not self._freshness_alerted:
+            lag = time.monotonic() - self._last_progress_t
+            if lag > self.freshness_timeout_s:
+                self._alert("freshness", lag_s=round(lag, 3), head_segment=head)
+                self._freshness_alerted = True
         self._metrics.record_tick(head, applied, skipped)
         out = {"head_segment": head, "epochs_applied": applied, "epochs_skipped": skipped}
         if self.window_views:
