@@ -605,10 +605,18 @@ def dedup_incremental(
     one shard's bitmap, so no worker ever holds the whole P-shard filter.
     The candidate-confirm join is unchanged either way, so both paths return
     identical rows; the shard count affects cost, not results.
+
+    The lake-side bitmaps are PERSISTED (mtime+size-keyed, the ANN-index
+    cache discipline) so repeat calls against an unchanged lake skip the
+    full build scan and pay probe+confirm only; a rewritten
+    documents.parquet changes the stamp and forces a rebuild. Atomic
+    single-file publish (write-temp + rename), so a concurrent builder can
+    never serve a torn bitmap.
     """
     import ray
 
     from .sketch import _bloom_positions, bloom_build, bloom_build_sharded, bloom_shard_of
+    from .similarity import _index_cache_dir
     from .text import md5_u64
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -631,10 +639,37 @@ def dedup_incremental(
         add_fp, batch_format="pyarrow"
     )
 
-    if num_bloom_shards:
-        shard_refs = bloom_build_sharded(
-            lake.select_columns(["fp_key"]), "fp_key", num_bloom_shards
+    def _bitmap_cache_path() -> str:
+        base = _index_cache_dir(
+            "bloomfp", sf_dir, split_frac, prefix_len,
+            int(num_bloom_shards or 0), src_name="documents.parquet",
         )
+        return base + ".npy"
+
+    def _save_bitmaps(path: str, arr: np.ndarray) -> None:
+        import uuid
+
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as fh:  # handle form: np.save cannot mangle the name
+            np.save(fh, arr)
+        os.replace(tmp, path)
+
+    cache_path = _bitmap_cache_path()
+    cached = None
+    if os.path.exists(cache_path):
+        try:
+            cached = np.load(cache_path)
+        except (OSError, ValueError):  # torn/foreign file: rebuild
+            cached = None
+
+    if num_bloom_shards:
+        if cached is not None and cached.shape[0] == num_bloom_shards:
+            shard_refs = [ray.put(np.ascontiguousarray(cached[i])) for i in range(num_bloom_shards)]
+        else:
+            shard_refs = bloom_build_sharded(
+                lake.select_columns(["fp_key"]), "fp_key", num_bloom_shards
+            )
+            _save_bitmaps(cache_path, np.stack(ray.get(list(shard_refs))))
 
         def add_shard(t: pa.Table) -> pa.Table:
             keys = t.column("fp_key").to_numpy().astype(np.int64)
@@ -659,7 +694,12 @@ def dedup_incremental(
             .map_groups(probe_shard, batch_format="pyarrow")
         )
     else:
-        bitmap_ref = ray.put(bloom_build(lake.select_columns(["fp_key"]), "fp_key"))
+        if cached is not None:
+            bitmap = np.ascontiguousarray(cached[0] if cached.ndim == 2 else cached)
+        else:
+            bitmap = bloom_build(lake.select_columns(["fp_key"]), "fp_key")
+            _save_bitmaps(cache_path, bitmap)
+        bitmap_ref = ray.put(bitmap)
 
         class ArrowBloomPrune:
             def __init__(self, ref):

@@ -1332,3 +1332,71 @@ def test_gram_kernels_tiled_bounded_memory(monkeypatch):
     for _, r in pairs.iterrows():
         a, b = id_pos[int(r["vec_a"])], id_pos[int(r["vec_b"])]
         assert abs(float(r["cosine"]) - float(m[a] @ m[b])) < 1e-9
+
+def test_dedup_incremental_bloom_cache(tmp_path, monkeypatch):
+    """Repeat dedup_incremental calls reuse the persisted lake-side Bloom
+    bitmaps (no rebuild scan); rewriting documents.parquet changes the
+    mtime+size stamp and forces a rebuild; sharded and unsharded paths both
+    cache; results are identical cached or not."""
+    import os
+
+    import pyarrow as pa
+
+    import sonic_etl_ray.functions.dedup as dd
+    import sonic_etl_ray.functions.sketch as sk
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+
+    def write_docs(n, seed):
+        rng = np.random.default_rng(seed)
+        texts = [f"prefix-{i % (n // 2)} body {rng.integers(1e9)}" for i in range(n)]
+        pa_tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s0"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq.write_table(pa_tbl, f"{sf}/documents.parquet")
+
+    write_docs(60, seed=1)
+
+    builds = {"n": 0}
+    real_build = sk.bloom_build
+    real_build_sharded = sk.bloom_build_sharded
+
+    def counting_build(*a, **kw):
+        builds["n"] += 1
+        return real_build(*a, **kw)
+
+    def counting_build_sharded(*a, **kw):
+        builds["n"] += 1
+        return real_build_sharded(*a, **kw)
+
+    monkeypatch.setattr(sk, "bloom_build", counting_build)
+    monkeypatch.setattr(sk, "bloom_build_sharded", counting_build_sharded)
+
+    out1 = dd.dedup_incremental(sf)
+    assert builds["n"] == 1
+    out2 = dd.dedup_incremental(sf)  # cache hit: no rebuild
+    assert builds["n"] == 1
+    assert out1.equals(out2)
+
+    # sharded variant has its own cache entry (params in the key)
+    outs1 = dd.dedup_incremental(sf, num_bloom_shards=4)
+    assert builds["n"] == 2
+    outs2 = dd.dedup_incremental(sf, num_bloom_shards=4)
+    assert builds["n"] == 2
+    assert outs1.equals(outs2)
+    assert outs1.equals(out1)  # shard count affects cost, not results
+
+    # input rewrite -> stamp changes -> rebuild (and result reflects new data)
+    import time as _t
+    _t.sleep(0.01)  # ensure a distinct mtime_ns on fast filesystems
+    write_docs(80, seed=2)
+    out3 = dd.dedup_incremental(sf)
+    assert builds["n"] == 3
+    assert not out3.equals(out1)
