@@ -826,25 +826,27 @@ def _split_block_for_exchange(block: pa.Table, num_partitions: int) -> tuple:
     return _split_block_at_edges(block, np.arange(num_partitions + 1))
 
 
-def _exchange(ds: ray.data.Dataset, num_partitions: int) -> list[list]:
+def _iter_block_refs(ds: ray.data.Dataset):
+    for bundle in ds.iter_internal_ref_bundles():
+        yield from bundle.block_refs
+
+
+def _exchange(
+    ds: ray.data.Dataset, num_partitions: int, block_refs: list | None = None
+) -> list[list]:
     """Map side of the raw-task exchange: stream transformed blocks out of
     the Dataset as they finish and fan each into per-partition slice refs
-    (object store only — the driver holds refs, never rows)."""
+    (object store only — the driver holds refs, never rows).
+    ``block_refs`` short-circuits the Dataset iteration when the caller
+    already streamed the refs out (the auto two-level decision does)."""
+    refs = block_refs if block_refs is not None else _iter_block_refs(ds)
     if num_partitions == 1:
         # the 1-way split is the identity: every transformed block IS
         # partition 0's slice (with num_returns=1 Ray would hand the merge
         # task the whole returned TUPLE as one object — wrong type)
-        return [
-            [block_ref]
-            for bundle in ds.iter_internal_ref_bundles()
-            for block_ref in bundle.block_refs
-        ]
+        return [[block_ref] for block_ref in refs]
     split = ray.remote(num_returns=num_partitions, num_cpus=1)(_split_block_for_exchange)
-    per_block_refs: list[list] = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            per_block_refs.append(split.remote(block_ref, num_partitions))
-    return per_block_refs
+    return [split.remote(block_ref, num_partitions) for block_ref in refs]
 
 
 def _split_block_into_groups(
@@ -884,8 +886,20 @@ def _regroup_group(lo: int, n_parts: int, *slices: pa.Table):
     return out if n_parts > 1 else out[0]
 
 
+def _two_level_auto_limit() -> int:
+    """blocks × partitions above which the merge exchange auto-switches to
+    the two-level form. Default 250k refs ≈ tens of MB of driver-side ref
+    bookkeeping — far above any single-epoch shape this engine benches
+    (≤10k) and far below the 10^8 a 10^5-block × 10^3-partition cluster
+    epoch would hit. Env-tunable for tests and unusual topologies."""
+    return int(os.environ.get("SONIC_TWO_LEVEL_AUTO_REFS", 250_000))
+
+
 def _exchange_two_level(
-    ds: ray.data.Dataset, num_partitions: int, group_size: int | None = None
+    ds: ray.data.Dataset,
+    num_partitions: int,
+    group_size: int | None = None,
+    block_refs: list | None = None,
 ) -> list[list]:
     """Two-hop exchange for large P (the SCALE.md '_exchange holds
     O(blocks×P) refs' watch item): blocks split into G = ⌈P/group_size⌉
@@ -906,12 +920,12 @@ def _exchange_two_level(
         # a single group is just the one-level exchange with an extra hop —
         # and Ray's num_returns=1 would hand _regroup_group the whole split
         # TUPLE as one object (the same trap _exchange guards for P == 1)
-        return _exchange(ds, num_partitions)
+        return _exchange(ds, num_partitions, block_refs=block_refs)
     split = ray.remote(num_returns=num_groups, num_cpus=1)(_split_block_into_groups)
+    refs = block_refs if block_refs is not None else _iter_block_refs(ds)
     rows: list[list] = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            rows.append(list(split.remote(block_ref, num_groups, group_size, num_partitions)))
+    for block_ref in refs:
+        rows.append(list(split.remote(block_ref, num_groups, group_size, num_partitions)))
     if not rows:  # zero-block dataset: no slices, merge sees no input
         return []
     part_refs: list = [None] * num_partitions
@@ -936,7 +950,7 @@ def _exchange_and_merge(
     suppress_unchanged: bool = False,
     merge_mode: str = "cow",
     track_history: bool = False,
-    two_level: bool = False,
+    two_level: bool | None = None,
 ) -> list[dict[str, Any]]:
     """Raw-task hash exchange + merge — the default merge transport.
 
@@ -958,13 +972,29 @@ def _exchange_and_merge(
 
     ``two_level=True`` routes through :func:`_exchange_two_level` (driver
     refs O(blocks×√P + P) instead of O(blocks×P); bit-identical lake,
-    pytest-pinned) — pick it when P is in the thousands.
+    pytest-pinned). The default ``two_level=None`` is AUTOMATIC: blocks
+    stream out of the Dataset as refs (tiny — the driver never holds rows),
+    and if blocks×P would exceed :func:`_two_level_auto_limit` the
+    two-level path is taken, so the driver's ref count stays bounded at
+    the 10^10-event design point without the caller opting in. Small
+    epochs (the overwhelmingly common case — the flagship bench is ~60
+    blocks × 32 parts ≈ 2k refs) keep the one-level exchange and its
+    single object-store hop.
     """
-    per_block_refs = (
-        _exchange_two_level(ds, num_partitions)
-        if two_level
-        else _exchange(ds, num_partitions)
-    )
+    if two_level is None:
+        refs = list(_iter_block_refs(ds))
+        two_level = len(refs) * num_partitions > _two_level_auto_limit()
+        per_block_refs = (
+            _exchange_two_level(ds, num_partitions, block_refs=refs)
+            if two_level
+            else _exchange(ds, num_partitions, block_refs=refs)
+        )
+    else:
+        per_block_refs = (
+            _exchange_two_level(ds, num_partitions)
+            if two_level
+            else _exchange(ds, num_partitions)
+        )
     applier = MergeApplier(
         lake_dir, epoch, input_desc,
         suppress_unchanged=suppress_unchanged, merge_mode=merge_mode,
@@ -1048,11 +1078,13 @@ def apply_epoch(
     import time
 
     t0 = time.perf_counter()
-    if exchange in ("tasks", "tasks2") and not use_actor_pool:
+    if exchange in ("tasks", "tasks1", "tasks2") and not use_actor_pool:
+        # "tasks" auto-selects the exchange depth from blocks×partitions;
+        # "tasks1"/"tasks2" force one-/two-level (tests pin bit-equality)
         records = _exchange_and_merge(
             ds, lake_dir, epoch, num_partitions, input_desc, suppress_unchanged,
             merge_mode=merge_mode, track_history=track_history,
-            two_level=(exchange == "tasks2"),
+            two_level={"tasks": None, "tasks1": False, "tasks2": True}[exchange],
         )
     else:
         grouped = ds.groupby(PART_COLUMN, num_partitions=_shuffle_partitions(num_partitions))

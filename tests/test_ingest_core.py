@@ -269,3 +269,50 @@ def test_two_level_exchange_single_group_and_tiny_p(tmp_path):
         num_partitions=2, exchange="tasks2",
     )
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
+
+def test_auto_two_level_exchange_decision_and_equality(tmp_path, monkeypatch):
+    """The default exchange='tasks' auto-selects depth from blocks×P: below
+    the ref limit it stays one-level; forcing the limit to 0 routes the
+    SAME call through the two-level exchange with a bit-identical lake."""
+    import ray.data
+
+    from sonic_etl_ray.pipelines import ingest as ing
+
+    spec = StreamSpec(n_events=3000, n_repos=5, seed=23, segment_size=1000)
+    files = generate_stream(str(tmp_path / "seg"), spec)
+
+    calls = {"two": 0, "one": 0}
+    real_two, real_one = ing._exchange_two_level, ing._exchange
+
+    def spy_two(*a, **kw):
+        calls["two"] += 1
+        return real_two(*a, **kw)
+
+    def spy_one(*a, **kw):
+        calls["one"] += 1
+        return real_one(*a, **kw)
+
+    monkeypatch.setattr(ing, "_exchange_two_level", spy_two)
+    monkeypatch.setattr(ing, "_exchange", spy_one)
+
+    # default limit (250k): this epoch is a few blocks × 4 parts -> one-level
+    lake_auto = scratch_lake_dir("auto_one")
+    ing.apply_epoch(ray.data.read_parquet(files), lake_auto, epoch=0, num_partitions=4)
+    assert calls == {"two": 0, "one": 1}
+
+    # limit 0: the same auto call must route two-level
+    monkeypatch.setenv("SONIC_TWO_LEVEL_AUTO_REFS", "0")
+    lake_auto2 = scratch_lake_dir("auto_two")
+    ing.apply_epoch(ray.data.read_parquet(files), lake_auto2, epoch=0, num_partitions=4)
+    assert calls["two"] == 1
+
+    # both auto decisions and the forced paths agree bit-for-bit
+    monkeypatch.delenv("SONIC_TWO_LEVEL_AUTO_REFS")
+    lake_forced = scratch_lake_dir("auto_forced1")
+    ing.apply_epoch(
+        ray.data.read_parquet(files), lake_forced, epoch=0,
+        num_partitions=4, exchange="tasks1",
+    )
+    assert_state_equal(lake_final_table(lake_auto), lake_final_table(lake_auto2))
+    assert_state_equal(lake_final_table(lake_auto), lake_final_table(lake_forced))
+    assert_state_equal(lake_final_table(lake_auto), oracle_final_state(files))
