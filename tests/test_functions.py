@@ -1400,3 +1400,30 @@ def test_dedup_incremental_bloom_cache(tmp_path, monkeypatch):
     out3 = dd.dedup_incremental(sf)
     assert builds["n"] == 3
     assert not out3.equals(out1)
+
+def test_resize_stub_bytes_pinned():
+    """The deterministic fake-resize bytes are PINNED so the stub cannot
+    drift silently (it stands in for a real interpolation kernel — any
+    change to its sampling rule must be a conscious, test-updating one).
+    Covers a hand-computable 4×4→2×2 case and a digest over the seeded
+    synth corpus."""
+    import hashlib
+
+    from sonic_etl_ray.functions.multimodal import ResizeStub, synth_media_table
+
+    # 4×4 byte grid 0..15, 2×2 nearest-neighbor -> rows {0,2} × cols {0,2}
+    s = ResizeStub(2, 2, fake=True)
+    assert list(s._resize(bytes(range(16)), 4, 4)) == [0, 2, 8, 10]
+    # short payload is zero-padded to the grid before sampling
+    assert list(s._resize(bytes([7]), 4, 4)) == [7, 0, 0, 0]
+
+    out = ResizeStub(8, 8, fake=True)(synth_media_table(24, seed=3))
+    h = hashlib.sha256()
+    for mid, p in sorted(
+        zip(out.column("media_id").to_pylist(), out.column("payload").to_pylist())
+    ):
+        h.update(str(mid).encode())
+        h.update(p)
+    assert h.hexdigest() == (
+        "1ef7ef0660fb3a135a55f76e477510f97247c29de86bc2b9047753714f3930e4"
+    )
