@@ -617,7 +617,6 @@ def dedup_incremental(
 
     from .sketch import _bloom_positions, bloom_build, bloom_build_sharded, bloom_shard_of
     from .similarity import _index_cache_dir
-    from .text import md5_u64
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
@@ -625,24 +624,49 @@ def dedup_incremental(
 
     # Arrow blocks end-to-end: range filters zero out most blocks, and empty
     # pandas object columns trip Ray's size estimator (similarity.py:108).
+    # fp_key is INTERNAL (Bloom build + probe only — never leaves the
+    # pipeline, no oracle touches it), so it uses the vectorized
+    # SipHash-2-4 over Arrow buffers (stages/keys.py) instead of the
+    # per-row md5 the SQL-parity hashes need: the build/probe scans were
+    # dominated by md5-over-pylist before.
+    from ..stages.keys import stable_hash64
+
     def add_fp(t: pa.Table) -> pa.Table:
         fp = pc.utf8_slice_codeunits(
             pc.fill_null(t.column("text"), ""), 0, prefix_len
         )
-        keys = md5_u64(fp.to_pylist()).view(np.int64)
+        keys = stable_hash64(fp).view(np.int64)
         return t.append_column("fp", fp).append_column(
             "fp_key", pa.array(keys, pa.int64())
         )
 
-    lake = ds.filter(expr=f"doc_id < {cut}").map_batches(add_fp, batch_format="pyarrow")
+    def fp_only(t: pa.Table) -> pa.Table:
+        # confirm-join side: just the prefix strings — no key hashing at all
+        fp = pc.utf8_slice_codeunits(
+            pc.fill_null(t.column("text"), ""), 0, prefix_len
+        )
+        return pa.table({"fp": fp})
+
+    # the lake side only ever feeds the Bloom build (fp_key) and the
+    # confirm join (fp): scan it through a 2-column pruned read, not the
+    # full output-column read the incoming side needs
+    slim = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lake = slim.filter(expr=f"doc_id < {cut}").map_batches(add_fp, batch_format="pyarrow")
+    lake_fp = slim.filter(expr=f"doc_id < {cut}").map_batches(
+        fp_only, batch_format="pyarrow"
+    )
     incoming = ds.filter(expr=f"doc_id >= {cut}").map_batches(
         add_fp, batch_format="pyarrow"
     )
 
     def _bitmap_cache_path() -> str:
+        # "sip1" versions the KEY HASH into the cache identity: bitmaps
+        # built under a different fp_key function must never be probed
         base = _index_cache_dir(
             "bloomfp", sf_dir, split_frac, prefix_len,
-            int(num_bloom_shards or 0), src_name="documents.parquet",
+            int(num_bloom_shards or 0), "sip1", src_name="documents.parquet",
         )
         return base + ".npy"
 
@@ -701,25 +725,23 @@ def dedup_incremental(
             _save_bitmaps(cache_path, bitmap)
         bitmap_ref = ray.put(bitmap)
 
-        class ArrowBloomPrune:
-            def __init__(self, ref):
-                self.bits = np.unpackbits(ray.get(ref)).astype(bool)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return t
-                pos = _bloom_positions(t.column("fp_key").to_numpy())
-                return t.filter(pa.array(self.bits[pos].all(axis=0)))
+        def bloom_prune(t: pa.Table, *, ref) -> pa.Table:
+            # task stage, not an actor pool: the probe state is one 16 KiB
+            # packed bitmap fetched zero-copy from the node-local store —
+            # unpacking per batch costs µs, while an actor pool would pay
+            # ~1 s of startup for a stage this short
+            if t.num_rows == 0:
+                return t
+            bits = np.unpackbits(ray.get(ref)).astype(bool)
+            pos = _bloom_positions(t.column("fp_key").to_numpy())
+            return t.filter(pa.array(bits[pos].all(axis=0)))
 
         candidates = incoming.map_batches(
-            ArrowBloomPrune,
-            fn_constructor_args=(bitmap_ref,),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            bloom_prune, fn_kwargs={"ref": bitmap_ref}, batch_format="pyarrow"
         )
     confirmed = safe_join(
         candidates.select_columns(["doc_id", "fp"]),
-        lake.select_columns(["fp"]),
+        lake_fp,
         join_type="inner",
         num_partitions=4,
         on=("fp",),
@@ -727,17 +749,15 @@ def dedup_incremental(
     dup_ids = set(r["doc_id"] for r in confirmed.select_columns(["doc_id"]).take_all())
     dup_ref = ray.put(np.fromiter(dup_ids, dtype=np.int64, count=len(dup_ids)))
 
-    class DropDups:
-        def __init__(self, ref):
-            self.dup = pa.array(ray.get(ref), pa.int64())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=self.dup))
-            return t.filter(keep).select(["doc_id", "lang", "source", "n_chars"])
+    def drop_dups(t: pa.Table, *, ref) -> pa.Table:
+        # task stage for the same reason as bloom_prune: the dup-id array is
+        # tiny (|confirmed dups|) and node-local
+        dup = pa.array(ray.get(ref), pa.int64())
+        keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=dup))
+        return t.filter(keep).select(["doc_id", "lang", "source", "n_chars"])
 
     out = incoming.map_batches(
-        DropDups, fn_constructor_args=(dup_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
+        drop_dups, fn_kwargs={"ref": dup_ref}, batch_format="pyarrow"
     ).to_pandas()
     out["n_chars"] = out["n_chars"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
