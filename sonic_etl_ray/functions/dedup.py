@@ -98,8 +98,8 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """Per-actor state: the random (a, b) affine family for n permutations
-    (built once — the ST1 'index loaded per worker' pattern)."""
+    """Stage state: the random (a, b) affine family for n permutations —
+    built once and shipped once per worker (tiny, deterministic by seed)."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
@@ -199,11 +199,9 @@ def minhash_candidate_pairs(
     verification (`minhash_lsh_dedup`), not before."""
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        MinHasher(num_perm=num_perm, k=k),
         batch_format="pandas",
-        batch_size=1024,  # split one parquet block across the pool
-        concurrency=(1, 4),
+        batch_size=1024,  # split one parquet block across the task pool
     )
     band_rows = sigs.map_batches(
         _band_rows,
@@ -475,7 +473,7 @@ class SimHasher:
 
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(SimHasher(), batch_format="pandas").to_pandas()
     out["simhash"] = out["simhash"].astype("uint64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -853,8 +851,7 @@ def dup_spans(sf_dir: str, span_len: int = 8, min_docs: int = 2) -> pd.DataFrame
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     spans = ds.map_batches(
-        SpanHasher, fn_constructor_args=(span_len,), batch_format="pandas",
-        concurrency=(1, 4),
+        SpanHasher(span_len), batch_format="pandas"
     ).materialize()
     totals = spans.groupby("h").aggregate(Count(alias_name="n_docs"))
 

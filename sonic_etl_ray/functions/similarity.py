@@ -118,9 +118,7 @@ def brute_force_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pd.Data
     per-batch local top-k so only k rows per batch reach the final sort)."""
     qref = ray.put(_query_vector(sf_dir, query_vec_id))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(
-        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 4)
-    )
+    scored = ds.map_batches(CosineScorer(qref), batch_format="pandas")
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
@@ -167,10 +165,7 @@ def lsh_topk(
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(
-        HyperplaneHasher,
-        fn_constructor_args=(q.size, n_planes, seed),
-        batch_format="pandas",
-        concurrency=(1, 4),
+        HyperplaneHasher(q.size, n_planes, seed), batch_format="pandas"
     )
     # arrow-native filter: typed empty blocks (a pandas slice loses dtype
     # information on empty object columns and trips Ray's size estimator)
@@ -178,9 +173,7 @@ def lsh_topk(
         lambda t: t.filter(pc.equal(t["bucket"], target)).drop_columns(["bucket"]),
         batch_format="pyarrow",
     )
-    scored = candidates.map_batches(
-        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
-    )
+    scored = candidates.map_batches(CosineScorer(qref), batch_format="pandas")
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
 
@@ -247,18 +240,14 @@ def ivf_topk(
     qref = ray.put(q)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    assigned = ds.map_batches(
-        IVFIndexer, fn_constructor_args=(cents,), batch_format="pandas", concurrency=(1, 4)
-    )
+    assigned = ds.map_batches(IVFIndexer(cents), batch_format="pandas")
     candidates = assigned.map_batches(
         lambda t: t.filter(
             pc.is_in(t["cluster"], value_set=pa.array(sorted(probe), pa.int64()))
         ).drop_columns(["cluster"]),
         batch_format="pyarrow",
     )
-    scored = candidates.map_batches(
-        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
-    )
+    scored = candidates.map_batches(CosineScorer(qref), batch_format="pandas")
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
 
@@ -321,9 +310,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    assigned = ds.map_batches(
-        IVFIndexer, fn_constructor_args=(cents,), batch_format="pandas", concurrency=(1, 4)
-    )
+    assigned = ds.map_batches(IVFIndexer(cents), batch_format="pandas")
 
     def plain(b: pd.DataFrame) -> pa.Table:
         return pa.table(
@@ -379,7 +366,7 @@ def ivf_topk_indexed(
         )
     qref = ray.put(q)
     scored = ray.data.read_parquet(paths, columns=["vec_id", "embedding"]).map_batches(
-        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
+        CosineScorer(qref), batch_format="pandas"
     )
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
@@ -440,10 +427,7 @@ def build_lsh_index(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     bucketed = ds.map_batches(
-        HyperplaneHasher,
-        fn_constructor_args=(q0.size, n_planes, seed),
-        batch_format="pandas",
-        concurrency=(1, 4),
+        HyperplaneHasher(q0.size, n_planes, seed), batch_format="pandas"
     )
 
     def plain(b: pd.DataFrame) -> pa.Table:
@@ -498,9 +482,7 @@ def lsh_topk_indexed(
         )
     qref = ray.put(q)
     candidates = ray.data.read_parquet(bucket_path, columns=["vec_id", "embedding"])
-    scored = candidates.map_batches(
-        CosineScorer, fn_constructor_args=(qref,), batch_format="pandas", concurrency=(1, 2)
-    )
+    scored = candidates.map_batches(CosineScorer(qref), batch_format="pandas")
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
 
@@ -592,7 +574,7 @@ def semantic_dedup(
 
         class Assigner:
             def __init__(self):
-                self.c = _normalize(ray.get(cent_ref))  # (k, d) once per actor
+                self.c = _normalize(ray.get(cent_ref))  # (k, d) tiny; serialized per worker
 
             def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
                 m = _normalize(np.stack(b["embedding"].to_numpy()).astype(np.float64))
@@ -600,7 +582,7 @@ def semantic_dedup(
                 b["cluster"] = (m @ self.c.T).argmax(axis=1).astype(np.int64)
                 return b
 
-        assign = ds.map_batches(Assigner, batch_format="pandas", concurrency=(1, 4))
+        assign = ds.map_batches(Assigner(), batch_format="pandas")
 
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id", kind="stable")
@@ -656,7 +638,7 @@ def kmeans_embeddings(
 
     class AssignPartial:
         def __init__(self, cent_ref):
-            self.c = ray.get(cent_ref)  # (k, d), broadcast once per actor
+            self.c = ray.get(cent_ref)  # (k, d), fetched once driver-side (tiny)
 
         def __call__(self, b: pd.DataFrame) -> pa.Table:
             kk, d = self.c.shape
@@ -692,12 +674,7 @@ def kmeans_embeddings(
     for _ in range(iters):
         cref = ray.put(cent)
         agg = (
-            ds.map_batches(
-                AssignPartial,
-                fn_constructor_args=(cref,),
-                batch_format="pandas",
-                concurrency=(1, 4),
-            )
+            ds.map_batches(AssignPartial(cref), batch_format="pandas")
             .groupby(["cluster", "dim"])
             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
             .to_pandas()

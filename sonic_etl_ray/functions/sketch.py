@@ -286,8 +286,10 @@ def bloom_build(ds: ray.data.Dataset, key_col: str) -> np.ndarray:
 
 
 class BloomPrune:
-    """Actor-pool fact-side filter: fetch the broadcast bitmap once per actor
-    (``ray.put`` ref in ``__init__``), test membership vectorized per batch.
+    """Fact-side filter: the broadcast bitmap is fetched once at
+    construction (driver-side when passed as an instance — the 16 KiB
+    filter serializes into the task spec and ships once per worker), and
+    membership is tested vectorized per batch.
     Keeps false positives — the downstream exact join removes them — and
     guarantees zero false negatives by Bloom construction."""
 
@@ -322,10 +324,7 @@ def bloom_semijoin_revenue(sf_dir: str, segment: str = "BUILDING") -> pd.DataFra
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
     )
     survivors = orders.map_batches(
-        BloomPrune,
-        fn_constructor_args=(bitmap_ref, "o_custkey"),
-        batch_format="pandas",
-        concurrency=(1, 4),
+        BloomPrune(bitmap_ref, "o_custkey"), batch_format="pandas"
     )
 
     def to_cents(b: pd.DataFrame) -> pd.DataFrame:

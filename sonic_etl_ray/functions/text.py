@@ -1,9 +1,15 @@
 """Text analysis stages for training-data pipelines over `documents`.
 
-Actor-pool ``map_batches`` stages with per-actor compiled state — the ST1
+Callable-class ``map_batches`` stages with compiled state — the ST1
 pattern (``ErcEventCatalog`` built once per worker,
 ``events/erc.rs:13-180``): regexes compiled and stopword/ngram tables built
-in ``__init__``, vectorized work in ``__call__``.
+in ``__init__``, vectorized work in ``__call__``. Instances are passed to
+``map_batches`` as plain callables: the state is tiny (compiled patterns,
+small tables), so it serializes once into the task spec and ships once per
+worker process — same once-per-worker amortization as an actor pool, with
+zero actor-process startup (measured ~1 s per pool per query; the catalog
+decode stage in ``stages/catalog.py``, whose state is genuinely heavy,
+stays an actor pool).
 
 Ops: token counting (regex \\S+, SQL-parity semantics), quality scoring
 (char/token stats + stopword ratio), language-ID (stopword + n-gram
@@ -209,31 +215,31 @@ class BpeishTokenizer:
 
 def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(BpeishTokenizer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(BpeishTokenizer(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def token_counts(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(TokenCounter(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(QualityScorer(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(LangId(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(Fingerprinter(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -284,7 +290,7 @@ class RepetitionScorer:
 
 def repetition_stats(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(RepetitionScorer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(RepetitionScorer(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -332,8 +338,8 @@ def benchmark_snippets(sf_dir: str) -> list[str]:
 
 class ContaminationChecker:
     """Benchmark-contamination flag: does the (whitespace-normalized) doc
-    contain any benchmark 13-gram verbatim? Snippets are fetched from the
-    object store once per actor (ST8 pattern); the per-batch check is one
+    contain any benchmark 13-gram verbatim? The snippet list is fetched
+    once at construction and ships once per worker; the per-batch check is one
     vectorized ``str.contains`` per snippet — exact substring, no regex."""
 
     def __init__(self, snippets_ref):
@@ -356,10 +362,7 @@ def contamination_check(sf_dir: str) -> pd.DataFrame:
     snippets_ref = _ray.put(benchmark_snippets(sf_dir))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
-        ContaminationChecker,
-        fn_constructor_args=(snippets_ref,),
-        batch_format="pandas",
-        concurrency=(1, 4),
+        ContaminationChecker(snippets_ref), batch_format="pandas"
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -434,7 +437,7 @@ def interdoc_ngram_dup(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
     # materialize once (columnar int64 rows, object-store-spillable) instead
     # of re-running tokenize+hash over the corpus a second time
     pairs = ds.map_batches(
-        NgramPairEmitter, batch_format="pandas", concurrency=(1, 4)
+        NgramPairEmitter(), batch_format="pandas"
     ).materialize()
     totals = pairs.groupby("gh").aggregate(Sum("c", alias_name="total"))
     joined = safe_join(
@@ -492,7 +495,7 @@ class TextNormalizer:
 
 def normalize_text(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(TextNormalizer, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(TextNormalizer(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -516,8 +519,8 @@ class Scrubber:
     `PIIFormatter` shape): replace every match of each pattern, in a fixed
     order, and report how many spans were redacted per document.
 
-    ST1 actor-pool discipline: patterns compiled once per actor in
-    ``__init__``; ``__call__`` is all vectorized pandas ``.str`` kernels.
+    ST1 discipline: patterns compiled once in ``__init__`` (shipped once
+    per worker); ``__call__`` is all vectorized pandas ``.str`` kernels.
     Match counts are measured against the ORIGINAL text (the cascade cannot
     re-create an earlier pattern from these replacement literals), which is
     what the SQL oracle mirrors with len(regexp_extract_all(text, p))."""
@@ -547,7 +550,7 @@ def scrub_text(sf_dir: str) -> pd.DataFrame:
     cluster and output written back per-block (here collected only because
     the gate compares full results)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(Scrubber, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    out = ds.map_batches(Scrubber(), batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -606,7 +609,7 @@ def distinctive_terms(sf_dir: str, k: int = 5, num_buckets: int = 64) -> pd.Data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = ds.map_batches(
-        DocTermCounter, batch_format="pandas", concurrency=(1, 4)
+        DocTermCounter(), batch_format="pandas"
     ).materialize()
     dfreq = pairs.groupby("term").aggregate(Count(alias_name="df"))
     joined = safe_join(
@@ -671,7 +674,7 @@ def lm_quality_proxy(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = ds.map_batches(
-        DocTermCounter, batch_format="pandas", concurrency=(1, 4)
+        DocTermCounter(), batch_format="pandas"
     ).materialize()
     totals = pairs.groupby("term").aggregate(Sum("tf", alias_name="cnt"))
     joined = safe_join(
@@ -741,7 +744,7 @@ class CompressionScorer:
 def compression_scores(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(
-        CompressionScorer, batch_format="pandas", concurrency=(1, 4)
+        CompressionScorer(), batch_format="pandas"
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 

@@ -66,10 +66,7 @@ def prep_corpus(
     """
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     filtered = ds.map_batches(
-        _PrepScorer,
-        fn_constructor_args=(max_stop_ratio, min_tokens, max_tokens),
-        batch_format="pandas",
-        concurrency=(1, 4),
+        _PrepScorer(max_stop_ratio, min_tokens, max_tokens), batch_format="pandas"
     )
     deduped = exact_dedup(filtered)  # hash groupby, deterministic min-id winner
     out = deduped.to_pandas()[["doc_id", "text_sha256", "n_tokens", "n_bpe_tokens"]]

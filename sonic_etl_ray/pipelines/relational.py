@@ -131,7 +131,7 @@ def join_orders_customers(sf_dir: str) -> pd.DataFrame:
 
     class Enrich:
         def __init__(self, ref):
-            self.dim = ray.get(ref)  # broadcast once per actor
+            self.dim = ray.get(ref)  # fetched once at construction (small dim)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             j = batch.merge(self.dim, left_on="o_custkey", right_index=True, how="inner")
@@ -141,7 +141,7 @@ def join_orders_customers(sf_dir: str) -> pd.DataFrame:
             )
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    partials = ds.map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4))
+    partials = ds.map_batches(Enrich(ref), batch_format="pandas")
     out = (
         partials.groupby(["c_mktsegment", "n_name"])
         .aggregate(Sum("total_price", alias_name="total_price"), Sum("n_orders", alias_name="n_orders"))
@@ -223,7 +223,7 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 
     class EnrichCustomers:
         def __init__(self, ref):
-            self.lut = ray.get(ref)  # 25-entry nationkey→name, once per actor
+            self.lut = ray.get(ref)  # 25-entry nationkey→name, tiny
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             n_name = b["c_nationkey"].map(self.lut)
@@ -233,7 +233,7 @@ def q5_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
             )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        EnrichCustomers, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4)
+        EnrichCustomers(ref), batch_format="pandas"
     )
     orders = safe_join(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
@@ -561,7 +561,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     out = (
-        ds.map_batches(LocalTopK, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4))
+        ds.map_batches(LocalTopK(ref), batch_format="pandas")
         .groupby("c_mktsegment")
         .map_groups(final_topk, batch_format="pandas")
         .to_pandas()
@@ -724,7 +724,7 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
 
     fine = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
-        .map_batches(Partial, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, 4))
+        .map_batches(Partial(ref), batch_format="pandas")
         .groupby(["c_mktsegment", "o_orderpriority"])
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
