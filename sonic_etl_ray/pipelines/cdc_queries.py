@@ -375,10 +375,7 @@ def cdc_apply_blocklisted(sf_dir: str) -> pa.Table:
 
     ref = ray.put(BLOCKED_REPOS)
     ds = _events_as_cdc(sf_dir).map_batches(
-        BlocklistFilter,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        BlocklistFilter(ref), batch_format="pyarrow"
     )
     lake = scratch_lake_dir("cdcbl")
     apply_epoch(ds, lake, epoch=0, num_partitions=8)
