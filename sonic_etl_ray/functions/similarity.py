@@ -9,6 +9,7 @@ pattern: at 100 TB only the matching buckets are scanned.
 
 from __future__ import annotations
 
+import os
 
 import numpy as np
 import pandas as pd
@@ -334,6 +335,123 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
     return index_dir
 
 
+def _extend_partitioned_index(
+    index_dir: str, bucketed: ray.data.Dataset, part_col: str, tag: str
+) -> dict:
+    """Shared move-in step for incremental index extensions: write the
+    tagged batch into a staging dir partitioned by ``part_col``, then
+    rename each file into the live layout as ``ext-<tag>-<i>.parquet`` and
+    fsync a ``_ext_<tag>.done`` marker.
+
+    Idempotence contract (the CDC epoch discipline): ``tag`` identifies the
+    batch (use the epoch id). A completed tag short-circuits; a retried
+    TORN extension first deletes every ``ext-<tag>-*`` file and re-moves,
+    so replays converge. Readers may observe a prefix of an in-flight
+    extension (file-append visibility — the same guarantee any live
+    directory layout gives); a full rebuild via the staging+rename publish
+    remains the strictly-atomic path."""
+    import glob as _glob
+    import json
+    import shutil
+    import uuid
+
+    from ..state.commitlog import _atomic_write
+
+    marker = os.path.join(index_dir, f"_ext_{tag}.done")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh)
+    # retry hygiene: clear any files a torn earlier attempt moved in
+    stale = _glob.glob(os.path.join(index_dir, f"{part_col}=*", f"ext-{tag}-*.parquet"))
+    for f in stale:
+        os.remove(f)
+
+    staging = f"{index_dir}.ext.{uuid.uuid4().hex[:8]}"
+    bucketed.write_parquet(staging, partition_cols=[part_col])
+    moved = 0
+    rows_meta = 0
+    try:
+        for bdir in sorted(_glob.glob(os.path.join(staging, f"{part_col}=*"))):
+            dest = os.path.join(index_dir, os.path.basename(bdir))
+            os.makedirs(dest, exist_ok=True)
+            for f in sorted(_glob.glob(os.path.join(bdir, "*.parquet"))):
+                rows_meta += pq.read_metadata(f).num_rows
+                os.rename(f, os.path.join(dest, f"ext-{tag}-{moved}.parquet"))
+                moved += 1
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    stats = {"tag": str(tag), "files": moved, "rows": rows_meta}
+    _atomic_write(marker, json.dumps(stats).encode())
+    return stats
+
+
+def extend_lsh_index(index_dir: str, ds: ray.data.Dataset, tag: str) -> dict:
+    """Incrementally append new vectors to an existing LSH index — the CDC
+    maintenance path the indexed queries rely on: each epoch's new vectors
+    are hashed with the index's PERSISTED hyperplane family
+    (``_INDEX_META.json``) and land as tagged files in their ``bucket=N/``
+    directories, so probes see them with no rebuild. ``ds`` needs
+    (vec_id, embedding) columns; ``tag`` should be the epoch id (see
+    :func:`_extend_partitioned_index` for the idempotence contract)."""
+    import json
+
+    meta_path = os.path.join(index_dir, "_INDEX_META.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{index_dir} has no _INDEX_META.json — rebuild it with "
+            "build_lsh_index (pre-meta indexes cannot be extended: the "
+            "hyperplane family would be unrecoverable)"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    bucketed = ds.map_batches(
+        HyperplaneHasher(meta["dim"], meta["n_planes"], meta["seed"]),
+        batch_format="pandas",
+    )
+
+    def plain(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(e, np.float32) for e in b["embedding"]],
+                    pa.list_(pa.float32()),
+                ),
+                "bucket": pa.array(b["bucket"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _extend_partitioned_index(
+        index_dir, bucketed.map_batches(plain, batch_format="pandas"), "bucket", tag
+    )
+
+
+def extend_ivf_index(index_dir: str, ds: ray.data.Dataset, tag: str) -> dict:
+    """Incrementally append new vectors to an existing IVF index: assign
+    against the index's persisted ``centroids.npy`` (no re-fit — the coarse
+    quantizer must stay frozen or every existing assignment would shift)
+    and land tagged files in the ``cluster=N/`` directories. Same
+    idempotence contract as :func:`extend_lsh_index`."""
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    assigned = ds.map_batches(IVFIndexer(cents), batch_format="pandas")
+
+    def plain(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array(b["vec_id"].to_numpy(), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(e, np.float32) for e in b["embedding"]],
+                    pa.list_(pa.float32()),
+                ),
+                "cluster": pa.array(b["cluster"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _extend_partitioned_index(
+        index_dir, assigned.map_batches(plain, batch_format="pandas"), "cluster", tag
+    )
+
+
 def ivf_topk_indexed(
     sf_dir: str, k: int = 10, query_vec_id: int = 0, n_clusters: int = 8, n_probe: int = 2
 ) -> pd.DataFrame:
@@ -449,6 +567,13 @@ def build_lsh_index(
     bucketed.map_batches(plain, batch_format="pandas").write_parquet(
         tmp_dir, partition_cols=["bucket"]
     )
+    import json
+
+    with open(os.path.join(tmp_dir, "_INDEX_META.json"), "w") as fh:
+        # extension params: incremental appends must hash with the SAME
+        # hyperplane family the index was built with
+        json.dump({"kind": "lsh", "dim": int(q0.size), "n_planes": n_planes,
+                   "seed": seed}, fh)
     open(os.path.join(tmp_dir, "_INDEX_READY"), "w").close()
     _publish_index_dir(tmp_dir, index_dir)
     return index_dir
@@ -462,8 +587,9 @@ def lsh_topk_indexed(
     ``bucket=<target>/`` (single-probe). Result is identical to the
     filter-based path (same bucket assignment, same rerank); only the I/O
     shape changes — this is the layout a 100 TB vector lake would use, with
-    the index maintained incrementally by the CDC path (each epoch's new
-    vectors append to their bucket directories)."""
+    the index maintained incrementally by the CDC path
+    (:func:`extend_lsh_index`: each epoch's new vectors land as tagged
+    files in their bucket directories, idempotent per epoch tag)."""
     import os
     import tempfile
 

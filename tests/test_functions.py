@@ -1427,3 +1427,86 @@ def test_resize_stub_bytes_pinned():
     assert h.hexdigest() == (
         "1ef7ef0660fb3a135a55f76e477510f97247c29de86bc2b9047753714f3930e4"
     )
+
+def test_extend_lsh_and_ivf_index_incremental(tmp_path):
+    """Incremental index maintenance: build on a subset, extend with the
+    remainder (tagged, epoch-style), and the index contents equal a direct
+    hash/assignment of the FULL set; a completed tag short-circuits and a
+    torn retry converges without duplicates."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from sonic_etl_ray.functions.similarity import (
+        HyperplaneHasher,
+        IVFIndexer,
+        build_ivf_index,
+        build_lsh_index,
+        extend_ivf_index,
+        extend_lsh_index,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    cut = int(np.sort(ids)[len(ids) // 2])
+    base = emb.filter(pa.compute.less(emb["vec_id"], cut))
+    extra = emb.filter(pa.compute.greater_equal(emb["vec_id"], cut))
+
+    sf_base = str(tmp_path / "sf_base")
+    os.makedirs(sf_base)
+    pq.write_table(base, f"{sf_base}/embeddings.parquet")
+
+    # ---- LSH
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(sf_base, idx, n_planes=6, seed=13)
+    stats = extend_lsh_index(idx, ray.data.from_arrow(extra), tag="ep7")
+    assert stats["rows"] == extra.num_rows and stats["files"] > 0
+
+    got = pds.dataset(idx, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "bucket"]
+    )
+    dim = len(emb["embedding"][0])
+    hasher = HyperplaneHasher(dim, 6, 13)
+    want_buckets = hasher.bucket(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    want = dict(zip(ids.tolist(), want_buckets.tolist()))
+    got_map = dict(zip(got["vec_id"].to_numpy().tolist(), got["bucket"].to_numpy().tolist()))
+    assert got_map == want  # full set present, one entry each, right buckets
+
+    # completed tag short-circuits (marker) — file count unchanged
+    n_files = len(_glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    again = extend_lsh_index(idx, ray.data.from_arrow(extra), tag="ep7")
+    assert again == stats
+    assert len(_glob.glob(os.path.join(idx, "bucket=*", "*.parquet"))) == n_files
+
+    # torn retry: drop the marker (simulates crash after a partial move) —
+    # the retry deletes tag files and re-moves; still no duplicates
+    os.remove(os.path.join(idx, "_ext_ep7.done"))
+    extend_lsh_index(idx, ray.data.from_arrow(extra), tag="ep7")
+    got2 = pds.dataset(idx, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id"]
+    )
+    assert got2.num_rows == emb.num_rows
+
+    # ---- IVF
+    ivf = str(tmp_path / "ivf_idx")
+    build_ivf_index(sf_base, ivf, n_clusters=4)
+    s2 = extend_ivf_index(ivf, ray.data.from_arrow(extra), tag="ep8")
+    assert s2["rows"] == extra.num_rows
+    cents = np.load(os.path.join(ivf, "centroids.npy"))
+    gmap = {}
+    for cdir in sorted(_glob.glob(os.path.join(ivf, "cluster=*"))):
+        c = int(os.path.basename(cdir).split("=", 1)[1])
+        for f in _glob.glob(os.path.join(cdir, "*.parquet")):
+            for v in pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist():
+                assert v not in gmap, f"duplicate vec_id {v}"
+                gmap[v] = c
+    assigner = IVFIndexer(cents)
+    import pandas as _pd
+    want_assign = assigner(
+        _pd.DataFrame({"vec_id": ids, "embedding": list(emb["embedding"].to_numpy(zero_copy_only=False))})
+    )
+    wmap = dict(zip(want_assign["vec_id"].astype(int), want_assign["cluster"].astype(int)))
+    assert gmap == wmap
