@@ -303,6 +303,15 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--column", required=True)
     ix.add_argument("--index-root", default=None)
 
+    ei = sub.add_parser(
+        "extend-index",
+        help="incrementally append new vectors to an ANN index (epoch-tagged, idempotent)",
+    )
+    ei.add_argument("--index-dir", required=True)
+    ei.add_argument("--vectors", required=True, help="parquet with (vec_id, embedding)")
+    ei.add_argument("--tag", required=True, help="batch identity, e.g. the epoch id")
+    ei.add_argument("--kind", choices=["lsh", "ivf"], default="lsh")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -455,6 +464,18 @@ def main(argv: list[str] | None = None) -> int:
         }))
         import ray
 
+        ray.shutdown()
+        return 0
+    if args.cmd == "extend-index":
+        _ray_init(args.num_cpus)
+        import ray
+        import ray.data as _rd
+
+        from .functions.similarity import extend_ivf_index, extend_lsh_index
+
+        fn = extend_lsh_index if args.kind == "lsh" else extend_ivf_index
+        stats = fn(args.index_dir, _rd.read_parquet(args.vectors), tag=args.tag)
+        print(json.dumps({"kind": args.kind, **stats}))
         ray.shutdown()
         return 0
     if args.cmd == "compact-states":

@@ -212,3 +212,48 @@ def test_cli_pit_join_streamed_dir(tmp_path):
     t = pds.dataset(out_dir, format="parquet").to_table()
     assert t.num_rows == 3
     assert set(t.column_names) >= {"repo", "path", "at_lsn", "asof_lsn", "asof_op"}
+
+def test_cli_extend_index(tmp_path):
+    """`extend-index` appends an epoch-tagged vector batch to a built LSH
+    index; the probe bucket contents grow accordingly and a repeat with the
+    same tag is a no-op."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+    ids = emb["vec_id"]
+    cut = int(pc.approximate_median(ids).as_py())
+    base = emb.filter(pc.less(ids, cut))
+    extra = emb.filter(pc.greater_equal(ids, cut))
+    sf_base = str(tmp_path / "sfb")
+    os.makedirs(sf_base)
+    pq.write_table(base, f"{sf_base}/embeddings.parquet")
+    pq.write_table(extra, str(tmp_path / "extra.parquet"))
+
+    import subprocess, sys
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys, ray; ray.init(address='local', num_cpus=2, include_dashboard=False, logging_level='ERROR');"
+         "from sonic_etl_ray.functions.similarity import build_lsh_index;"
+         f"build_lsh_index({sf_base!r}, {str(tmp_path / 'idx')!r}, n_planes=5, seed=3); ray.shutdown()"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    r = _run("--num-cpus", "2", "extend-index", "--index-dir", str(tmp_path / "idx"),
+             "--vectors", str(tmp_path / "extra.parquet"), "--tag", "ep1")
+    assert r["kind"] == "lsh" and r["rows"] == extra.num_rows
+    total = sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(str(tmp_path / "idx" / "bucket=*" / "*.parquet"))
+    )
+    assert total == emb.num_rows
+    # idempotent repeat
+    r2 = _run("--num-cpus", "2", "extend-index", "--index-dir", str(tmp_path / "idx"),
+              "--vectors", str(tmp_path / "extra.parquet"), "--tag", "ep1")
+    assert r2 == r
