@@ -224,3 +224,47 @@ def test_greedy_pack_invariants_random(sizes, cap):
         # zero-token docs occupy no budget, so an over-budget sequence must
         # hold exactly one NON-EMPTY (oversized) doc
         assert sum(items) <= cap or len([i for i in items if i > 0]) == 1
+
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    d=st.integers(min_value=1, max_value=8),
+    tile_elems=st.integers(min_value=1, max_value=400),
+    threshold=st.floats(min_value=-1.5, max_value=1.5, allow_nan=False),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiled_gram_kernels_equal_dense(n, d, tile_elems, threshold, seed):
+    """Property: for ANY matrix, tile budget, and threshold (including
+    negative and >1), the tiled pair scan and dropped-mask equal their
+    dense n×n formulations."""
+    import numpy as np
+
+    import sonic_etl_ray.functions.similarity as sim
+
+    rng = np.random.default_rng(seed)
+    m = sim._normalize(rng.standard_normal((n, d))) if n else np.empty((0, d))
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    saved = sim._GRAM_TILE_ELEMS
+    sim._GRAM_TILE_ELEMS = tile_elems
+    try:
+        va, vb, cs = sim._tiled_neardup_pairs(ids, m, threshold)
+        dropped = sim._tiled_dropped_mask(m, threshold)
+    finally:
+        sim._GRAM_TILE_ELEMS = saved
+
+    if n == 0:
+        assert len(va) == 0 and not dropped.size
+        return
+    sims = m @ m.T
+    iu, ju = np.triu_indices(n, k=1)
+    keep = sims[iu, ju] >= threshold
+    want_pairs = set(zip(ids[iu[keep]].tolist(), ids[ju[keep]].tolist()))
+    assert set(zip(va.tolist(), vb.tolist())) == want_pairs
+    # cosines match the dense values
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for a, b, c in zip(va, vb, cs):
+        assert abs(c - sims[pos[int(a)], pos[int(b)]]) < 1e-12
+    want_dropped = np.zeros(n, dtype=bool)
+    for i, j in zip(iu[keep], ju[keep]):
+        want_dropped[j] = True
+    assert dropped.tolist() == want_dropped.tolist()
