@@ -519,10 +519,13 @@ def main(argv: list[str] | None = None) -> int:
                 import subprocess
 
                 def on_alert(evt, _cmd=args.alert_cmd):
-                    # pager hook: event JSON on stdin; a failing sink is
-                    # logged by the Tailer and never stops ingestion
+                    # pager hook: event JSON on stdin; check=True routes a
+                    # nonzero-exiting sink into the Tailer's except-and-log
+                    # (which never stops ingestion) instead of dropping the
+                    # alert silently
                     subprocess.run(
-                        _cmd, shell=True, input=json.dumps(evt).encode(), timeout=30
+                        _cmd, shell=True, input=json.dumps(evt).encode(),
+                        timeout=30, check=True,
                     )
 
             monitors = []
@@ -617,7 +620,15 @@ def main(argv: list[str] | None = None) -> int:
                 n = tbl.num_rows
             else:
                 # streamed: each bucket's output block is written by its own
-                # task — nothing materializes on the driver, resumable layout
+                # task — nothing materializes on the driver. Clear a
+                # pre-existing output dir first: write_parquet APPENDS
+                # uuid-named files, so a rerun would otherwise accumulate
+                # stale+new rows (the single-file path overwrites; the
+                # directory path must honor the same contract)
+                import shutil as _shutil
+
+                if _os.path.isdir(args.out):
+                    _shutil.rmtree(args.out)
                 res.write_parquet(args.out)
                 import pyarrow.dataset as _pds
 

@@ -607,9 +607,14 @@ def dedup_incremental(
     The lake-side bitmaps are PERSISTED (mtime+size-keyed, the ANN-index
     cache discipline) so repeat calls against an unchanged lake skip the
     full build scan and pay probe+confirm only; a rewritten
-    documents.parquet changes the stamp and forces a rebuild. Atomic
-    single-file publish (write-temp + rename), so a concurrent builder can
-    never serve a torn bitmap.
+    documents.parquet changes the stamp and forces a rebuild. Publishes
+    atomically (unsharded: write-temp + rename of one file; sharded: a
+    staging DIR of per-shard files renamed into place behind a _READY
+    marker — neither save nor load holds more than one shard's bitmap on
+    the driver at a time), so a concurrent builder can never serve a torn
+    bitmap. Probe geometry always derives from the LOADED bitmap's size,
+    so a cache written under a different compile-time geometry can never
+    produce false negatives.
     """
     import ray
 
@@ -659,16 +664,18 @@ def dedup_incremental(
         add_fp, batch_format="pyarrow"
     )
 
-    def _bitmap_cache_path() -> str:
+    def _bitmap_cache_path(suffix: str) -> str:
         # "sip1" versions the KEY HASH into the cache identity: bitmaps
-        # built under a different fp_key function must never be probed
+        # built under a different fp_key function must never be probed.
+        # (Geometry is safe unversioned: both probe paths derive positions
+        # from the LOADED bitmap's size, never a compile-time constant.)
         base = _index_cache_dir(
             "bloomfp", sf_dir, split_frac, prefix_len,
             int(num_bloom_shards or 0), "sip1", src_name="documents.parquet",
         )
-        return base + ".npy"
+        return base + suffix
 
-    def _save_bitmaps(path: str, arr: np.ndarray) -> None:
+    def _save_bitmap_file(path: str, arr: np.ndarray) -> None:
         import uuid
 
         tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
@@ -676,22 +683,38 @@ def dedup_incremental(
             np.save(fh, arr)
         os.replace(tmp, path)
 
-    cache_path = _bitmap_cache_path()
-    cached = None
-    if os.path.exists(cache_path):
-        try:
-            cached = np.load(cache_path)
-        except (OSError, ValueError):  # torn/foreign file: rebuild
-            cached = None
-
     if num_bloom_shards:
-        if cached is not None and cached.shape[0] == num_bloom_shards:
-            shard_refs = [ray.put(np.ascontiguousarray(cached[i])) for i in range(num_bloom_shards)]
-        else:
+        # per-shard cache FILES under a marker-gated dir: neither save nor
+        # load ever holds more than one shard's bitmap on the driver at a
+        # time — the no-single-holder bound the sharded filter exists for
+        cache_dir = _bitmap_cache_path(".shards")
+        ready = os.path.join(cache_dir, "_READY")
+        shard_refs = None
+        if os.path.exists(ready):
+            try:
+                shard_refs = []
+                for i in range(num_bloom_shards):
+                    shard_refs.append(
+                        ray.put(np.load(os.path.join(cache_dir, f"shard_{i}.npy")))
+                    )
+            except (OSError, ValueError):  # torn/foreign cache: rebuild
+                shard_refs = None
+        if shard_refs is None:
             shard_refs = bloom_build_sharded(
                 lake.select_columns(["fp_key"]), "fp_key", num_bloom_shards
             )
-            _save_bitmaps(cache_path, np.stack(ray.get(list(shard_refs))))
+            import shutil
+            import uuid as _uuid
+
+            staging = f"{cache_dir}.build.{_uuid.uuid4().hex[:8]}"
+            os.makedirs(staging, exist_ok=True)
+            for i, ref in enumerate(shard_refs):  # one shard in flight at a time
+                _save_bitmap_file(os.path.join(staging, f"shard_{i}.npy"), ray.get(ref))
+            open(os.path.join(staging, "_READY"), "w").close()
+            try:
+                os.rename(staging, cache_dir)  # atomic publish; loser discards
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
 
         def add_shard(t: pa.Table) -> pa.Table:
             keys = t.column("fp_key").to_numpy().astype(np.int64)
@@ -716,12 +739,17 @@ def dedup_incremental(
             .map_groups(probe_shard, batch_format="pyarrow")
         )
     else:
-        if cached is not None:
-            bitmap = np.ascontiguousarray(cached[0] if cached.ndim == 2 else cached)
-        else:
+        cache_path = _bitmap_cache_path(".npy")
+        bitmap = None
+        if os.path.exists(cache_path):
+            try:
+                bitmap = np.load(cache_path)
+            except (OSError, ValueError):  # torn/foreign file: rebuild
+                bitmap = None
+        if bitmap is None:
             bitmap = bloom_build(lake.select_columns(["fp_key"]), "fp_key")
-            _save_bitmaps(cache_path, bitmap)
-        bitmap_ref = ray.put(bitmap)
+            _save_bitmap_file(cache_path, bitmap)
+        bitmap_ref = ray.put(np.ascontiguousarray(bitmap))
 
         def bloom_prune(t: pa.Table, *, ref) -> pa.Table:
             # task stage, not an actor pool: the probe state is one 16 KiB
@@ -731,7 +759,10 @@ def dedup_incremental(
             if t.num_rows == 0:
                 return t
             bits = np.unpackbits(ray.get(ref)).astype(bool)
-            pos = _bloom_positions(t.column("fp_key").to_numpy())
+            # geometry from the FETCHED bitmap (a cached bitmap built under
+            # a different BLOOM_BITS must probe at ITS size or produce
+            # false negatives — the one error class a Bloom must never make)
+            pos = _bloom_positions(t.column("fp_key").to_numpy(), bits=bits.size)
             return t.filter(pa.array(bits[pos].all(axis=0)))
 
         candidates = incoming.map_batches(

@@ -982,12 +982,35 @@ def _exchange_and_merge(
     single object-store hop.
     """
     if two_level is None:
-        refs = list(_iter_block_refs(ds))
-        two_level = len(refs) * num_partitions > _two_level_auto_limit()
-        per_block_refs = (
-            _exchange_two_level(ds, num_partitions, block_refs=refs)
-            if two_level
-            else _exchange(ds, num_partitions, block_refs=refs)
+        # STREAMING auto decision: one-level splits launch per block as it
+        # arrives (full overlap with the upstream map stages — no barrier
+        # on the common small-epoch path). If the running blocks×P ref
+        # count crosses the limit, the REMAINING blocks route through the
+        # two-level exchange instead (their refs are buffered — one ref
+        # per block, tiny — and regrouped; regroup needs all tail blocks
+        # anyway, so the tail barrier is inherent to the two-level form).
+        # Ordering stays bit-identical to pure one-level: the merge concats
+        # head block slices in block order, then the tail's pre-concatenated
+        # (block-ordered) slice.
+        limit = _two_level_auto_limit()
+        head_blocks = max(1, limit // max(num_partitions, 1))
+        head_rows: list = []
+        tail_refs: list = []
+        if num_partitions == 1:
+            head_rows = [[r] for r in _iter_block_refs(ds)]
+        else:
+            split = ray.remote(num_returns=num_partitions, num_cpus=1)(
+                _split_block_for_exchange
+            )
+            for block_ref in _iter_block_refs(ds):
+                if len(head_rows) < head_blocks:
+                    head_rows.append(split.remote(block_ref, num_partitions))
+                else:
+                    tail_refs.append(block_ref)
+        per_block_refs = head_rows + (
+            _exchange_two_level(ds, num_partitions, block_refs=tail_refs)
+            if tail_refs
+            else []
         )
     else:
         per_block_refs = (

@@ -761,14 +761,19 @@ class ConstraintMonitor:
         # alone re-resolves the frontier inside read_lake, so a concurrent
         # writer committing between the two calls would be both included in
         # the bootstrap scan AND re-folded by refresh() — double-counted.
-        if pin is not None:
-            full = check_constraints(
-                self.lake_dir, self.constraints, as_of_epoch=pin
-            ).set_index("constraint")
-        else:
-            full = check_constraints(
-                self.lake_dir, self.constraints, consistent=True
-            ).set_index("constraint")
+        # pin is None ⇒ nothing is committed ⇒ the state at the cursor is
+        # EMPTY by definition: start from zeros without scanning at all
+        # (a scan here would reopen the same race for the first epoch a
+        # concurrent writer commits).
+        if pin is None:
+            return {
+                "acked_epoch": None,
+                "n_rows": 0,
+                "violations": {c.name: 0 for c in self.constraints},
+            }
+        full = check_constraints(
+            self.lake_dir, self.constraints, as_of_epoch=pin
+        ).set_index("constraint")
         n_rows = int(full["n_rows"].iloc[0]) if len(full) else 0
         return {
             "acked_epoch": pin,
@@ -811,11 +816,15 @@ class ConstraintMonitor:
         state = self._load()
         if state is None:
             state = self._bootstrap()
-            self._persist(state)
+            # fire BEFORE the cursor persists: a crash between the two
+            # re-bootstraps and re-fires (at-least-once, the documented
+            # contract); persisting first would make a crash lose the
+            # alert forever (at-most-once)
             if self.on_violation:
                 for name, v in state["violations"].items():
                     if v > 0:
                         self._fire(name, v, v, state["acked_epoch"], bootstrap=True)
+            self._persist(state)
         acked = state["acked_epoch"]
         for e in cl.committed_epochs(self.lake_dir):
             if acked is not None and e <= acked:
@@ -825,11 +834,15 @@ class ConstraintMonitor:
             for name, d in deltas.items():
                 state["violations"][name] = state["violations"].get(name, 0) + int(d)
             state["acked_epoch"] = acked = e
-            self._persist(state)  # atomic per epoch: crash refolds, never skips
+            # same ordering as bootstrap: alert, then advance the cursor —
+            # a crash in between refolds epoch e and re-fires (alert sinks
+            # must be idempotent per (epoch, constraint); _fire swallows
+            # sink exceptions so the persist below always runs)
             if self.on_violation:
                 for name, d in deltas.items():
                     if int(d) > 0:
                         self._fire(name, int(d), state["violations"][name], e)
+            self._persist(state)  # atomic per epoch: crash refolds, never skips
         return state
 
     def _fire(self, name: str, new: int, total: int, epoch, **extra) -> None:

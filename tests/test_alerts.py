@@ -207,3 +207,74 @@ def test_cli_tail_alert_cmd(tmp_path):
     assert events[0]["kind"] == "constraint_violation"
     assert events[0]["constraint"] == "lang_ok"
     assert events[0]["new_violations"] == 1
+
+def test_monitor_fires_before_cursor_persist(ray_session, tmp_path):
+    """At-least-once ordering: on_violation fires BEFORE the advanced
+    cursor is persisted (a crash between the two refolds and re-fires —
+    never silently loses the alert), and a raising sink still lets the
+    persist proceed."""
+    import pyarrow as pa
+    import ray.data
+
+    from sonic_etl_ray.pipelines.ingest import apply_epoch
+    from sonic_etl_ray.pipelines.qc import Constraint, ConstraintMonitor
+
+    lake = str(tmp_path / "lake")
+    apply_epoch(
+        ray.data.from_arrow(_events([("insert", 0, "r0", "a", "zz", "x")])),
+        lake, epoch=0, num_partitions=2,
+    )
+    seq = []
+    cons = [Constraint("lang_ok", "accepted_values", ("lang",), values=("py",))]
+    mon = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
+    real_persist = mon._persist
+    mon._persist = lambda st: (seq.append("persist"), real_persist(st))[1]
+
+    def sink(evt):
+        seq.append("fire")
+        raise RuntimeError("sink down")  # must not block the persist
+
+    mon.on_violation = sink
+    mon.refresh()
+    assert seq == ["fire", "persist"], seq  # bootstrap: alert, then cursor
+    # epoch path: same order
+    apply_epoch(
+        ray.data.from_arrow(_events([("insert", 10, "r1", "b", "qq", "x")])),
+        lake, epoch=1, num_partitions=2,
+    )
+    seq.clear()
+    mon.refresh()
+    assert seq == ["fire", "persist"], seq
+    # state did persist despite the raising sink
+    mon2 = ConstraintMonitor(lake, cons, str(tmp_path / "mon.json"))
+    assert int(mon2.report().set_index("constraint").loc["lang_ok", "violations"]) == 2
+
+
+def test_cli_tail_alert_cmd_failing_sink_does_not_stop_tail(tmp_path):
+    """A pager command exiting nonzero is caught by the Tailer's
+    except-and-log (check=True) — ingestion completes."""
+    import pyarrow.parquet as pq
+
+    seg_dir = str(tmp_path / "segs")
+    lake = str(tmp_path / "lake")
+    os.makedirs(seg_dir)
+    pq.write_table(
+        _events([("insert", 0, "r0", "a", "zz", "x")]),
+        f"{seg_dir}/segment_00000.parquet",
+    )
+    spec = tmp_path / "cons.json"
+    spec.write_text(json.dumps([
+        {"name": "lang_ok", "kind": "accepted_values", "columns": ["lang"],
+         "values": ["py"]},
+    ]))
+    out = subprocess.run(
+        [sys.executable, "-m", "sonic_etl_ray", "--num-cpus", "2", "tail",
+         "--segments", seg_dir, "--lake", lake, "--partitions", "2",
+         "--segments-per-epoch", "1", "--ticks", "1", "--poll-interval", "0.1",
+         "--constraints-json", str(spec), "--alert-cmd", "exit 3"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["epochs_applied"] + last["epochs_skipped"] == 1

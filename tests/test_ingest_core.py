@@ -271,9 +271,11 @@ def test_two_level_exchange_single_group_and_tiny_p(tmp_path):
     assert_state_equal(lake_final_table(lake), oracle_final_state(files))
 
 def test_auto_two_level_exchange_decision_and_equality(tmp_path, monkeypatch):
-    """The default exchange='tasks' auto-selects depth from blocks×P: below
-    the ref limit it stays one-level; forcing the limit to 0 routes the
-    SAME call through the two-level exchange with a bit-identical lake."""
+    """The default exchange='tasks' streams one-level splits until the ref
+    limit is crossed, then routes the REMAINING blocks two-level (hybrid).
+    Below the limit the two-level exchange is never invoked; with the limit
+    forced to 0 the same call goes hybrid — and every shape is bit-identical
+    to the forced one-level path and the oracle."""
     import ray.data
 
     from sonic_etl_ray.pipelines import ingest as ing
@@ -281,29 +283,28 @@ def test_auto_two_level_exchange_decision_and_equality(tmp_path, monkeypatch):
     spec = StreamSpec(n_events=3000, n_repos=5, seed=23, segment_size=1000)
     files = generate_stream(str(tmp_path / "seg"), spec)
 
-    calls = {"two": 0, "one": 0}
-    real_two, real_one = ing._exchange_two_level, ing._exchange
+    calls = {"two": 0}
+    real_two = ing._exchange_two_level
 
     def spy_two(*a, **kw):
         calls["two"] += 1
         return real_two(*a, **kw)
 
-    def spy_one(*a, **kw):
-        calls["one"] += 1
-        return real_one(*a, **kw)
-
     monkeypatch.setattr(ing, "_exchange_two_level", spy_two)
-    monkeypatch.setattr(ing, "_exchange", spy_one)
 
-    # default limit (250k): this epoch is a few blocks × 4 parts -> one-level
+    # default limit (250k): a few blocks x 4 parts -> pure one-level
     lake_auto = scratch_lake_dir("auto_one")
     ing.apply_epoch(ray.data.read_parquet(files), lake_auto, epoch=0, num_partitions=4)
-    assert calls == {"two": 0, "one": 1}
+    assert calls["two"] == 0
 
-    # limit 0: the same auto call must route two-level
+    # limit 0: head keeps one block (streaming overlap floor), the tail
+    # routes through the two-level exchange -> hybrid rows
     monkeypatch.setenv("SONIC_TWO_LEVEL_AUTO_REFS", "0")
     lake_auto2 = scratch_lake_dir("auto_two")
-    ing.apply_epoch(ray.data.read_parquet(files), lake_auto2, epoch=0, num_partitions=4)
+    ing.apply_epoch(
+        ray.data.read_parquet(files, override_num_blocks=3),
+        lake_auto2, epoch=0, num_partitions=4, batch_size=500,
+    )
     assert calls["two"] == 1
 
     # both auto decisions and the forced paths agree bit-for-bit
