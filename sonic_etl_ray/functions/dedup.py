@@ -698,7 +698,13 @@ def dedup_incremental(
                         ray.put(np.load(os.path.join(cache_dir, f"shard_{i}.npy")))
                     )
             except (OSError, ValueError):  # torn/foreign cache: rebuild
+                import shutil
+
                 shard_refs = None
+                # clear the bad dir or the atomic republish below would
+                # fail forever (rename onto an existing dir) and every
+                # future call would rebuild
+                shutil.rmtree(cache_dir, ignore_errors=True)
         if shard_refs is None:
             shard_refs = bloom_build_sharded(
                 lake.select_columns(["fp_key"]), "fp_key", num_bloom_shards

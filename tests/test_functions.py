@@ -1393,12 +1393,25 @@ def test_dedup_incremental_bloom_cache(tmp_path, monkeypatch):
     assert outs1.equals(outs2)
     assert outs1.equals(out1)  # shard count affects cost, not results
 
+    # torn sharded cache (READY marker but a shard file missing): the bad
+    # dir is cleared, the rebuild republishes, and the NEXT call hits cache
+    import glob as _glob
+    shard_file = _glob.glob("/tmp/bloomfp_index_*.shards/shard_0.npy")
+    assert shard_file, "expected a published sharded cache dir"
+    os.remove(shard_file[0])
+    outs3 = dd.dedup_incremental(sf, num_bloom_shards=4)
+    assert builds["n"] == 3  # rebuilt
+    assert outs3.equals(outs1)
+    outs4 = dd.dedup_incremental(sf, num_bloom_shards=4)
+    assert builds["n"] == 3  # repaired cache serves
+    assert outs4.equals(outs1)
+
     # input rewrite -> stamp changes -> rebuild (and result reflects new data)
     import time as _t
     _t.sleep(0.01)  # ensure a distinct mtime_ns on fast filesystems
     write_docs(80, seed=2)
     out3 = dd.dedup_incremental(sf)
-    assert builds["n"] == 3
+    assert builds["n"] == 4
     assert not out3.equals(out1)
 
 def test_resize_stub_bytes_pinned():
