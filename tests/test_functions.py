@@ -1395,10 +1395,13 @@ def test_dedup_incremental_bloom_cache(tmp_path, monkeypatch):
 
     # torn sharded cache (READY marker but a shard file missing): the bad
     # dir is cleared, the rebuild republishes, and the NEXT call hits cache
-    import glob as _glob
-    shard_file = _glob.glob("/tmp/bloomfp_index_*.shards/shard_0.npy")
-    assert shard_file, "expected a published sharded cache dir"
-    os.remove(shard_file[0])
+    from sonic_etl_ray.functions.similarity import _index_cache_dir
+    cache_dir = _index_cache_dir(
+        "bloomfp", sf, 0.8, 40, 4, "sip1", src_name="documents.parquet"
+    ) + ".shards"
+    shard_file = os.path.join(cache_dir, "shard_0.npy")
+    assert os.path.exists(shard_file), "expected a published sharded cache dir"
+    os.remove(shard_file)
     outs3 = dd.dedup_incremental(sf, num_bloom_shards=4)
     assert builds["n"] == 3  # rebuilt
     assert outs3.equals(outs1)
