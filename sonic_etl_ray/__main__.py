@@ -620,19 +620,22 @@ def main(argv: list[str] | None = None) -> int:
                 n = tbl.num_rows
             else:
                 # streamed: each bucket's output block is written by its own
-                # task — nothing materializes on the driver. Clear a
-                # pre-existing output dir first: write_parquet APPENDS
-                # uuid-named files, so a rerun would otherwise accumulate
-                # stale+new rows (the single-file path overwrites; the
-                # directory path must honor the same contract)
-                import shutil as _shutil
+                # task — nothing materializes on the driver. Remove PRIOR
+                # parquet files first: write_parquet APPENDS uuid-named
+                # files, so a rerun would otherwise accumulate stale+new
+                # rows (the single-file path overwrites; the directory path
+                # must honor the same contract). Only *.parquet directly in
+                # the dir is cleared — never the whole tree, which could be
+                # a user directory holding unrelated data.
+                import glob as _glob
 
-                if _os.path.isdir(args.out):
-                    _shutil.rmtree(args.out)
+                for f in _glob.glob(_os.path.join(args.out, "*.parquet")):
+                    _os.remove(f)
                 res.write_parquet(args.out)
-                import pyarrow.dataset as _pds
-
-                n = _pds.dataset(args.out, format="parquet").count_rows()
+                n = sum(
+                    _pq.read_metadata(f).num_rows
+                    for f in _glob.glob(_os.path.join(args.out, "*.parquet"))
+                )
             print(json.dumps({"rows": n, "out": args.out}))
         elif args.cmd == "analyze":
             from .pipelines.qc import analyze_lake, analyze_lake_approx

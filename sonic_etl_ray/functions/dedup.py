@@ -618,7 +618,14 @@ def dedup_incremental(
     """
     import ray
 
-    from .sketch import _bloom_positions, bloom_build, bloom_build_sharded, bloom_shard_of
+    from .sketch import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_positions,
+        bloom_build,
+        bloom_build_sharded,
+        bloom_shard_of,
+    )
     from .similarity import _index_cache_dir
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -667,11 +674,15 @@ def dedup_incremental(
     def _bitmap_cache_path(suffix: str) -> str:
         # "sip1" versions the KEY HASH into the cache identity: bitmaps
         # built under a different fp_key function must never be probed.
-        # (Geometry is safe unversioned: both probe paths derive positions
-        # from the LOADED bitmap's size, never a compile-time constant.)
+        # The FULL probe geometry is versioned too: bit count is also
+        # derived from the loaded bitmap's size, but the number of probe
+        # positions (BLOOM_K) is compile-time — a k change against an old
+        # cache would probe unset positions and produce false negatives,
+        # the one error class a Bloom must never make.
         base = _index_cache_dir(
             "bloomfp", sf_dir, split_frac, prefix_len,
-            int(num_bloom_shards or 0), "sip1", src_name="documents.parquet",
+            int(num_bloom_shards or 0), "sip1", f"g{BLOOM_BITS}x{BLOOM_K}",
+            src_name="documents.parquet",
         )
         return base + suffix
 
@@ -697,7 +708,7 @@ def dedup_incremental(
                     shard_refs.append(
                         ray.put(np.load(os.path.join(cache_dir, f"shard_{i}.npy")))
                     )
-            except (OSError, ValueError):  # torn/foreign cache: rebuild
+            except (OSError, ValueError, EOFError):  # torn/foreign cache: rebuild
                 import shutil
 
                 shard_refs = None
@@ -750,7 +761,7 @@ def dedup_incremental(
         if os.path.exists(cache_path):
             try:
                 bitmap = np.load(cache_path)
-            except (OSError, ValueError):  # torn/foreign file: rebuild
+            except (OSError, ValueError, EOFError):  # torn/foreign file: rebuild
                 bitmap = None
         if bitmap is None:
             bitmap = bloom_build(lake.select_columns(["fp_key"]), "fp_key")

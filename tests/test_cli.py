@@ -206,10 +206,22 @@ def test_cli_pit_join_streamed_dir(tmp_path):
     )
     pq.write_table(probe, str(tmp_path / "probe.parquet"))
     out_dir = str(tmp_path / "pit_out")
+    os.makedirs(out_dir)
+    keepsake = os.path.join(out_dir, "NOTES.txt")  # unrelated user file
+    with open(keepsake, "w") as fh:
+        fh.write("do not delete")
     r = _run("--num-cpus", "2", "pit-join", "--lake", lake,
              "--probe", str(tmp_path / "probe.parquet"), "--out", out_dir)
     assert r["rows"] == 3
-    t = pds.dataset(out_dir, format="parquet").to_table()
+    # rerun into the same dir: prior parquet is REPLACED, not accumulated,
+    # and non-parquet user files survive (no recursive delete)
+    r2 = _run("--num-cpus", "2", "pit-join", "--lake", lake,
+              "--probe", str(tmp_path / "probe.parquet"), "--out", out_dir)
+    assert r2["rows"] == 3
+    assert os.path.exists(keepsake)
+    import glob as _g
+    files = _g.glob(os.path.join(out_dir, "*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
     assert t.num_rows == 3
     assert set(t.column_names) >= {"repo", "path", "at_lsn", "asof_lsn", "asof_op"}
 

@@ -1396,8 +1396,10 @@ def test_dedup_incremental_bloom_cache(tmp_path, monkeypatch):
     # torn sharded cache (READY marker but a shard file missing): the bad
     # dir is cleared, the rebuild republishes, and the NEXT call hits cache
     from sonic_etl_ray.functions.similarity import _index_cache_dir
+    from sonic_etl_ray.functions.sketch import BLOOM_BITS, BLOOM_K
     cache_dir = _index_cache_dir(
-        "bloomfp", sf, 0.8, 40, 4, "sip1", src_name="documents.parquet"
+        "bloomfp", sf, 0.8, 40, 4, "sip1", f"g{BLOOM_BITS}x{BLOOM_K}",
+        src_name="documents.parquet",
     ) + ".shards"
     shard_file = os.path.join(cache_dir, "shard_0.npy")
     assert os.path.exists(shard_file), "expected a published sharded cache dir"
