@@ -435,6 +435,12 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_incremental(sf_dir)
 
 
+def _q_dedup_incremental_fuzzy(sf_dir: str):
+    from sonic_etl_ray.functions.dedup import dedup_incremental_fuzzy
+
+    return dedup_incremental_fuzzy(sf_dir)
+
+
 def _q_dedup_incremental_sharded(sf_dir: str):
     """The hash-sharded-Bloom variant of the same anti-join: one fixed-size
     filter per key shard, probe co-located with its shard (no worker holds
@@ -871,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_upserts": _q_cdc_upserts,  # auto two-level exchange
         "cdc_apply_mor": _q_cdc_mor,
         "cdc_apply_dup_replay": _q_cdc_dup,
+        "dedup_incremental_fuzzy": _q_dedup_incremental_fuzzy,  # NEW round 4
         # --- verified tail (cumulatively green r01-r03; order = age)
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
@@ -1350,6 +1357,25 @@ def oracle_sql() -> dict[str, str]:
             AND substr(COALESCE(l.text,''),1,40) = substr(COALESCE(d.text,''),1,40))
         ORDER BY d.doc_id"""
     sql["dedup_incremental_sharded"] = sql["dedup_incremental"]
+
+    # fuzzy admission gate: NOT EXISTS a lake doc at k-gram Jaccard >= t.
+    # Reuses the sparse shingle-join pair CTE; lake ids are < cut and jac
+    # pairs are doc_a < doc_b, so lake-vs-incoming pairs are exactly the
+    # rows with doc_a < cut <= doc_b.
+    _fuzzy_cte = _brute_jaccard_pairs_cte(5).replace(
+        "WITH sets AS",
+        "WITH cut AS (SELECT CAST(floor(0.8 * COUNT(*)) AS BIGINT) AS c"
+        " FROM documents), sets AS",
+        1,
+    )
+    sql["dedup_incremental_fuzzy"] = f"""{_fuzzy_cte}
+        SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d, cut
+        WHERE d.doc_id >= cut.c AND NOT EXISTS (
+          SELECT 1 FROM jac, cut
+          WHERE jac.doc_b = d.doc_id AND jac.doc_a < cut.c
+            AND jac.jaccard >= 0.8)
+        ORDER BY d.doc_id"""
 
     sql["scrub_text"] = r"""
         SELECT doc_id,

@@ -809,6 +809,108 @@ def dedup_incremental(
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dedup_incremental_fuzzy(
+    sf_dir: str,
+    split_frac: float = 0.8,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> pd.DataFrame:
+    """FUZZY incremental dedup: admit only incoming documents with NO
+    near-duplicate (character-``k``-gram Jaccard ≥ ``threshold``) already
+    in the lake — the MinHash-banded sibling of :func:`dedup_incremental`
+    (which blocks on an exact prefix fingerprint). The CDC-native fuzzy
+    admission gate: the lake side is the accumulated corpus, the incoming
+    side is one ingest batch (the same deterministic 80/20 doc_id split).
+
+    Scale shape — never all-pairs, never incoming × lake:
+      1. BOTH sides map to tiny (band_id, band_hash, doc_id) rows
+         (signatures inside ``map_batches``, the LSH banding that bounds
+         candidate generation exactly as :func:`minhash_candidate_pairs`);
+      2. one hash join on the band key yields only bucket-colliding
+         (lake doc_a, incoming doc_b) candidates — cost tracks the
+         near-dup rate, not |lake| × |incoming|;
+      3. candidates pull both texts back through the standard hash joins
+         and are Jaccard-VERIFIED ≥ threshold (zero false positives);
+      4. the rejected-incoming id set (tiny — it IS the fuzzy-dup set)
+         broadcasts into one final filter pass over the incoming batch.
+    With the default high-recall band settings the banded candidate set
+    achieves full recall on this corpus, so the output equals the exact
+    brute-force NOT EXISTS the SQL oracle computes (same verified-equality
+    stance as ``minhash_lsh_dedup``). Reference analog: the daily MERGE
+    dedup (`daily_qc_airflow/daily_dedupe_mainnet.py:28-81`) is
+    exact-identity only; this is the content-similarity admission gate a
+    training-data pipeline adds in front of the lake."""
+    import ray
+
+    join_partitions = _auto_join_partitions()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    cut = int(split_frac * ds.count())
+    slim = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lake_docs = slim.filter(expr=f"doc_id < {cut}")
+    inc_docs = slim.filter(expr=f"doc_id >= {cut}")
+
+    rows_per_band = num_perm // bands
+
+    def bands_of(d: ray.data.Dataset) -> ray.data.Dataset:
+        sigs = d.map_batches(
+            MinHasher(num_perm=num_perm, k=k), batch_format="pandas", batch_size=1024
+        )
+        return sigs.map_batches(
+            _band_rows,
+            fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
+            batch_format="pandas",
+        )
+
+    # cross-side band join only (no self-pairs): incoming left, lake right
+    cand = safe_join(
+        bands_of(inc_docs).rename_columns({"doc_id": "doc_b"}),
+        bands_of(lake_docs).rename_columns({"doc_id": "doc_a"}),
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("band_id", "band_hash"),
+    ).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    ).materialize()  # bounded (the candidate set); releases the band join's actors
+
+    texts_a = lake_docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
+    texts_b = inc_docs.rename_columns({"doc_id": "__tb_id", "text": "text_b"})
+    joined = safe_join(
+        safe_join(
+            cand, texts_a, join_type="inner", num_partitions=join_partitions,
+            on=("doc_a",), right_on=("__ta_id",),
+        ),
+        texts_b, join_type="inner", num_partitions=join_partitions,
+        on=("doc_b",), right_on=("__tb_id",),
+    )
+    verified = joined.map_batches(
+        verify_jaccard_batch,
+        fn_kwargs={"k": k, "threshold": threshold},
+        batch_format="pandas",
+    )
+    rejected = set(
+        int(r["doc_b"]) for r in verified.select_columns(["doc_b"]).take_all()
+    )
+    rej_ref = ray.put(np.fromiter(rejected, dtype=np.int64, count=len(rejected)))
+
+    def admit(t: pa.Table, *, ref) -> pa.Table:
+        rej = pa.array(ray.get(ref), pa.int64())
+        keep = pc.invert(pc.is_in(t.column("doc_id"), value_set=rej))
+        return t.filter(keep).select(["doc_id", "lang", "source", "n_chars"])
+
+    out = (
+        ds.filter(expr=f"doc_id >= {cut}")
+        .map_batches(admit, fn_kwargs={"ref": rej_ref}, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ exact dup spans
 
 

@@ -1528,3 +1528,53 @@ def test_extend_lsh_and_ivf_index_incremental(tmp_path):
     )
     wmap = dict(zip(want_assign["vec_id"].astype(int), want_assign["cluster"].astype(int)))
     assert gmap == wmap
+
+def test_dedup_incremental_fuzzy_brute_force(tmp_path):
+    """Fuzzy admission gate vs a pure-python brute force on a corpus with
+    PLANTED cross-cut near-duplicates: an incoming doc is rejected iff some
+    lake doc reaches k-gram Jaccard >= threshold; exact copies, shingle-set
+    near-copies, and clean docs all land on the right side."""
+    import os
+
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.dedup import dedup_incremental_fuzzy, jaccard
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    n = 50  # cut at 40: lake = 0..39, incoming = 40..49
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+    # incoming: 3 exact copies of lake docs, 2 near-copies (small tail
+    # edit), 5 fresh random docs
+    texts.append(texts[3])
+    texts.append(texts[17])
+    texts.append(texts[29])
+    texts.append(texts[5] + " w0")
+    texts.append(texts[11] + " zz")
+    for i in range(5):
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+
+    th = 0.8
+    got = dedup_incremental_fuzzy(sf, threshold=th)
+    want = [
+        i for i in range(40, n)
+        if not any(jaccard(texts[j], texts[i]) >= th for j in range(40))
+    ]
+    assert got["doc_id"].tolist() == want
+    # the planted exact copies were rejected, at least one fresh doc admitted
+    assert 40 not in got["doc_id"].values and 41 not in got["doc_id"].values
+    assert len(got) >= 1
