@@ -85,6 +85,13 @@ class TailerMetrics:
             while len(self._window) > 2 and self._window[0][0] < cutoff:
                 self._window.pop(0)
 
+    def record_resumed_epoch(self, epoch: int) -> None:
+        """A resumed tailer SKIPS already-committed epochs without
+        re-applying; the frontier gauge must still reflect them or a
+        healthy resumed tailer reports committed_frontier=-1 forever."""
+        with self._lock:
+            self.committed_frontier = max(self.committed_frontier, int(epoch))
+
     # -------------------------------------------------------------- reads
     def snapshot(self) -> dict[str, Any]:
         with self._lock:

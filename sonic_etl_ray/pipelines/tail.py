@@ -166,6 +166,7 @@ class Tailer:
                 break
             if cl.epoch_manifest_exists(self.lake_dir, epoch):
                 skipped += 1
+                self._metrics.record_resumed_epoch(epoch)
                 continue
             efiles = files[epoch * self.segments_per_epoch : (epoch + 1) * self.segments_per_epoch]
             ds = ray.data.read_parquet(efiles, **self.read_kwargs)

@@ -143,6 +143,12 @@ def test_tailer_metrics_counters_advance_and_http_surface(tmp_path):
     assert m2["epochs_skipped_total"] == m1["epochs_skipped_total"] + 2
     assert m2["events_applied_total"] == 2000
 
+    # a RESUMED tailer (fresh process, everything already committed) must
+    # still report the real frontier — skips advance the gauge
+    t2 = Tailer(seg_dir, lake, num_partitions=4, segments_per_epoch=2)
+    t2.tick()
+    assert t2.metrics()["committed_frontier"] == 1
+
     body = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
     assert "sonic_etl_events_applied_total 2000" in body
     assert 'sonic_etl_partition_watermark_lag{part="0"}' in body
