@@ -1578,3 +1578,20 @@ def test_dedup_incremental_fuzzy_brute_force(tmp_path):
     # the planted exact copies were rejected, at least one fresh doc admitted
     assert 40 not in got["doc_id"].values and 41 not in got["doc_id"].values
     assert len(got) >= 1
+
+def test_extend_lsh_index_requires_meta(tmp_path):
+    """Pre-meta (legacy) indexes cannot be extended — the hyperplane family
+    is unrecoverable; a clear error tells the operator to rebuild."""
+    import os
+
+    import pytest as _pytest
+    import ray.data
+
+    from sonic_etl_ray.functions.similarity import extend_lsh_index
+
+    idx = str(tmp_path / "legacy_idx")
+    os.makedirs(idx)
+    open(os.path.join(idx, "_INDEX_READY"), "w").close()  # ready but no meta
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    with _pytest.raises(FileNotFoundError, match="rebuild"):
+        extend_lsh_index(idx, ray.data.from_arrow(emb.slice(0, 4)), tag="e1")
