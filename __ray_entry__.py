@@ -1901,9 +1901,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY source, sha256(text)
         )
         SELECT source,
-               SUM(n_dup) AS n_media,
+               CAST(SUM(n_dup) AS BIGINT) AS n_media,
                COUNT(*) AS n_unique_payloads,
-               SUM(bytes_all) AS total_bytes
+               CAST(SUM(bytes_all) AS BIGINT) AS total_bytes
         FROM h GROUP BY source ORDER BY source
     """
 

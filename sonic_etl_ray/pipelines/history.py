@@ -232,9 +232,15 @@ def state_at_lsn(lake_dir: str, lsn: int, num_buckets: int = 64) -> ray.data.Dat
     reconstructable. Same bucket-exchange + vectorized-kernel shape as
     :func:`scd2_view`; reads every archive column (payload included), so
     the result schema matches the live state minus the tombstone/envelope
-    internals, with ``applied_lsn`` = the winning version's LSN."""
+    internals, with ``applied_lsn`` = the winning version's LSN.
+
+    Arrow-native end to end: the old pandas kernels silently upcast int
+    columns (delete rows carry null ``size_bytes`` → float64 on the
+    Arrow→pandas hop), which broke the driver's dtype-sensitive hash in
+    round 4. Arrow filters/takes preserve dtypes exactly, so winners come
+    out int64 with no nulls and realize as int64 in pandas."""
     import numpy as np
-    import pandas as pd
+    import pyarrow.compute as pc
 
     from ..functions.text import md5_u64
 
@@ -246,30 +252,57 @@ def state_at_lsn(lake_dir: str, lsn: int, num_buckets: int = 64) -> ray.data.Dat
         return ray.data.from_arrow(empty)
     ds = ray.data.read_parquet(files, partitioning=None)
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["lsn"] <= lsn].copy()  # prune before the exchange
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["lsn"], lsn))  # prune before the exchange
         # ALWAYS assign __bucket — a fully-pruned batch must keep the same
         # schema as its siblings or the groupby key goes missing
-        key = (b["repo"].astype(str) + "\x00" + b["path"].astype(str)).tolist()
-        b["__bucket"] = md5_u64(key).view(np.int64) % num_buckets
-        return b
+        key = [
+            f"{r}\x00{p}"
+            for r, p in zip(t["repo"].to_pylist(), t["path"].to_pylist())
+        ]
+        bucket = (
+            md5_u64(key).view(np.int64) % num_buckets
+            if key
+            else np.array([], np.int64)
+        )
+        return t.append_column("__bucket", pa.array(bucket, pa.int64()))
 
-    def last_version(g: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            g.sort_values(["repo", "path", "lsn"], kind="stable")
-            .drop_duplicates(["repo", "path", "lsn"], keep="first")
-            .reset_index(drop=True)
+    def last_version(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("repo", "ascending"),
+                    ("path", "ascending"),
+                    ("lsn", "ascending"),
+                ],
+            )
         )
-        is_last = ~(
-            (g["repo"].shift(-1) == g["repo"]) & (g["path"].shift(-1) == g["path"])
+        repo = g["repo"].to_numpy(zero_copy_only=False)
+        path = g["path"].to_numpy(zero_copy_only=False)
+        lsn_np = g["lsn"].to_numpy(zero_copy_only=False)
+        same_next = (repo[:-1] == repo[1:]) & (path[:-1] == path[1:])
+        # cross-epoch duplicate delivery tolerance: one row per (repo, path, lsn)
+        dup = np.concatenate(([False], same_next & (lsn_np[:-1] == lsn_np[1:])))
+        if dup.any():
+            keep = np.flatnonzero(~dup)
+            g = g.take(pa.array(keep))
+            repo, path = repo[keep], path[keep]
+            same_next = (repo[:-1] == repo[1:]) & (path[:-1] == path[1:])
+        is_last = (
+            np.concatenate((~same_next, [True])) if len(repo) else np.array([], bool)
         )
-        out = g[is_last & (g["op"] != "delete")].drop(columns=["op", "__bucket"])
-        return out.rename(columns={"lsn": "applied_lsn"})
+        op = g["op"].to_numpy(zero_copy_only=False)
+        g = g.filter(pa.array(is_last & (op != "delete")))
+        g = g.drop_columns(["op", "__bucket"])
+        return g.rename_columns(
+            ["applied_lsn" if c == "lsn" else c for c in g.column_names]
+        )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(last_version, batch_format="pandas")
+        .map_groups(last_version, batch_format="pyarrow")
     )
 
 

@@ -282,6 +282,9 @@ def supplier_balance_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    # Ray's sort-based groupby promotes the int32 parquet key to int64;
+    # restore the source dtype so the realized frame matches the oracle's.
+    out["s_nationkey"] = out["s_nationkey"].astype("int32")
     return out.sort_values("s_nationkey").reset_index(drop=True)
 
 

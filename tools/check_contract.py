@@ -32,6 +32,25 @@ def to_pandas(obj) -> pd.DataFrame:
     return obj
 
 
+def dtype_class(dt) -> str:
+    """Realized-dtype equivalence class. The driver's hash is dtype-sensitive
+    (r04 caught int64-vs-float64 skews the old int→float canon masked), so the
+    replica must compare realized pandas dtypes engine-vs-oracle and fail on
+    mismatch. Only documented-equivalent realizations share a class:
+    int64/Int64 (nullable realization of the same logical type), the datetime
+    units, and object-vs-string_view (duckdb .df() may use either)."""
+    s = str(dt)
+    if s in ("int64", "Int64"):
+        return "i64"
+    if s in ("int32", "Int32"):
+        return "i32"
+    if "datetime" in s:
+        return "datetime"
+    if s in ("object", "string", "large_string[pyarrow]", "string[pyarrow]"):
+        return "object"
+    return s
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -53,6 +72,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
         return f"SCHEMA got={sorted(got.columns)} want={sorted(want.columns)}"
     if len(got) != len(want):
         return f"ROWS got={len(got)} want={len(want)}"
+    bad_dtypes = [
+        (c, str(got[c].dtype), str(want[c].dtype))
+        for c in sorted(got.columns)
+        if dtype_class(got[c].dtype) != dtype_class(want[c].dtype)
+    ]
+    if bad_dtypes:
+        c, g_dt, w_dt = bad_dtypes[0]
+        return f"DTYPE col={c} got={g_dt} want={w_dt} (+{len(bad_dtypes) - 1} more)"
     g, w = canon(got), canon(want)
     for c in g.columns:
         a, b = g[c], w[c]
