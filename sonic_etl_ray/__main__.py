@@ -624,13 +624,25 @@ def main(argv: list[str] | None = None) -> int:
                 # parquet files first: write_parquet APPENDS uuid-named
                 # files, so a rerun would otherwise accumulate stale+new
                 # rows (the single-file path overwrites; the directory path
-                # must honor the same contract). Only *.parquet directly in
-                # the dir is cleared — never the whole tree, which could be
-                # a user directory holding unrelated data.
+                # must honor the same contract). Ownership gate: only clear
+                # a directory this tool marked on a previous run — parquet
+                # files in an unmarked directory are someone else's data and
+                # the run refuses rather than delete them.
                 import glob as _glob
 
-                for f in _glob.glob(_os.path.join(args.out, "*.parquet")):
+                marker = _os.path.join(args.out, "_PIT_JOIN_OUT")
+                prior = _glob.glob(_os.path.join(args.out, "*.parquet"))
+                if prior and not _os.path.exists(marker):
+                    raise SystemExit(
+                        f"pit-join: --out {args.out} already holds parquet "
+                        "files this tool did not write (no _PIT_JOIN_OUT "
+                        "marker) — refusing to delete them; use a fresh "
+                        "directory"
+                    )
+                for f in prior:
                     _os.remove(f)
+                _os.makedirs(args.out, exist_ok=True)
+                open(marker, "w").close()
                 res.write_parquet(args.out)
                 n = sum(
                     _pq.read_metadata(f).num_rows

@@ -838,7 +838,13 @@ def dedup_incremental_fuzzy(
     With the default high-recall band settings the banded candidate set
     achieves full recall on this corpus, so the output equals the exact
     brute-force NOT EXISTS the SQL oracle computes (same verified-equality
-    stance as ``minhash_lsh_dedup``). Reference analog: the daily MERGE
+    stance as ``minhash_lsh_dedup``). That equality is EMPIRICAL, not
+    structural: LSH recall at jaccard exactly ``threshold`` is
+    1-(1-s^r)^b (~0.9998 at the defaults, r=``num_perm//bands``), so a
+    borderline pair missed by every band would admit a doc the brute force
+    rejects — the operator is approximate in general; raise ``bands`` /
+    ``num_perm`` (both knobs above) for provable-in-practice recall on
+    corpora with mass near the threshold. Reference analog: the daily MERGE
     dedup (`daily_qc_airflow/daily_dedupe_mainnet.py:28-81`) is
     exact-identity only; this is the content-similarity admission gate a
     training-data pipeline adds in front of the lake."""

@@ -298,17 +298,26 @@ def _publish_index_dir(tmp_dir: str, index_dir: str) -> None:
         shutil.rmtree(tmp_dir, ignore_errors=True)  # rival already published
 
 
-def build_ivf_index(sf_dir: str, index_dir: str, n_clusters: int = 8) -> str:
+def build_ivf_index(
+    sf_dir: str,
+    index_dir: str,
+    n_clusters: int = 8,
+    source: "ray.data.Dataset | None" = None,
+) -> str:
     """Cluster-partitioned Parquet layout for IVF: one assignment pass,
     ``cluster=N/`` directories — same read-pruning story as the LSH index,
     with the coarse quantizer as the partitioner. The centroids ride along
     as ``centroids.npy`` so query time needs no re-fit. Built in a staging
-    dir and atomically renamed into place (see :func:`_publish_index_dir`)."""
+    dir and atomically renamed into place (see :func:`_publish_index_dir`).
+    ``source`` overrides the vectors indexed (a (vec_id, embedding)
+    Dataset — e.g. the already-ingested base when the rest arrives later
+    through :func:`extend_ivf_index`); the quantizer is always fit from the
+    sf_dir sample so base and extension share one frozen centroid family."""
     import os
     import uuid
 
     cents = fit_centroids(sf_dir, k=n_clusters)
-    ds = ray.data.read_parquet(
+    ds = source if source is not None else ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     assigned = ds.map_batches(IVFIndexer(cents), batch_format="pandas")
@@ -352,11 +361,19 @@ def _extend_partitioned_index(
     remains the strictly-atomic path."""
     import glob as _glob
     import json
+    import re
     import shutil
     import uuid
 
     from ..state.commitlog import _atomic_write
 
+    if not re.fullmatch(r"[A-Za-z0-9_.]+", str(tag)):
+        # '-' is the filename separator: a tag like '3' would otherwise
+        # glob-clean tag '3-b's committed files on retry; path chars worse
+        raise ValueError(
+            f"extension tag {tag!r} must match [A-Za-z0-9_.]+ (no '-', no "
+            "path separators) — it is embedded in cleanup globs and filenames"
+        )
     marker = os.path.join(index_dir, f"_ext_{tag}.done")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -452,25 +469,14 @@ def extend_ivf_index(index_dir: str, ds: ray.data.Dataset, tag: str) -> dict:
     )
 
 
-def ivf_topk_indexed(
-    sf_dir: str, k: int = 10, query_vec_id: int = 0, n_clusters: int = 8, n_probe: int = 2
-) -> pd.DataFrame:
-    """`ivf_topk` over the cluster-partitioned index: read ONLY the
-    ``n_probe`` nearest clusters' directories. Identical results to the
-    filter path (same quantizer, same rerank)."""
-    import os
-    import tempfile
-
-    index_dir = _index_cache_dir("ivf", sf_dir, n_clusters)
-    if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
-        build_ivf_index(sf_dir, index_dir, n_clusters=n_clusters)
-
-    cents = np.load(os.path.join(index_dir, "centroids.npy"))
-    q = _query_vector(sf_dir, query_vec_id)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+def _probe_ivf_index(index_dir: str, q: np.ndarray, k: int, n_probe: int) -> pd.DataFrame:
+    """Shared IVF probe: pick the ``n_probe`` nearest centroid directories
+    from the index's persisted quantizer, read ONLY those files, rerank."""
     import glob
 
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
     # read_parquet accepts a single directory but a LIST must be files:
     # expand each probed cluster dir to its parquet files
     paths = [
@@ -488,6 +494,67 @@ def ivf_topk_indexed(
     )
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
+
+
+def ivf_topk_indexed(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, n_clusters: int = 8, n_probe: int = 2
+) -> pd.DataFrame:
+    """`ivf_topk` over the cluster-partitioned index: read ONLY the
+    ``n_probe`` nearest clusters' directories. Identical results to the
+    filter path (same quantizer, same rerank)."""
+    index_dir = _index_cache_dir("ivf", sf_dir, n_clusters)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        build_ivf_index(sf_dir, index_dir, n_clusters=n_clusters)
+    return _probe_ivf_index(index_dir, _query_vector(sf_dir, query_vec_id), k, n_probe)
+
+
+def _embedding_split(
+    sf_dir: str, holdout_mod: int
+) -> "tuple[ray.data.Dataset, ray.data.Dataset]":
+    """(base, holdout) split of the embeddings table on ``vec_id % mod``:
+    the deterministic stand-in for 'the lake before this epoch' vs 'this
+    epoch's arrivals' that the extend-index queries replay."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def part(hold: bool):
+        def f(t: pa.Table) -> pa.Table:
+            vid = t.column("vec_id").to_numpy()
+            mask = (vid % holdout_mod == 0) if hold else (vid % holdout_mod != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    return (
+        ds.map_batches(part(False), batch_format="pyarrow"),
+        ds.map_batches(part(True), batch_format="pyarrow"),
+    )
+
+
+def ivf_topk_indexed_extended(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_clusters: int = 8,
+    n_probe: int = 8,
+    holdout_mod: int = 5,
+) -> pd.DataFrame:
+    """The CDC index-maintenance path end to end: build the IVF index from
+    the base 80% of vectors (``vec_id % holdout_mod != 0``), append the
+    held-out 20% through :func:`extend_ivf_index` (frozen quantizer,
+    epoch-tagged idempotent file moves), then probe. At full probe the
+    result must equal the brute-force top-k over ALL vectors — an extension
+    that lost, duplicated, or mis-assigned a vector breaks the equality, so
+    the brute-force SQL oracle verifies the maintenance path itself."""
+    index_dir = _index_cache_dir("ivfx", sf_dir, n_clusters, holdout_mod)
+    base, holdout = _embedding_split(sf_dir, holdout_mod)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        build_ivf_index(sf_dir, index_dir, n_clusters=n_clusters, source=base)
+    # idempotent: the _ext marker short-circuits when already applied, and
+    # also heals a crash that published the base but never extended
+    extend_ivf_index(index_dir, holdout, tag=f"h{holdout_mod}")
+    return _probe_ivf_index(index_dir, _query_vector(sf_dir, query_vec_id), k, n_probe)
 
 
 def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
@@ -528,7 +595,11 @@ def cosine_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 # ------------------------------------------------------ bucketed LSH index
 
 def build_lsh_index(
-    sf_dir: str, index_dir: str, n_planes: int = 8, seed: int = 13
+    sf_dir: str,
+    index_dir: str,
+    n_planes: int = 8,
+    seed: int = 13,
+    source: "ray.data.Dataset | None" = None,
 ) -> str:
     """Materialize the LSH layout as a bucket-partitioned Parquet index:
     one pass assigns hyperplane buckets, ``write_parquet(partition_cols=
@@ -541,7 +612,7 @@ def build_lsh_index(
     import uuid
 
     q0 = _query_vector(sf_dir, 0)
-    ds = ray.data.read_parquet(
+    ds = source if source is not None else ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     bucketed = ds.map_batches(
@@ -590,17 +661,20 @@ def lsh_topk_indexed(
     the index maintained incrementally by the CDC path
     (:func:`extend_lsh_index`: each epoch's new vectors land as tagged
     files in their bucket directories, idempotent per epoch tag)."""
-    import os
-    import tempfile
-
     q = _query_vector(sf_dir, query_vec_id)
-    hasher = HyperplaneHasher(q.size, n_planes, seed)
-    target = int(hasher.bucket(np.atleast_2d(q))[0])
-
     index_dir = _index_cache_dir("lsh", sf_dir, n_planes, seed)
     if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
         build_lsh_index(sf_dir, index_dir, n_planes=n_planes, seed=seed)
+    return _probe_lsh_index(index_dir, q, k, n_planes, seed)
 
+
+def _probe_lsh_index(
+    index_dir: str, q: np.ndarray, k: int, n_planes: int, seed: int
+) -> pd.DataFrame:
+    """Shared LSH probe: hash the query with the index's hyperplane family,
+    read ONLY ``bucket=<target>/``, rerank by exact cosine."""
+    hasher = HyperplaneHasher(q.size, n_planes, seed)
+    target = int(hasher.bucket(np.atleast_2d(q))[0])
     bucket_path = os.path.join(index_dir, f"bucket={target}")
     if not os.path.exists(bucket_path):  # empty probe bucket
         return pd.DataFrame(
@@ -611,6 +685,30 @@ def lsh_topk_indexed(
     scored = candidates.map_batches(CosineScorer(qref), batch_format="pandas")
     top = scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
+
+
+def lsh_topk_indexed_extended(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_planes: int = 8,
+    seed: int = 13,
+    holdout_mod: int = 5,
+) -> pd.DataFrame:
+    """LSH twin of :func:`ivf_topk_indexed_extended`: index the base 80%
+    with :func:`build_lsh_index`, append the held-out 20% through
+    :func:`extend_lsh_index` (the persisted hyperplane family from
+    ``_INDEX_META.json``, epoch-tagged idempotent moves), then single-probe.
+    The probe must reproduce :func:`lsh_topk` over the FULL table — same
+    bucket assignment for every vector whether it arrived at build time or
+    through the extension — so the existing LSH oracle verifies the
+    incremental maintenance path exactly."""
+    index_dir = _index_cache_dir("lshx", sf_dir, n_planes, seed, holdout_mod)
+    base, holdout = _embedding_split(sf_dir, holdout_mod)
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_READY")):
+        build_lsh_index(sf_dir, index_dir, n_planes=n_planes, seed=seed, source=base)
+    extend_lsh_index(index_dir, holdout, tag=f"h{holdout_mod}")
+    return _probe_lsh_index(index_dir, _query_vector(sf_dir, query_vec_id), k, n_planes, seed)
 
 
 # ---------------------------------------------------------------------------

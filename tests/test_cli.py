@@ -225,6 +225,23 @@ def test_cli_pit_join_streamed_dir(tmp_path):
     assert t.num_rows == 3
     assert set(t.column_names) >= {"repo", "path", "at_lsn", "asof_lsn", "asof_op"}
 
+    # ownership gate: a directory holding parquet this tool did NOT write
+    # (no _PIT_JOIN_OUT marker) must be refused, and its files left intact
+    foreign_dir = str(tmp_path / "foreign_out")
+    os.makedirs(foreign_dir)
+    foreign = os.path.join(foreign_dir, "precious.parquet")
+    pq.write_table(probe, foreign)
+    out = subprocess.run(
+        [sys.executable, "-m", "sonic_etl_ray", "--num-cpus", "2", "pit-join",
+         "--lake", lake, "--probe", str(tmp_path / "probe.parquet"),
+         "--out", foreign_dir],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=240,
+    )
+    assert out.returncode != 0 and "refusing" in (out.stderr + out.stdout)
+    assert os.path.exists(foreign)
+    assert pq.read_table(foreign).num_rows == 3  # untouched
+
 def test_cli_extend_index(tmp_path):
     """`extend-index` appends an epoch-tagged vector batch to a built LSH
     index; the probe bucket contents grow accordingly and a repeat with the

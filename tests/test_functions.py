@@ -1579,6 +1579,51 @@ def test_dedup_incremental_fuzzy_brute_force(tmp_path):
     assert 40 not in got["doc_id"].values and 41 not in got["doc_id"].values
     assert len(got) >= 1
 
+def test_indexed_extended_topk_matches_full():
+    """The extended-index query paths: base 80% built + holdout 20% appended
+    through extend_*_index must probe IDENTICALLY to the full-table paths
+    (same bucket/cluster assignment whether a vector arrived at build time
+    or through the extension)."""
+    from sonic_etl_ray.functions.similarity import (
+        brute_force_topk,
+        ivf_topk_indexed_extended,
+        lsh_topk,
+        lsh_topk_indexed_extended,
+    )
+
+    got_lsh = lsh_topk_indexed_extended(SF, k=10)
+    want_lsh = lsh_topk(SF, k=10)
+    pd.testing.assert_frame_equal(
+        got_lsh.reset_index(drop=True), want_lsh.reset_index(drop=True)
+    )
+
+    got_ivf = ivf_topk_indexed_extended(SF, k=10, n_clusters=4, n_probe=4)
+    want_ivf = brute_force_topk(SF, k=10)
+    pd.testing.assert_frame_equal(
+        got_ivf.reset_index(drop=True), want_ivf.reset_index(drop=True)
+    )
+
+def test_extend_index_tag_validation(tmp_path):
+    """Tags are embedded in cleanup globs and filenames: a '-' (or path
+    chars) would let one tag's torn-retry glob delete another tag's
+    committed files — rejected up front."""
+    import os
+
+    import pytest as _pytest
+    import ray.data
+
+    from sonic_etl_ray.functions.similarity import build_lsh_index, extend_lsh_index
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pq.write_table(emb, f"{sf}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_lsh_index(sf, idx, n_planes=4, seed=13)
+    for bad in ("3-b", "a/b", "", "x y"):
+        with _pytest.raises(ValueError, match="tag"):
+            extend_lsh_index(idx, ray.data.from_arrow(emb.slice(0, 2)), tag=bad)
+
 def test_extend_lsh_index_requires_meta(tmp_path):
     """Pre-meta (legacy) indexes cannot be extended — the hyperplane family
     is unrecoverable; a clear error tells the operator to rebuild."""
