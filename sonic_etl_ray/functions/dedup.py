@@ -192,11 +192,11 @@ def minhash_candidate_pairs(
     vectorized, unlike a per-bucket ``map_groups`` whose per-group Python
     call dominated at ~80k tiny buckets) → ordered filter doc_a < doc_b.
 
-    Pairs sharing SEVERAL bands appear once per shared band (measured ~6%
-    multiplicity at high-recall settings): a distinct here would cost a
-    whole extra shuffle operator on the biggest intermediate, while the
-    verified output is tiny by construction — so dedup happens after
-    verification (`minhash_lsh_dedup`), not before."""
+    Pairs sharing SEVERAL bands appear once per shared band (~6%
+    multiplicity at high-recall settings, up to ``bands``× on dup-heavy
+    corpora): consumers that join texts back should run the output through
+    :func:`_distinct_pairs` first (as `minhash_verified_pairs` does) so the
+    heavy text joins never pay the multiplicity."""
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHasher(num_perm=num_perm, k=k),
@@ -223,6 +223,26 @@ def minhash_candidate_pairs(
         on=("band_id", "band_hash"),
     )
     return joined.map_batches(ordered, batch_format="pyarrow")
+
+
+def _distinct_pair_rows(t: pa.Table) -> pa.Table:
+    """Distinct (doc_a, doc_b) rows of one Arrow batch/group."""
+    return t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"]).aggregate([])
+
+
+def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
+    """Global distinct over candidate id pairs: local per-batch distinct
+    shrinks the exchange, then one doc_a-partitioned distinct finishes.
+    Pairs colliding in SEVERAL bands emerge once per band from the band
+    join — on dup-heavy data that multiplies the (much heavier) text joins
+    and jaccard verify by up to ``bands``× (measured 306 s → 46 s on an
+    all-near-dup sf1 stress corpus); the id-pair shuffle this costs is
+    16 bytes/row against the text intermediate it shrinks."""
+    return (
+        cand.map_batches(_distinct_pair_rows, batch_format="pyarrow")
+        .groupby("doc_a")
+        .map_groups(_distinct_pair_rows, batch_format="pyarrow")
+    )
 
 
 def _auto_join_partitions() -> int:
@@ -259,7 +279,9 @@ def minhash_verified_pairs(
     # tiny id-pair rows) so the self-join/aggregate graph releases its hash
     # aggregators before the two text joins spin up theirs — three
     # concurrent join operators can oversubscribe a small cluster's slots.
-    cand = minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k).materialize()
+    cand = _distinct_pairs(
+        minhash_candidate_pairs(docs, num_perm=num_perm, bands=bands, k=k)
+    ).materialize()
     texts_a = docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
     texts_b = docs.rename_columns({"doc_id": "__tb_id", "text": "text_b"})
     joined = safe_join(
@@ -570,6 +592,25 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _admitted_frame(out: pd.DataFrame) -> pd.DataFrame:
+    """Shared return boundary for the incremental-dedup admission gates:
+    sort by doc_id with n_chars pinned to int64. An ALL-duplicate ingest
+    batch (routine in CDC replays) leaves every Ray block empty and
+    ``to_pandas`` drops the schema — pin the typed empty frame back
+    (found by the sf1-scale stress run)."""
+    if out.empty and "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype="object"),
+                "source": pd.Series(dtype="object"),
+                "n_chars": pd.Series(dtype="int64"),
+            }
+        )
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def dedup_incremental(
     sf_dir: str,
     split_frac: float = 0.8,
@@ -805,8 +846,7 @@ def dedup_incremental(
     out = incoming.map_batches(
         drop_dups, fn_kwargs={"ref": dup_ref}, batch_format="pyarrow"
     ).to_pandas()
-    out["n_chars"] = out["n_chars"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _admitted_frame(out)
 
 
 def dedup_incremental_fuzzy(
@@ -872,15 +912,18 @@ def dedup_incremental_fuzzy(
             batch_format="pandas",
         )
 
-    # cross-side band join only (no self-pairs): incoming left, lake right
-    cand = safe_join(
-        bands_of(inc_docs).rename_columns({"doc_id": "doc_b"}),
-        bands_of(lake_docs).rename_columns({"doc_id": "doc_a"}),
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("band_id", "band_hash"),
-    ).map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    # cross-side band join only (no self-pairs): incoming left, lake right.
+    # A pair colliding in many bands emerges once per band — dedup BEFORE
+    # the text joins (see :func:`_distinct_pairs`) or the verify stage pays
+    # up to ``bands``× the text shuffle and jaccard cost.
+    cand = _distinct_pairs(
+        safe_join(
+            bands_of(inc_docs).rename_columns({"doc_id": "doc_b"}),
+            bands_of(lake_docs).rename_columns({"doc_id": "doc_a"}),
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("band_id", "band_hash"),
+        )
     ).materialize()  # bounded (the candidate set); releases the band join's actors
 
     texts_a = lake_docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
@@ -913,8 +956,7 @@ def dedup_incremental_fuzzy(
         .map_batches(admit, fn_kwargs={"ref": rej_ref}, batch_format="pyarrow")
         .to_pandas()
     )
-    out["n_chars"] = out["n_chars"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _admitted_frame(out)
 
 
 # ------------------------------------------------------------ exact dup spans

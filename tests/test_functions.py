@@ -383,6 +383,45 @@ def test_dedup_incremental_bloom_anti_join():
     assert 0 < len(out) <= n_incoming
 
 
+def test_dedup_incremental_all_dup_batch(tmp_path):
+    """An ALL-duplicate incoming batch (routine in CDC replays) must return
+    a typed EMPTY frame, not crash: Ray's to_pandas drops the schema when
+    every block is empty (found by the sf1-scale stress run)."""
+    import os
+
+    import pyarrow as pa
+
+    from sonic_etl_ray.functions.dedup import dedup_incremental
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # incoming (last 20%) shares every 40-char prefix with the lake:
+    # j-major order puts one full set of prefixes in each fifth of doc_ids
+    texts = [f"prefix-{i:030d} tail {j}" for j in range(5) for i in range(8)]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    from sonic_etl_ray.functions.dedup import dedup_incremental_fuzzy
+
+    outs = [dedup_incremental(sf, num_bloom_shards=s) for s in (None, 4)]
+    # fuzzy gate: same-prefix docs differ only in the final char → jaccard
+    # ≈1 ≥ threshold → the whole batch is rejected there too
+    outs.append(dedup_incremental_fuzzy(sf, threshold=0.8))
+    for out in outs:
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "lang", "source", "n_chars"]
+        assert str(out["doc_id"].dtype) == "int64"
+        assert str(out["n_chars"].dtype) == "int64"
+
+
 def test_dedup_incremental_sharded_bloom_same_rows():
     """The hash-sharded Bloom path (one fixed-size filter per key shard,
     probe co-located with its shard) must return exactly the single-bitmap
