@@ -577,6 +577,15 @@ def ngram_jaccard_pairs(
         return _exact_pairs(ids, shingles, cand)
 
     out = ds.groupby(block_col).map_groups(per_block, batch_format="pandas").to_pandas()
+    if out.empty and "doc_a" not in out.columns:
+        # zero pairs in EVERY block: empty Ray blocks drop the schema
+        out = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -346,7 +346,13 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
         num_partitions=8,
         segments_per_epoch=1,
     )
-    return lake_final_table(lake).select(FINAL_COLUMNS + ["size_hint"])
+    final = lake_final_table(lake)
+    if "size_hint" not in final.column_names:
+        # degenerate stream: every lsn < EVOLVE_AT, so the evolved segment
+        # had zero rows and the sink never saw the column — the oracle's
+        # CASE is all-null there too, so an all-null column is exact
+        final = final.append_column("size_hint", pa.nulls(final.num_rows, pa.int64()))
+    return final.select(FINAL_COLUMNS + ["size_hint"])
 
 
 class BlocklistFilter:
@@ -423,6 +429,10 @@ def cdc_nested_evolution(sf_dir: str) -> pd.DataFrame:
         segments_per_epoch=1,
     )
     final = lake_final_table(lake)
+    if "attrs" not in final.column_names:
+        # degenerate stream: no event reached EVOLVE_AT — the evolved
+        # nested column never entered the sink; all-null matches the oracle
+        final = final.append_column("attrs", pa.nulls(final.num_rows, attrs_type))
     assert final.schema.field("attrs").type.equals(attrs_type), final.schema
     df = pd.DataFrame(
         {

@@ -116,10 +116,22 @@ def _sharded_token_blocks(
     refs = counts.to_arrow_refs()  # ordered blocks of 3-int rows
 
     def block_sums(t: pa.Table) -> dict[str, int]:
+        if "lang" not in t.column_names:  # schema-less empty sort block
+            return {}
         df = t.to_pandas()
         return df.groupby("lang", sort=False)["n_tokens"].sum().to_dict()
 
     def assign(t: pa.Table, offsets: dict[str, int]) -> pa.Table:
+        if "lang" not in t.column_names:  # schema-less empty sort block
+            cols = {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "shard_id": pa.array([], pa.int64()),
+            }
+            if num_buckets is not None:
+                cols["__bucket"] = pa.array([], pa.int64())
+            return pa.table(cols)
         df = t.to_pandas()  # already (lang, doc_id)-sorted within the block
         before = df.groupby("lang", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
         before = before + df["lang"].map(offsets).fillna(0).astype("int64")

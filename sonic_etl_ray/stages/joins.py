@@ -210,6 +210,22 @@ def safe_join(
             )
 
     l_ds, _ = _scrub(left)
+    if l_ds.schema(fetch_if_missing=True) is None:
+        # degenerate LEFT (e.g. a candidate-pair set that came up empty):
+        # the hash join would crash in the aggregators exactly like the
+        # right-side case ('No match ... FieldRef.Name(...) on left side').
+        # For inner/left_outer the correct result is empty; left column
+        # NAMES are unknowable, so the empty stays schema-less.
+        log.warning(
+            "safe_join: left side is entirely schema-less empty blocks; "
+            "synthesizing the empty %s-join result", join_type,
+        )
+        if join_type in ("inner", "left_outer"):
+            return l_ds.limit(0)
+        raise ValueError(
+            f"cannot synthesize a {join_type!r} join from a schema-less "
+            "empty left side; materialize a typed empty table instead"
+        )
     return l_ds.join(
         r_ds,
         join_type=join_type,
