@@ -98,6 +98,11 @@ def stratified_sample_docs(sf_dir: str, pct: int = 20) -> pd.DataFrame:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     out = stratified_sample(ds, pct=pct).to_pandas()
+    if out.empty and "doc_id" not in out.columns:
+        # every stratum sampled to zero: empty Ray blocks drop the schema
+        out = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "lang": pd.Series(dtype="object")}
+        )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -244,4 +249,9 @@ def mixture_by_token_budget(
         )
 
     out = ds.map_batches(gate, batch_format="pandas").to_pandas()
+    if out.empty and "doc_id" not in out.columns:
+        # every source gated to zero: empty Ray blocks drop the schema
+        out = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "source": pd.Series(dtype="object")}
+        )
     return out.sort_values("doc_id").reset_index(drop=True)

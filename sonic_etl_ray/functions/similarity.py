@@ -338,6 +338,9 @@ def build_ivf_index(
     assigned.map_batches(plain, batch_format="pandas").write_parquet(
         tmp_dir, partition_cols=["cluster"]
     )
+    # an EMPTY source writes no files and may not even create the staging
+    # dir — an empty index is legitimate (extensions populate it later)
+    os.makedirs(tmp_dir, exist_ok=True)
     np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
     open(os.path.join(tmp_dir, "_INDEX_READY"), "w").close()
     _publish_index_dir(tmp_dir, index_dir)
@@ -640,6 +643,9 @@ def build_lsh_index(
     )
     import json
 
+    # an EMPTY source writes no files and may not even create the staging
+    # dir — an empty index is legitimate (extensions populate it later)
+    os.makedirs(tmp_dir, exist_ok=True)
     with open(os.path.join(tmp_dir, "_INDEX_META.json"), "w") as fh:
         # extension params: incremental appends must hash with the SAME
         # hyperplane family the index was built with

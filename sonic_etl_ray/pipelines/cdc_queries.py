@@ -269,6 +269,15 @@ def cdc_indexed_value_scan(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    if out.empty and "repo" not in out.columns:
+        # zero index hits: empty Ray blocks drop the schema
+        out = pd.DataFrame(
+            {
+                "repo": pd.Series(dtype="object"),
+                "total_bytes": pd.Series(dtype="int64"),
+                "n_files": pd.Series(dtype="int64"),
+            }
+        )
     out["total_bytes"] = out["total_bytes"].astype("int64")
     out["n_files"] = out["n_files"].astype("int64")
     return out.sort_values("repo").reset_index(drop=True)
@@ -503,13 +512,17 @@ def cdc_split_decoded_tables(sf_dir: str) -> pd.DataFrame:
         _events_as_cdc(sf_dir), lake, epoch=0, num_partitions=8,
         decode_catalog=catalog,
     )
-    assert decoded_tables(lake) == ["clicks", "purchases"]
     parts = []
-    for t in decoded_tables(lake):
+    for t in decoded_tables(lake):  # degenerate streams may hit fewer tables
         df = read_decoded(lake, table=t).to_pandas()
         df.insert(0, "tbl", t)
         parts.append(df)
-    out = pd.concat(parts, ignore_index=True)
+    if not parts:
+        out = pd.DataFrame(
+            {"tbl": pd.Series(dtype="object"), "lsn": pd.Series(dtype="int64")}
+        )
+    else:
+        out = pd.concat(parts, ignore_index=True)
     return out.sort_values(["tbl", "lsn"]).reset_index(drop=True)
 
 
@@ -676,8 +689,13 @@ def cdc_point_lookup(sf_dir: str) -> pa.Table:
         .map_batches(key_rows, batch_format="pyarrow")
         .to_arrow_refs()
     )
+    key_tabs = [t for t in ray.get(key_refs) if t.num_rows]
+    if not key_tabs:  # degenerate stream: no user hits the % 97 sample
+        from ..schemas import STATE_SCHEMA
+
+        return STATE_SCHEMA.empty_table().select(FINAL_COLUMNS)
     keys_t = (
-        pa.concat_tables([t for t in ray.get(key_refs) if t.num_rows])
+        pa.concat_tables(key_tabs)
         .group_by(["repo", "path"])  # tiny: the lookup INPUT (~1% of users)
         .aggregate([])
     )
@@ -957,9 +975,14 @@ def cdc_error_channel(sf_dir: str) -> pd.DataFrame:
     ).map_batches(_inject_faults, batch_format="pyarrow")
     apply_epoch(faulty, lake, epoch=0, num_partitions=8, on_error="route")
     t = read_errors(lake)
-    out = pd.DataFrame(
-        {"lsn": t["lsn"].to_pandas().astype("int64"), "reason": t[ERROR_COLUMN].to_pandas()}
-    )
+    if "lsn" not in t.column_names:  # degenerate stream: nothing routed
+        out = pd.DataFrame(
+            {"lsn": pd.Series(dtype="int64"), "reason": pd.Series(dtype="object")}
+        )
+    else:
+        out = pd.DataFrame(
+            {"lsn": t["lsn"].to_pandas().astype("int64"), "reason": t[ERROR_COLUMN].to_pandas()}
+        )
     return out.sort_values("lsn").reset_index(drop=True)
 
 

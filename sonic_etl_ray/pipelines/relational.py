@@ -425,6 +425,16 @@ def asof_join_last_signup(sf_dir: str) -> pd.DataFrame:
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty and "event_id" not in out.columns:
+        # no purchase in any bucket: empty Ray blocks drop the schema
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="float64"),
+                "signup_event_id": pd.Series(dtype="Int64"),
+            }
+        )
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -692,6 +702,16 @@ def attribution_range_join(sf_dir: str, window_minutes: int = 30) -> pd.DataFram
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty and "event_id" not in out.columns:
+        # no anchor purchase anywhere: Ray drops even typed-empty schemas
+        out = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "n_touches": pd.Series(dtype="int64"),
+                "touch_cents": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values("event_id").reset_index(drop=True)
 
 

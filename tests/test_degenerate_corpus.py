@@ -49,6 +49,34 @@ def sfmin(tmp_path_factory):
     return dst
 
 
+FORMERLY_CRASHING_AT_ONE = [
+    # the n=1 shape (single doc/vector, 2 events) additionally empties the
+    # index base, the %97 key sample, every decoded table but one, the
+    # error channel, asof/range anchors, the mixture gate, and strata
+    "embedding_lsh_indexed_extended",
+    "embedding_ivf_indexed_extended",
+    "cdc_point_lookup",
+    "cdc_split_decoded_tables",
+    "cdc_error_channel",
+    "asof_join_last_signup",
+    "attribution_range_join",
+    "mixture_by_token_budget",
+    "stratified_sample",
+    "cdc_indexed_value_scan",
+]
+
+
+@pytest.fixture(scope="module")
+def sfone(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sfone"))
+    for t, n in [("documents", 1), ("embeddings", 1), ("events", 2)]:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(tbl.slice(0, n), f"{dst}/{t}.parquet")
+    for side in "region nation customer supplier part orders lineitem".split():
+        os.symlink(f"{SRC}/{side}.parquet", f"{dst}/{side}.parquet")
+    return dst
+
+
 @pytest.mark.parametrize("name", FORMERLY_CRASHING)
 def test_degenerate_corpus_query_survives(sfmin, name):
     import __ray_entry__ as entry
@@ -59,3 +87,12 @@ def test_degenerate_corpus_query_survives(sfmin, name):
     # zero-pair dedup queries must come back with their TYPED empty schema
     if name in ("minhash_lsh_dedup", "ngram_jaccard_pairs"):
         assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+
+
+@pytest.mark.parametrize("name", FORMERLY_CRASHING_AT_ONE)
+def test_single_row_corpus_query_survives(sfone, name):
+    import __ray_entry__ as entry
+
+    out = entry.queries()[name](sfone)
+    n = len(out) if hasattr(out, "__len__") else out.count()
+    assert n >= 0
