@@ -98,6 +98,24 @@ def _q_supplier_stats(sf_dir: str):
     return _r(out, ["min_bal", "max_bal", "avg_bal"])
 
 
+def _q_typed_audit(sf_dir: str):
+    from sonic_etl_ray.pipelines.typed_audit import typed_narrowing_audit
+
+    return typed_narrowing_audit(sf_dir)
+
+
+def _q_content_sha(sf_dir: str):
+    from sonic_etl_ray.pipelines.typed_audit import content_sha_hex
+
+    return content_sha_hex(sf_dir)
+
+
+def _q_chunk_plan(sf_dir: str):
+    from sonic_etl_ray.pipelines.typed_audit import range_chunk_plan
+
+    return range_chunk_plan(sf_dir)
+
+
 def _q_window(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import windowed_user_daily
 
@@ -860,10 +878,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # only two non-green rows ever (media_payload_stats, cdc_state_at_lsn)
     # were pure dtype skews fixed this round — they run FIRST so r05 proves
     # the fix. Next: the two NEW extend-index queries (the one r04 surface
-    # with pytest-only verification) and supplier_balance_stats (dtype pin
-    # this round). The rest of the window re-checks the 45 OLDEST greens
-    # (r01/r02-era CDC core + relational + text rows) — none re-run since
-    # the r04 exchange/stage rewrites.
+    # with pytest-only verification), supplier_balance_stats (dtype pin
+    # this round), and three NEW round-5 queries promoting pytest-only §2
+    # surfaces (typed narrowing M9/M10, fixed-bytes hex M7, range planner
+    # S1/O5) to driver rows. The rest of the window re-checks the OLDEST
+    # greens (r01/r02-era CDC core + relational + text rows) — none re-run
+    # since the r04 exchange/stage rewrites. The three r01 rows displaced
+    # past position 50 (split_assign, asof_join_last_signup,
+    # attribution_range_join) stay green-by-r01 record.
     return {
         # --- fixed this round (the only non-green driver rows ever)
         "media_payload_stats": _q_media_stats,  # oracle SUM cast to BIGINT
@@ -873,6 +895,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_ivf_indexed_extended": _q_embed_ivf_indexed_extended,
         # --- implementation changed round 5 (int32 key dtype pin)
         "supplier_balance_stats": _q_supplier_stats,
+        # --- NEW round 5: pytest-only §2 surfaces promoted to driver rows
+        # (M9/M10 typed narrowing, M7 fixed-bytes hex, S1/O5 range planner)
+        "typed_narrowing_audit": _q_typed_audit,
+        "content_sha_hex": _q_content_sha,
+        "range_chunk_plan": _q_chunk_plan,
         # --- oldest greens: CDC engine core (green r01/r02, unchecked since)
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
@@ -919,10 +946,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_gap_detect": _q_cdc_gaps,
         "cdc_export_snapshot": _q_cdc_export,
         "sessionize_events": _q_sessionize,
+        # ================= end of the 50-row driver window =================
+        # (r01 greens displaced by the three new round-5 queries above)
         "split_assign": _q_split,
         "asof_join_last_signup": _q_asof,
         "attribution_range_join": _q_range_join,
-        # ================= end of the 50-row driver window =================
         # --- r04-verified batch (green last round; order = age)
         "embedding_lsh_topk": _q_embed_lsh,
         "embedding_lsh_indexed": _q_embed_lsh_indexed,
@@ -1505,6 +1533,37 @@ def oracle_sql() -> dict[str, str]:
     sql["distinct_mktsegments"] = (
         "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
     )
+
+    # typed-discipline audit: same gate-proven cents rounding as q1, cap at
+    # 38 nines (a >38-digit non-negative decimal always exceeds 10^38-1),
+    # NUMERIC bound ⇔ ≤28 digits for non-negative values
+    sql["typed_narrowing_audit"] = """
+        WITH v AS (
+          SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   || repeat('0', CAST((o_orderkey % 14) * 3 AS INT)) AS s
+          FROM orders)
+        SELECT o_orderkey, cents,
+               CASE WHEN length(s) > 38 THEN repeat('9', 38) ELSE s END AS capped,
+               s AS lossless,
+               CAST(length(s) <= 28 AS BIGINT) AS numeric_ok
+        FROM v ORDER BY o_orderkey"""
+
+    sql["content_sha_hex"] = """
+        SELECT doc_id, '0x' || sha256(text) AS sha_hex
+        FROM documents ORDER BY doc_id"""
+
+    # inclusive fixed-size chunks over the observed LSN span (chunk = 250);
+    # the list-returning generate_series accepts column arguments
+    sql["range_chunk_plan"] = """
+        WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+             s AS (SELECT lo, hi, UNNEST(generate_series(lo, hi, 250)) AS start_lsn
+                   FROM b)
+        SELECT CAST((start_lsn - lo) // 250 AS BIGINT) AS task_id,
+               start_lsn,
+               LEAST(start_lsn + 249, hi) AS end_lsn
+        FROM s ORDER BY start_lsn"""
 
     sql["supplier_balance_stats"] = f"""
         SELECT s_nationkey,

@@ -35,8 +35,12 @@ class MalformedEventError(ValueError):
     """A change event failed validation; the batch (range analog) aborts."""
 
 
-def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Per-row sha256 hex of a string column; nulls (deletes) stay null.
+def sha256_column(content: pa.Array | pa.ChunkedArray, digest: bool = False) -> pa.Array:
+    """Per-row sha256 of a string column; nulls (deletes) stay null.
+
+    Returns lowercase hex by default; ``digest=True`` returns the raw
+    32-byte digests as ``binary`` (the fixed-bytes input shape of
+    :func:`sonic_etl_ray.stages.typed.format_fixed_bytes`).
 
     Zero-copy: hashes memoryview slices of the Arrow data buffer directly
     (Arrow strings are already utf-8) — no per-row Python str materialization
@@ -49,7 +53,7 @@ def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
 
     n = len(content)
     if n == 0:
-        return pa.array([], pa.string())
+        return pa.array([], pa.binary() if digest else pa.string())
     arr = content
     # offset width depends on the string type: string/binary carry int32
     # offsets, large_string/large_binary int64 (>2 GiB data buffers — wide
@@ -67,7 +71,12 @@ def sha256_column(content: pa.Array | pa.ChunkedArray) -> pa.Array:
     databuf = memoryview(bufs[2])
     valid = np.full(n, True) if arr.null_count == 0 else np.asarray(arr.is_valid())
     sha256 = hashlib.sha256
-    out: list[str | None] = [None] * n
+    out: list[str | bytes | None] = [None] * n
+    if digest:
+        for i in range(n):
+            if valid[i]:
+                out[i] = sha256(databuf[offsets[i] : offsets[i + 1]]).digest()
+        return pa.array(out, pa.binary())
     for i in range(n):
         if valid[i]:
             out[i] = sha256(databuf[offsets[i] : offsets[i + 1]]).hexdigest()

@@ -24,7 +24,7 @@ _EXPECTED_NO_ORACLE: set[str] = set()
 def test_query_and_oracle_keys_consistent():
     qs = entry.queries()
     sql = entry.oracle_sql()
-    assert len(qs) == 127
+    assert len(qs) == 130
     unknown = set(sql) - set(qs)
     assert not unknown, f"oracle entries without a query: {sorted(unknown)}"
     no_oracle = set(qs) - set(sql)
@@ -45,6 +45,11 @@ def test_round5_fixes_inside_driver_window():
         "embedding_ivf_indexed_extended",
         # implementation changed round 5 (int32 key pin)
         "supplier_balance_stats",
+        # never driver-verified surface (new round 5: pytest-only §2 ops
+        # promoted to driver rows — M9/M10, M7, S1/O5)
+        "typed_narrowing_audit",
+        "content_sha_hex",
+        "range_chunk_plan",
     }
     missing = must_be_checked - set(window)
     assert not missing, (

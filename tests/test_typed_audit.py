@@ -1,0 +1,71 @@
+"""Driver-checkable typed/planner query pipelines (``pipelines/typed_audit.py``).
+
+Each test cross-checks the Ray pipeline against the same DuckDB SQL the
+driver's oracle runs (``__ray_entry__.oracle_sql``), dtype-strict, at
+sf0.001 — a local replica of the correctness gate for the three new rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __ray_entry__ as entry  # noqa: E402
+from sonic_etl_ray.pipelines.typed_audit import (  # noqa: E402
+    content_sha_hex,
+    range_chunk_plan,
+    typed_narrowing_audit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("orders", "documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(entry.oracle_sql()[name]).df()
+
+
+def _assert_frame_equal_strict(eng: pd.DataFrame, ora: pd.DataFrame) -> None:
+    assert list(eng.columns) == list(ora.columns)
+    assert [str(d) for d in eng.dtypes] == [str(d) for d in ora.dtypes]
+    pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_typed_narrowing_audit_matches_oracle():
+    eng = typed_narrowing_audit(SF)
+    _assert_frame_equal_strict(eng, _oracle("typed_narrowing_audit"))
+    # the synthetic lengths really straddle both bounds on this corpus
+    assert (eng["capped"] != eng["lossless"]).sum() > 0
+    assert (eng["numeric_ok"] == 0).sum() > 0
+    assert (eng["numeric_ok"] == 1).sum() > 0
+    capped_rows = eng.loc[eng["capped"] != eng["lossless"], "capped"]
+    assert (capped_rows == "9" * 38).all()
+
+
+def test_content_sha_hex_matches_oracle_and_hashlib():
+    eng = content_sha_hex(SF)
+    _assert_frame_equal_strict(eng, _oracle("content_sha_hex"))
+    # spot-check the composition against hashlib directly
+    row = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 1"
+    ).fetchone()
+    want = "0x" + hashlib.sha256(row[1].encode()).hexdigest()
+    assert eng.loc[eng["doc_id"] == row[0], "sha_hex"].iloc[0] == want
+
+
+def test_range_chunk_plan_matches_oracle():
+    eng = range_chunk_plan(SF)
+    ora = _oracle("range_chunk_plan")
+    _assert_frame_equal_strict(eng, ora)
+    # inclusive, gap-free, fixed-size chunks
+    assert (eng["end_lsn"] >= eng["start_lsn"]).all()
+    assert (eng["start_lsn"].iloc[1:].values - eng["end_lsn"].iloc[:-1].values == 1).all()
