@@ -116,6 +116,24 @@ def _q_chunk_plan(sf_dir: str):
     return range_chunk_plan(sf_dir)
 
 
+def _q_bucketed_sink(sf_dir: str):
+    from sonic_etl_ray.pipelines.sink_roundtrip import bucketed_sink_roundtrip
+
+    return bucketed_sink_roundtrip(sf_dir)
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    from sonic_etl_ray.pipelines.sink_roundtrip import jsonl_roundtrip
+
+    return jsonl_roundtrip(sf_dir)
+
+
+def _q_csv_backfill(sf_dir: str):
+    from sonic_etl_ray.pipelines.sink_roundtrip import csv_backfill_ranges
+
+    return csv_backfill_ranges(sf_dir)
+
+
 def _q_window(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import windowed_user_daily
 
@@ -900,6 +918,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typed_narrowing_audit": _q_typed_audit,
         "content_sha_hex": _q_content_sha,
         "range_chunk_plan": _q_chunk_plan,
+        # --- NEW round 5: sink/reader surfaces as verified roundtrips
+        # (K2 bucketed layout, K3 JSONL, S8 CSV block-list + compression)
+        "bucketed_sink_roundtrip": _q_bucketed_sink,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_backfill_ranges": _q_csv_backfill,
         # --- oldest greens: CDC engine core (green r01/r02, unchecked since)
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
@@ -944,10 +967,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         # --- oldest greens: r01-era tail rows (window positions 45-50)
         "cdc_gap_detect": _q_cdc_gaps,
+        # ================= end of the 50-row driver window =================
+        # (r01 greens displaced by the six new round-5 queries above)
         "cdc_export_snapshot": _q_cdc_export,
         "sessionize_events": _q_sessionize,
-        # ================= end of the 50-row driver window =================
-        # (r01 greens displaced by the three new round-5 queries above)
         "split_assign": _q_split,
         "asof_join_last_signup": _q_asof,
         "attribution_range_join": _q_range_join,
@@ -1564,6 +1587,27 @@ def oracle_sql() -> dict[str, str]:
                start_lsn,
                LEAST(start_lsn + 249, hi) AS end_lsn
         FROM s ORDER BY start_lsn"""
+
+    # sink/reader roundtrips: the oracle sees only the SOURCE table — the
+    # engine result equals it only if the sink/readback path is faithful
+    sql["bucketed_sink_roundtrip"] = """
+        SELECT CAST(FLOOR(event_id / 500) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1 ORDER BY 1"""
+
+    sql["jsonl_roundtrip"] = """
+        SELECT doc_id, length(text) AS n_chars, sha256(text) AS sha_hex
+        FROM documents ORDER BY doc_id"""
+
+    # gaps-and-islands over the purchase-event LSN list
+    sql["csv_backfill_ranges"] = """
+        WITH ids AS (SELECT DISTINCT event_id FROM events WHERE event_type = 'purchase'),
+             g AS (SELECT event_id,
+                          event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS grp
+                   FROM ids)
+        SELECT MIN(event_id) AS start_lsn, MAX(event_id) AS end_lsn
+        FROM g GROUP BY grp ORDER BY start_lsn"""
 
     sql["supplier_balance_stats"] = f"""
         SELECT s_nationkey,

@@ -24,7 +24,7 @@ _EXPECTED_NO_ORACLE: set[str] = set()
 def test_query_and_oracle_keys_consistent():
     qs = entry.queries()
     sql = entry.oracle_sql()
-    assert len(qs) == 130
+    assert len(qs) == 133
     unknown = set(sql) - set(qs)
     assert not unknown, f"oracle entries without a query: {sorted(unknown)}"
     no_oracle = set(qs) - set(sql)
@@ -50,6 +50,11 @@ def test_round5_fixes_inside_driver_window():
         "typed_narrowing_audit",
         "content_sha_hex",
         "range_chunk_plan",
+        # never driver-verified surface (new round 5: sink/reader
+        # roundtrips — K2, K3, S8)
+        "bucketed_sink_roundtrip",
+        "jsonl_roundtrip",
+        "csv_backfill_ranges",
     }
     missing = must_be_checked - set(window)
     assert not missing, (

@@ -1,0 +1,64 @@
+"""Sink/reader roundtrip queries (``pipelines/sink_roundtrip.py``) vs the
+driver's oracles, dtype-strict, plus degenerate shapes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __ray_entry__ as entry  # noqa: E402
+from sonic_etl_ray.pipelines.sink_roundtrip import (  # noqa: E402
+    bucketed_sink_roundtrip,
+    csv_backfill_ranges,
+    jsonl_roundtrip,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str, sf: str = SF) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con.execute(entry.oracle_sql()[name]).df()
+
+
+def _strict(eng: pd.DataFrame, ora: pd.DataFrame) -> None:
+    assert list(eng.columns) == list(ora.columns)
+    assert [str(d) for d in eng.dtypes] == [str(d) for d in ora.dtypes]
+    pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_bucketed_sink_roundtrip_matches_oracle():
+    _strict(bucketed_sink_roundtrip(SF), _oracle("bucketed_sink_roundtrip"))
+
+
+def test_jsonl_roundtrip_matches_oracle():
+    _strict(jsonl_roundtrip(SF), _oracle("jsonl_roundtrip"))
+
+
+def test_csv_backfill_ranges_matches_oracle():
+    eng = csv_backfill_ranges(SF)
+    _strict(eng, _oracle("csv_backfill_ranges"))
+    # ranges are inclusive, sorted, non-adjacent (maximally compressed)
+    assert (eng["end_lsn"] >= eng["start_lsn"]).all()
+    if len(eng) > 1:
+        assert (eng["start_lsn"].iloc[1:].values - eng["end_lsn"].iloc[:-1].values > 1).all()
+
+
+def test_roundtrips_survive_tiny_corpus(tmp_path):
+    dst = str(tmp_path)
+    for t, n in [("documents", 1), ("events", 2)]:
+        pq.write_table(pq.read_table(f"{SF}/{t}.parquet").slice(0, n), f"{dst}/{t}.parquet")
+    assert len(bucketed_sink_roundtrip(dst)) >= 1
+    assert len(jsonl_roundtrip(dst)) == 1
+    out = csv_backfill_ranges(dst)  # possibly zero purchases → typed empty
+    assert list(out.columns) == ["start_lsn", "end_lsn"]
+    assert str(out["start_lsn"].dtype) == "int64"
