@@ -134,6 +134,18 @@ def _q_csv_backfill(sf_dir: str):
     return csv_backfill_ranges(sf_dir)
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    from sonic_etl_ray.pipelines.sink_roundtrip import ipc_export_roundtrip
+
+    return ipc_export_roundtrip(sf_dir)
+
+
+def _q_ts_roundtrip(sf_dir: str):
+    from sonic_etl_ray.pipelines.sink_roundtrip import checked_timestamp_roundtrip
+
+    return checked_timestamp_roundtrip(sf_dir)
+
+
 def _q_window(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import windowed_user_daily
 
@@ -923,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_sink_roundtrip": _q_bucketed_sink,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_backfill_ranges": _q_csv_backfill,
+        "ipc_export_roundtrip": _q_ipc_roundtrip,
+        "checked_timestamp_roundtrip": _q_ts_roundtrip,
         # --- oldest greens: CDC engine core (green r01/r02, unchecked since)
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
@@ -964,11 +978,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
-        "repetition_stats": _q_repetition,
-        # --- oldest greens: r01-era tail rows (window positions 45-50)
-        "cdc_gap_detect": _q_cdc_gaps,
         # ================= end of the 50-row driver window =================
-        # (r01 greens displaced by the six new round-5 queries above)
+        # (r01/r02 greens displaced by the eight new round-5 queries above)
+        "repetition_stats": _q_repetition,
+        "cdc_gap_detect": _q_cdc_gaps,
         "cdc_export_snapshot": _q_cdc_export,
         "sessionize_events": _q_sessionize,
         "split_assign": _q_split,
@@ -1599,6 +1612,14 @@ def oracle_sql() -> dict[str, str]:
     sql["jsonl_roundtrip"] = """
         SELECT doc_id, length(text) AS n_chars, sha256(text) AS sha_hex
         FROM documents ORDER BY doc_id"""
+
+    sql["ipc_export_roundtrip"] = """
+        SELECT doc_id, sha256(text) AS sha_hex
+        FROM documents ORDER BY doc_id"""
+
+    sql["checked_timestamp_roundtrip"] = """
+        SELECT event_id, date_trunc('second', ts) AS ts_s
+        FROM events ORDER BY event_id"""
 
     # gaps-and-islands over the purchase-event LSN list
     sql["csv_backfill_ranges"] = """

@@ -104,6 +104,63 @@ def jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def ipc_export_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """documents → one Arrow IPC (Feather v2) file per batch (K6, the
+    schema-carrying Avro-option analog, ``sonic_config/avro_helpers.rs``) →
+    read back → per-doc sha256. Shard-parallel: each batch writes its own
+    file inside ``map_batches`` — the driver never materializes the table."""
+    from sonic_etl_ray.sources.sinks import read_arrow_ipc, write_arrow_ipc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out_dir = tempfile.mkdtemp(prefix="ipc_export_", dir="/tmp")
+    try:
+        def dump(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # empty blocks write nothing
+                return pa.table({"path": pa.array([], pa.string())})
+            # first doc_id names the shard — batches never share ids
+            name = f"shard_{t['doc_id'][0].as_py()}.arrow"
+            write_arrow_ipc(t, os.path.join(out_dir, name))
+            return pa.table({"path": pa.array([os.path.join(out_dir, name)], pa.string())})
+
+        paths = [
+            r["path"] for r in ds.map_batches(dump, batch_format="pyarrow").take_all()
+        ]
+
+        def fp(batch: pa.Table) -> pa.Table:
+            t = read_arrow_ipc(batch["path"][0].as_py())
+            return pa.table(
+                {"doc_id": t["doc_id"], "sha_hex": sha256_column(t["text"])}
+            )
+
+        out = (
+            ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(fp, batch_format="pyarrow", batch_size=1)
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def checked_timestamp_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """events.ts → unix seconds (checked i64 narrowing) → checked
+    timestamp[s] (M12, ``transformation/bq/timestamp.rs:23-29``) — the
+    second-grain roundtrip the reference applies to block timestamps."""
+    from sonic_etl_ray.stages.typed import checked_int64, checked_timestamp_s
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        secs = checked_int64(pc.divide(us, 1_000_000), "ts_s")  # int64 divide truncates
+        return pa.table({"event_id": t["event_id"], "ts_s": checked_timestamp_s(secs)})
+
+    out = ds.map_batches(conv, batch_format="pyarrow").to_pandas()
+    # realize at the oracle's microsecond grain (value unchanged)
+    out["ts_s"] = out["ts_s"].astype("datetime64[us]")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def csv_backfill_ranges(sf_dir: str) -> pd.DataFrame:
     """The backfill planning input end to end: purchase-event LSNs written
     as a one-column CSV (with header), read back through the sniffing CSV

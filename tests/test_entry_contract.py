@@ -24,7 +24,7 @@ _EXPECTED_NO_ORACLE: set[str] = set()
 def test_query_and_oracle_keys_consistent():
     qs = entry.queries()
     sql = entry.oracle_sql()
-    assert len(qs) == 133
+    assert len(qs) == 135
     unknown = set(sql) - set(qs)
     assert not unknown, f"oracle entries without a query: {sorted(unknown)}"
     no_oracle = set(qs) - set(sql)
@@ -55,6 +55,10 @@ def test_round5_fixes_inside_driver_window():
         "bucketed_sink_roundtrip",
         "jsonl_roundtrip",
         "csv_backfill_ranges",
+        # never driver-verified surface (new round 5: K6 IPC export,
+        # M12 checked timestamp)
+        "ipc_export_roundtrip",
+        "checked_timestamp_roundtrip",
     }
     missing = must_be_checked - set(window)
     assert not missing, (

@@ -16,7 +16,9 @@ sys.path.insert(0, REPO)
 import __ray_entry__ as entry  # noqa: E402
 from sonic_etl_ray.pipelines.sink_roundtrip import (  # noqa: E402
     bucketed_sink_roundtrip,
+    checked_timestamp_roundtrip,
     csv_backfill_ranges,
+    ipc_export_roundtrip,
     jsonl_roundtrip,
 )
 
@@ -53,12 +55,24 @@ def test_csv_backfill_ranges_matches_oracle():
         assert (eng["start_lsn"].iloc[1:].values - eng["end_lsn"].iloc[:-1].values > 1).all()
 
 
+def test_ipc_export_roundtrip_matches_oracle():
+    _strict(ipc_export_roundtrip(SF), _oracle("ipc_export_roundtrip"))
+
+
+def test_checked_timestamp_roundtrip_matches_oracle():
+    eng = checked_timestamp_roundtrip(SF)
+    _strict(eng, _oracle("checked_timestamp_roundtrip"))
+    assert str(eng["ts_s"].dtype) == "datetime64[us]"
+
+
 def test_roundtrips_survive_tiny_corpus(tmp_path):
     dst = str(tmp_path)
     for t, n in [("documents", 1), ("events", 2)]:
         pq.write_table(pq.read_table(f"{SF}/{t}.parquet").slice(0, n), f"{dst}/{t}.parquet")
     assert len(bucketed_sink_roundtrip(dst)) >= 1
     assert len(jsonl_roundtrip(dst)) == 1
+    assert len(ipc_export_roundtrip(dst)) == 1
+    assert len(checked_timestamp_roundtrip(dst)) == 2
     out = csv_backfill_ranges(dst)  # possibly zero purchases → typed empty
     assert list(out.columns) == ["start_lsn", "end_lsn"]
     assert str(out["start_lsn"].dtype) == "int64"
