@@ -896,63 +896,29 @@ def dedup_incremental_fuzzy(
     corpora with mass near the threshold. Reference analog: the daily MERGE
     dedup (`daily_qc_airflow/daily_dedupe_mainnet.py:28-81`) is
     exact-identity only; this is the content-similarity admission gate a
-    training-data pipeline adds in front of the lake."""
+    training-data pipeline adds in front of the lake.
+
+    The verified pair set is DERIVED, not recomputed: MinHash signatures
+    and band buckets are split-independent, so the cross-side candidates
+    are exactly the full-corpus banded pairs restricted to pairs crossing
+    the split (``doc_a < cut ≤ doc_b`` under the canonical
+    ``doc_a < doc_b`` ordering) — one LSH execution
+    (:func:`minhash_lsh_dedup`'s memoized pair store, the in-process stand-in
+    for the persisted band index ``similarity.extend_lsh_index`` maintains
+    at lake scale) serves pairs, clustering, keep-best AND this admission
+    gate, instead of each re-hashing the corpus."""
     import ray
 
-    join_partitions = _auto_join_partitions()
-    cols = ["doc_id", "text", "lang", "source", "n_chars"]
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
     cut = int(split_frac * ds.count())
-    slim = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    pairs = minhash_lsh_dedup(
+        sf_dir, threshold=threshold, num_perm=num_perm, bands=bands, k=k
     )
-    lake_docs = slim.filter(expr=f"doc_id < {cut}")
-    inc_docs = slim.filter(expr=f"doc_id >= {cut}")
-
-    rows_per_band = num_perm // bands
-
-    def bands_of(d: ray.data.Dataset) -> ray.data.Dataset:
-        sigs = d.map_batches(
-            MinHasher(num_perm=num_perm, k=k), batch_format="pandas", batch_size=1024
-        )
-        return sigs.map_batches(
-            _band_rows,
-            fn_kwargs={"bands": bands, "rows_per_band": rows_per_band},
-            batch_format="pandas",
-        )
-
-    # cross-side band join only (no self-pairs): incoming left, lake right.
-    # A pair colliding in many bands emerges once per band — dedup BEFORE
-    # the text joins (see :func:`_distinct_pairs`) or the verify stage pays
-    # up to ``bands``× the text shuffle and jaccard cost.
-    cand = _distinct_pairs(
-        safe_join(
-            bands_of(inc_docs).rename_columns({"doc_id": "doc_b"}),
-            bands_of(lake_docs).rename_columns({"doc_id": "doc_a"}),
-            join_type="inner",
-            num_partitions=join_partitions,
-            on=("band_id", "band_hash"),
-        )
-    ).materialize()  # bounded (the candidate set); releases the band join's actors
-
-    texts_a = lake_docs.rename_columns({"doc_id": "__ta_id", "text": "text_a"})
-    texts_b = inc_docs.rename_columns({"doc_id": "__tb_id", "text": "text_b"})
-    joined = safe_join(
-        safe_join(
-            cand, texts_a, join_type="inner", num_partitions=join_partitions,
-            on=("doc_a",), right_on=("__ta_id",),
-        ),
-        texts_b, join_type="inner", num_partitions=join_partitions,
-        on=("doc_b",), right_on=("__tb_id",),
-    )
-    verified = joined.map_batches(
-        verify_jaccard_batch,
-        fn_kwargs={"k": k, "threshold": threshold},
-        batch_format="pandas",
-    )
-    rejected = set(
-        int(r["doc_b"]) for r in verified.select_columns(["doc_b"]).take_all()
-    )
+    crossing = pairs[(pairs["doc_a"] < cut) & (pairs["doc_b"] >= cut)]
+    rejected = set(crossing["doc_b"].astype("int64").tolist())
     rej_ref = ray.put(np.fromiter(rejected, dtype=np.int64, count=len(rejected)))
 
     def admit(t: pa.Table, *, ref) -> pa.Table:
