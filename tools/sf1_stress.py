@@ -37,6 +37,10 @@ ORACLE_QUERIES = [
     "cdc_pit_enrich", "dedup_incremental", "dedup_incremental_sharded",
     "substring_dup_spans", "embedding_topk_cosine", "embedding_lsh_topk",
     "embedding_lsh_indexed_extended", "embedding_ivf_indexed_extended",
+    # round-5 additions with linear oracles — tractable at sf1
+    "typed_narrowing_audit", "content_sha_hex", "range_chunk_plan",
+    "bucketed_sink_roundtrip", "jsonl_roundtrip", "csv_backfill_ranges",
+    "ipc_export_roundtrip", "checked_timestamp_roundtrip",
 ]
 ENGINE_QUERIES = [
     "minhash_lsh_dedup", "near_dup_clusters", "dedup_incremental_fuzzy",
