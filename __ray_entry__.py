@@ -146,6 +146,12 @@ def _q_ts_roundtrip(sf_dir: str):
     return checked_timestamp_roundtrip(sf_dir)
 
 
+def _q_dsir(sf_dir: str):
+    from sonic_etl_ray.functions.text import dsir_importance_weights
+
+    return _r(dsir_importance_weights(sf_dir), ["weight"])
+
+
 def _q_window(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import windowed_user_daily
 
@@ -937,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_backfill_ranges": _q_csv_backfill,
         "ipc_export_roundtrip": _q_ipc_roundtrip,
         "checked_timestamp_roundtrip": _q_ts_roundtrip,
+        # --- NEW round 5: DSIR importance weights (Xie et al. 2023)
+        "dsir_importance_weights": _q_dsir,
         # --- oldest greens: CDC engine core (green r01/r02, unchecked since)
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
@@ -977,9 +985,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oldest greens: text scoring (green r02)
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_tokens,
-        "doc_quality": _q_doc_quality,
         # ================= end of the 50-row driver window =================
-        # (r01/r02 greens displaced by the eight new round-5 queries above)
+        # (r01/r02 greens displaced by the nine new round-5 queries above)
+        "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition,
         "cdc_gap_detect": _q_cdc_gaps,
         "cdc_export_snapshot": _q_cdc_export,
@@ -1612,6 +1620,40 @@ def oracle_sql() -> dict[str, str]:
     sql["jsonl_roundtrip"] = """
         SELECT doc_id, length(text) AS n_chars, sha256(text) AS sha_hex
         FROM documents ORDER BY doc_id"""
+
+    # DSIR hashed-bigram importance weights: bucket hash = md5 low-64
+    # (md5_number_lower parity with functions/text.py::md5_u64); log-ratio
+    # computed divide-then-log in the same order as the engine
+    sql["dsir_importance_weights"] = r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), ng AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks
+        ), bg AS (
+          SELECT doc_id, lang, CAST(md5_number_lower(g) % 4096 AS BIGINT) AS b FROM ng
+        ), ct AS (
+          SELECT b,
+                 COUNT(*) FILTER (lang = 'en') AS n_t,
+                 COUNT(*) AS n_all
+          FROM bg GROUP BY 1
+        ), tot AS (
+          SELECT SUM(n_t) AS tt, SUM(n_all) AS ta FROM ct
+        ), lr AS (
+          SELECT b, ln((n_t + 1.0) / (tt + 4096.0)) - ln((n_all + 1.0) / (ta + 4096.0)) AS lr
+          FROM ct, tot
+        ), w AS (
+          SELECT bg.doc_id, COUNT(*) AS n_grams, SUM(lr.lr) AS weight
+          FROM bg JOIN lr USING (b) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
+               ROUND(COALESCE(w.weight, 0.0), 4) AS weight
+        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        ORDER BY d.doc_id"""
 
     sql["ipc_export_roundtrip"] = """
         SELECT doc_id, sha256(text) AS sha_hex

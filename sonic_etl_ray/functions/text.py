@@ -800,3 +800,144 @@ def corpus_profile(sf_dir: str) -> pd.DataFrame:
         )
     out["value"] = out["value"].astype("int64")
     return out.sort_values("metric").reset_index(drop=True)
+
+
+# ------------------------------------------------------ DSIR importance
+
+
+class _GramBucketCounter:
+    """Pass 1 of :func:`dsir_importance_weights`: per-batch partial counts
+    of hashed-bigram buckets, split target vs all. Emits ARROW (bucket,
+    n_t, n_all) rows — at most ``num_buckets`` per batch, a fixed-size
+    partial regardless of corpus size (the mergeable-sketch shape)."""
+
+    def __init__(self, target_lang: str, num_buckets: int):
+        self.target = target_lang
+        self.B = int(num_buckets)
+
+    def __call__(self, batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_t": pa.array([], pa.int64()),
+                "n_all": pa.array([], pa.int64()),
+            }
+        )
+        if not len(batch):
+            return empty
+        batch = batch.reset_index(drop=True)
+        buckets, doc_rows = _bigram_buckets(batch["text"], self.B)
+        if buckets.size == 0:
+            return empty
+        is_t = (batch["lang"] == self.target).to_numpy()[doc_rows]
+        n_all = np.bincount(buckets, minlength=self.B)
+        n_t = np.bincount(buckets[is_t], minlength=self.B)
+        nz = np.nonzero(n_all)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "n_t": pa.array(n_t[nz], pa.int64()),
+                "n_all": pa.array(n_all[nz], pa.int64()),
+            }
+        )
+
+
+def _bigram_buckets(texts: pd.Series, B: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket ids, source row index) for every bigram of every text, under
+    the corpus tokenization convention (collapse whitespace, split on
+    single spaces — the ``string_split(regexp_replace(...))`` mirror)."""
+    norm = texts.fillna("").str.replace(r"\s+", " ", regex=True)
+    toks = norm.str.split(" ")
+    flat = toks.explode()
+    df = flat.to_frame("t0")
+    df["t1"] = df.groupby(level=0)["t0"].shift(-1)
+    p = df.dropna(subset=["t1"])
+    if not len(p):
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    ng = (p["t0"] + " " + p["t1"]).tolist()
+    buckets = (md5_u64(ng) % np.uint64(B)).astype(np.int64)
+    return buckets, p.index.to_numpy()
+
+
+class _DsirScorer:
+    """Pass 2: per-doc importance weight = Σ over bigrams of the broadcast
+    bucket log-likelihood ratio. Light state (B float64s) — constructed
+    instance → task stage, shipped once per worker via the function table."""
+
+    def __init__(self, lr: np.ndarray, B: int):
+        self.lr = lr
+        self.B = int(B)
+
+    def __call__(self, batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        if not len(batch):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        batch = batch.reset_index(drop=True)
+        buckets, doc_rows = _bigram_buckets(batch["text"], self.B)
+        n = len(batch)
+        n_grams = np.bincount(doc_rows, minlength=n).astype(np.int64)
+        weight = np.bincount(doc_rows, weights=self.lr[buckets], minlength=n)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy(), pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "weight": pa.array(weight, pa.float64()),
+            }
+        )
+
+
+def dsir_importance_weights(
+    sf_dir: str, target_lang: str = "en", num_buckets: int = 4096
+) -> pd.DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document log-likelihood ratio of a hashed-bigram bag-of-ngrams
+    model fit on the TARGET subset (``lang == target_lang``) vs the full
+    corpus, add-1 smoothed over ``num_buckets`` hash buckets.
+
+    Two bounded passes: (1) distributed partial bucket counts (≤B rows per
+    batch, one small groupby — the fixed-size mergeable-partial shape that
+    never grows with the corpus); (2) the B-float log-ratio table ships to
+    a task stage and every doc's weight is a vectorized gather-sum. Bucket
+    hash = md5 low-64 (``md5_number_lower`` parity), so the SQL oracle
+    reproduces the weights exactly; log-ratio is computed divide-then-log
+    in the identical order on both sides. At 10^10 docs the count pass is
+    one column-pruned scan + a B-row exchange; the score pass is
+    broadcast-lookup — no all-to-all on gram keys."""
+    from ray.data.aggregate import Sum
+
+    B = int(num_buckets)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    hist = (
+        ds.map_batches(
+            _GramBucketCounter(target_lang, B), batch_format="pandas"
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n_t", alias_name="n_t"), Sum("n_all", alias_name="n_all"))
+        .to_pandas()
+    )
+    n_t = np.zeros(B, dtype=np.int64)
+    n_all = np.zeros(B, dtype=np.int64)
+    if len(hist):
+        idx = hist["bucket"].to_numpy()
+        n_t[idx] = hist["n_t"].to_numpy()
+        n_all[idx] = hist["n_all"].to_numpy()
+    tt = float(n_t.sum())
+    ta = float(n_all.sum())
+    lr = np.log((n_t + 1.0) / (tt + B)) - np.log((n_all + 1.0) / (ta + B))
+    out = (
+        ds.map_batches(_DsirScorer(lr, B), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

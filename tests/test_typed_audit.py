@@ -69,3 +69,42 @@ def test_range_chunk_plan_matches_oracle():
     # inclusive, gap-free, fixed-size chunks
     assert (eng["end_lsn"] >= eng["start_lsn"]).all()
     assert (eng["start_lsn"].iloc[1:].values - eng["end_lsn"].iloc[:-1].values == 1).all()
+
+
+def test_dsir_importance_weights_matches_oracle_and_separates_target():
+    from sonic_etl_ray.functions.text import dsir_importance_weights
+
+    eng = dsir_importance_weights(SF).copy()
+    eng["weight"] = eng["weight"].round(4)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.execute(entry.oracle_sql()["dsir_importance_weights"]).df()
+    _assert_frame_equal_strict(eng, ora)
+    # the importance model must actually separate the target subset: mean
+    # weight of 'en' docs strictly above the non-target mean
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+    ).df()
+    m = eng.merge(langs, on="doc_id")
+    assert m.loc[m.lang == "en", "weight"].mean() > m.loc[m.lang != "en", "weight"].mean()
+
+
+def test_dsir_survives_degenerate_corpora(tmp_path):
+    import pyarrow.parquet as pq
+
+    from sonic_etl_ray.functions.text import dsir_importance_weights
+
+    src = f"{SF}/documents.parquet"
+    # 1-doc corpus, and a corpus with NO target-lang docs at all
+    one = str(tmp_path / "one"); no_t = str(tmp_path / "no_t")
+    for d in (one, no_t):
+        import os as _os
+        _os.makedirs(d)
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, 1), f"{one}/documents.parquet")
+    import pyarrow.compute as _pc
+    pq.write_table(t.filter(_pc.not_equal(t["lang"], "en")).slice(0, 12),
+                   f"{no_t}/documents.parquet")
+    assert len(dsir_importance_weights(one)) == 1
+    out = dsir_importance_weights(no_t)
+    assert len(out) == 12 and out["weight"].notna().all()
