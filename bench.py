@@ -45,14 +45,18 @@ def _bench_stream(tag: str) -> list[str]:
 
     n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))
     max_keys = int(os.environ["BENCH_MAX_KEYS"]) if os.environ.get("BENCH_MAX_KEYS") else None
-    suffix = f"_k{max_keys}" if max_keys else ""
+    # BENCH_HOT_FRAC: fraction of keys forced into ONE repo (default 0.2).
+    # 0.9 = the pathological popular-repo case for skew-scaling evidence;
+    # partitioning on the full (repo, path) key is what spreads it.
+    hot = float(os.environ.get("BENCH_HOT_FRAC", "0.2"))
+    suffix = (f"_k{max_keys}" if max_keys else "") + (f"_h{hot}" if hot != 0.2 else "")
     out_dir = f"/tmp/sonic_etl_ray_bench/stream_sf{tag}_n{n}{suffix}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         shutil.rmtree(out_dir, ignore_errors=True)
         spec = StreamSpec(
             n_events=n, n_repos=200, seed=42, segment_size=max(n // 64, 1000),
-            hot_repo_frac=0.2, max_live_keys=max_keys,
+            hot_repo_frac=hot, max_live_keys=max_keys,
         )
         generate_stream(out_dir, spec)
         open(done, "w").close()
