@@ -152,6 +152,12 @@ def _q_dsir(sf_dir: str):
     return _r(dsir_importance_weights(sf_dir), ["weight"])
 
 
+def _q_dsir_resample(sf_dir: str):
+    from sonic_etl_ray.functions.text import dsir_resample
+
+    return _r(dsir_resample(sf_dir), ["weight"])
+
+
 def _q_window(sf_dir: str):
     from sonic_etl_ray.pipelines.relational import windowed_user_daily
 
@@ -943,8 +949,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_backfill_ranges": _q_csv_backfill,
         "ipc_export_roundtrip": _q_ipc_roundtrip,
         "checked_timestamp_roundtrip": _q_ts_roundtrip,
-        # --- NEW round 5: DSIR importance weights (Xie et al. 2023)
+        # --- NEW round 5: DSIR importance weights + selection (Xie et al. 2023)
         "dsir_importance_weights": _q_dsir,
+        "dsir_resample": _q_dsir_resample,
         # --- oldest greens: CDC engine core (green r01/r02, unchecked since)
         "cdc_point_lookup": _q_cdc_lookup,
         "cdc_range_scan": _q_cdc_range_scan,
@@ -984,9 +991,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multitable_fanout_stats": _q_multitable,
         # --- oldest greens: text scoring (green r02)
         "token_counts": _q_token_counts,
-        "bpe_token_counts": _q_bpe_tokens,
         # ================= end of the 50-row driver window =================
-        # (r01/r02 greens displaced by the nine new round-5 queries above)
+        # (r01/r02 greens displaced by the ten new round-5 queries above)
+        "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition,
         "cdc_gap_detect": _q_cdc_gaps,
@@ -1654,6 +1661,45 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COALESCE(w.weight, 0.0), 4) AS weight
         FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
         ORDER BY d.doc_id"""
+
+    # DSIR selection: top ceil(0.25·n) by RAW weight, doc_id tiebreak
+    # (identical texts carry exactly equal weights on both sides)
+    sql["dsir_resample"] = r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), ng AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks
+        ), bg AS (
+          SELECT doc_id, lang, CAST(md5_number_lower(g) % 4096 AS BIGINT) AS b FROM ng
+        ), ct AS (
+          SELECT b,
+                 COUNT(*) FILTER (lang = 'en') AS n_t,
+                 COUNT(*) AS n_all
+          FROM bg GROUP BY 1
+        ), tot AS (
+          SELECT SUM(n_t) AS tt, SUM(n_all) AS ta FROM ct
+        ), lr AS (
+          SELECT b, ln((n_t + 1.0) / (tt + 4096.0)) - ln((n_all + 1.0) / (ta + 4096.0)) AS lr
+          FROM ct, tot
+        ), w AS (
+          SELECT bg.doc_id, SUM(lr.lr) AS weight
+          FROM bg JOIN lr USING (b) GROUP BY 1
+        ), full_w AS (
+          SELECT d.doc_id, COALESCE(w.weight, 0.0) AS weight
+          FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        ), r AS (
+          SELECT doc_id, weight,
+                 ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rk
+          FROM full_w
+        )
+        SELECT doc_id, ROUND(weight, 4) AS weight
+        FROM r
+        WHERE rk <= CAST(CEIL(0.25 * (SELECT COUNT(*) FROM documents)) AS BIGINT)
+        ORDER BY doc_id"""
 
     sql["ipc_export_roundtrip"] = """
         SELECT doc_id, sha256(text) AS sha_hex

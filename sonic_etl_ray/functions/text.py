@@ -895,6 +895,22 @@ class _DsirScorer:
         )
 
 
+# weights memo: (sf_dir, params) → (input stamp, DataFrame) — the same
+# replace-on-stale discipline as dedup._VERIFIED_PAIRS_CACHE, so the
+# selection step reuses one weight computation in-process.
+_DSIR_CACHE: dict[tuple, tuple[str, pd.DataFrame]] = {}
+
+
+def _documents_stamp(sf_dir: str) -> str:
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "missing"
+
+
 def dsir_importance_weights(
     sf_dir: str, target_lang: str = "en", num_buckets: int = 4096
 ) -> pd.DataFrame:
@@ -916,6 +932,11 @@ def dsir_importance_weights(
     from ray.data.aggregate import Sum
 
     B = int(num_buckets)
+    key = (sf_dir, target_lang, B)
+    stamp = _documents_stamp(sf_dir)
+    hit = _DSIR_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1].copy()
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
@@ -939,5 +960,33 @@ def dsir_importance_weights(
     out = (
         ds.map_batches(_DsirScorer(lr, B), batch_format="pandas")
         .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    _DSIR_CACHE[key] = (stamp, out)
+    return out.copy()
+
+
+def dsir_resample(sf_dir: str, frac: float = 0.25, target_lang: str = "en",
+                  num_buckets: int = 4096) -> pd.DataFrame:
+    """DSIR selection step: keep the top ``ceil(frac·n)`` documents by
+    importance weight (ties broken by doc_id — duplicate texts carry
+    exactly equal weights, so the tiebreak is load-bearing). Operates on
+    the weight table (16 bytes/doc metadata, not the corpus); at 10^10
+    docs the same selection runs as a weight-threshold filter computed by
+    the bounded-histogram quantile machinery (`price_percentiles` shape)
+    instead of a driver sort."""
+    import math
+
+    w = dsir_importance_weights(
+        sf_dir, target_lang=target_lang, num_buckets=num_buckets
+    )
+    k = math.ceil(frac * len(w))
+    sel = w.sort_values(
+        ["weight", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return (
+        sel[["doc_id", "weight"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -24,7 +24,7 @@ _EXPECTED_NO_ORACLE: set[str] = set()
 def test_query_and_oracle_keys_consistent():
     qs = entry.queries()
     sql = entry.oracle_sql()
-    assert len(qs) == 136
+    assert len(qs) == 137
     unknown = set(sql) - set(qs)
     assert not unknown, f"oracle entries without a query: {sorted(unknown)}"
     no_oracle = set(qs) - set(sql)
@@ -61,6 +61,7 @@ def test_round5_fixes_inside_driver_window():
         "checked_timestamp_roundtrip",
         # never driver-verified surface (new round 5: DSIR importance)
         "dsir_importance_weights",
+        "dsir_resample",
     }
     missing = must_be_checked - set(window)
     assert not missing, (

@@ -108,3 +108,22 @@ def test_dsir_survives_degenerate_corpora(tmp_path):
     assert len(dsir_importance_weights(one)) == 1
     out = dsir_importance_weights(no_t)
     assert len(out) == 12 and out["weight"].notna().all()
+
+
+def test_dsir_resample_matches_oracle_and_is_top_frac():
+    import math
+
+    from sonic_etl_ray.functions.text import dsir_importance_weights, dsir_resample
+
+    eng = dsir_resample(SF).copy()
+    eng["weight"] = eng["weight"].round(4)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ora = con.execute(entry.oracle_sql()["dsir_resample"]).df()
+    _assert_frame_equal_strict(eng, ora)
+    w = dsir_importance_weights(SF)
+    assert len(eng) == math.ceil(0.25 * len(w))
+    # every selected weight >= every unselected weight (raw comparison)
+    sel = set(eng["doc_id"])
+    m = w.set_index("doc_id")["weight"]
+    assert m[m.index.isin(sel)].min() >= m[~m.index.isin(sel)].max()
