@@ -921,13 +921,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # were pure dtype skews fixed this round — they run FIRST so r05 proves
     # the fix. Next: the two NEW extend-index queries (the one r04 surface
     # with pytest-only verification), supplier_balance_stats (dtype pin
-    # this round), and three NEW round-5 queries promoting pytest-only §2
-    # surfaces (typed narrowing M9/M10, fixed-bytes hex M7, range planner
-    # S1/O5) to driver rows. The rest of the window re-checks the OLDEST
-    # greens (r01/r02-era CDC core + relational + text rows) — none re-run
-    # since the r04 exchange/stage rewrites. The three r01 rows displaced
-    # past position 50 (split_assign, asof_join_last_signup,
-    # attribution_range_join) stay green-by-r01 record.
+    # this round), and TEN NEW round-5 queries — eight promoting
+    # pytest-only §2 surfaces to driver rows (typed narrowing M9/M10,
+    # fixed-bytes hex M7, range planner S1/O5, bucketed sink K2, JSONL K3,
+    # CSV block-list S8, IPC export K6, checked timestamp M12) plus the
+    # DSIR importance-weight/selection pair. The rest of the window
+    # re-checks the OLDEST greens (r01/r02-era CDC core + relational rows)
+    # — none re-run since the r04 exchange/stage rewrites. The r01/r02
+    # rows displaced past position 50 stay green-by-record. The window
+    # boundary below is meta-test-pinned (tests/test_entry_contract.py).
     return {
         # --- fixed this round (the only non-green driver rows ever)
         "media_payload_stats": _q_media_stats,  # oracle SUM cast to BIGINT
@@ -989,10 +991,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders_by_priority": _q_pivot,
         "balance_moments": _q_moments,
         "multitable_fanout_stats": _q_multitable,
+        # ================= end of the 50-row driver window =================
+        # (r01/r02 greens displaced by the fifteen new/changed round-5
+        # queries above — they stay green-by-record)
         # --- oldest greens: text scoring (green r02)
         "token_counts": _q_token_counts,
-        # ================= end of the 50-row driver window =================
-        # (r01/r02 greens displaced by the ten new round-5 queries above)
         "bpe_token_counts": _q_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition,

@@ -70,6 +70,12 @@ def test_round5_fixes_inside_driver_window():
     )
 
 
+def test_window_boundary_comment_is_accurate():
+    names = list(entry.queries())
+    assert names[49] == "multitable_fanout_stats"  # last row inside the window
+    assert names[50] == "token_counts"  # first row outside
+
+
 def test_oracles_are_plain_sql_strings():
     for name, sql in entry.oracle_sql().items():
         assert isinstance(sql, str) and sql.strip(), name
