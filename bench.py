@@ -124,12 +124,15 @@ def _run_queries() -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     from sonic_etl_ray.functions import dedup as _dedup
+    from sonic_etl_ray.functions import text as _text
 
     out: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        # every timing is self-contained: drop the verified-pair memo so
-        # pair-consumers (near_dup_clusters) pay their own LSH execution
+        # every timing is self-contained: drop the verified-pair and DSIR
+        # memos so consumers (near_dup_clusters, dsir_resample) pay their
+        # own upstream execution
         _dedup._VERIFIED_PAIRS_CACHE.clear()
+        _text._DSIR_CACHE.clear()
         t0 = time.perf_counter()
         fn(SF_DIR)
         out[name] = round(time.perf_counter() - t0, 3)
