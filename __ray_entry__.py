@@ -1633,9 +1633,10 @@ def oracle_sql() -> dict[str, str]:
 
     # DSIR hashed-bigram importance weights: bucket hash = md5 low-64
     # (md5_number_lower parity with functions/text.py::md5_u64); log-ratio
-    # computed divide-then-log in the same order as the engine
-    sql["dsir_importance_weights"] = r"""
-        WITH toks AS (
+    # computed divide-then-log in the same order as the engine. The CTE
+    # chain is SHARED between the weight and resample oracles — one
+    # definition of the weight model, used by both gate rows.
+    _dsir_ctes = r"""toks AS (
           SELECT doc_id, lang,
                  string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS t
           FROM documents
@@ -1655,7 +1656,10 @@ def oracle_sql() -> dict[str, str]:
         ), lr AS (
           SELECT b, ln((n_t + 1.0) / (tt + 4096.0)) - ln((n_all + 1.0) / (ta + 4096.0)) AS lr
           FROM ct, tot
-        ), w AS (
+        )"""
+
+    sql["dsir_importance_weights"] = f"""
+        WITH {_dsir_ctes}, w AS (
           SELECT bg.doc_id, COUNT(*) AS n_grams, SUM(lr.lr) AS weight
           FROM bg JOIN lr USING (b) GROUP BY 1
         )
@@ -1667,28 +1671,8 @@ def oracle_sql() -> dict[str, str]:
 
     # DSIR selection: top ceil(0.25·n) by RAW weight, doc_id tiebreak
     # (identical texts carry exactly equal weights on both sides)
-    sql["dsir_resample"] = r"""
-        WITH toks AS (
-          SELECT doc_id, lang,
-                 string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS t
-          FROM documents
-        ), ng AS (
-          SELECT doc_id, lang,
-                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
-          FROM toks
-        ), bg AS (
-          SELECT doc_id, lang, CAST(md5_number_lower(g) % 4096 AS BIGINT) AS b FROM ng
-        ), ct AS (
-          SELECT b,
-                 COUNT(*) FILTER (lang = 'en') AS n_t,
-                 COUNT(*) AS n_all
-          FROM bg GROUP BY 1
-        ), tot AS (
-          SELECT SUM(n_t) AS tt, SUM(n_all) AS ta FROM ct
-        ), lr AS (
-          SELECT b, ln((n_t + 1.0) / (tt + 4096.0)) - ln((n_all + 1.0) / (ta + 4096.0)) AS lr
-          FROM ct, tot
-        ), w AS (
+    sql["dsir_resample"] = f"""
+        WITH {_dsir_ctes}, w AS (
           SELECT bg.doc_id, SUM(lr.lr) AS weight
           FROM bg JOIN lr USING (b) GROUP BY 1
         ), full_w AS (

@@ -30,7 +30,7 @@ import ray.data
 
 from sonic_etl_ray.stages.joins import safe_join
 
-from .text import TOKEN_RE, _doc_bounds, hash_token, md5_u64
+from .text import TOKEN_RE, _doc_bounds, _documents_stamp, hash_token, md5_u64
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -312,11 +312,9 @@ _VERIFIED_PAIRS_CACHE: dict[tuple, tuple[str, pd.DataFrame]] = {}
 
 
 def _input_stamp(sf_dir: str) -> str:
-    try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        return f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        return "missing"
+    # ONE staleness-stamp convention for every documents-keyed memo
+    # (verified pairs here, DSIR weights in text.py)
+    return _documents_stamp(sf_dir)
 
 
 def minhash_lsh_dedup(

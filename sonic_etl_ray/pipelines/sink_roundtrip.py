@@ -17,7 +17,12 @@ proves the surface end to end:
   is the SQL gaps-and-islands formulation.
 
 Scratch output goes under a per-call ``mkdtemp`` in /tmp (rerun- and
-parallel-safe) and is removed once the result is materialized.
+parallel-safe) and is removed once the result is materialized. The /tmp
+scratch is NODE-LOCAL: these roundtrips assume a single-node cluster (the
+sandbox). On a multi-node cluster the same pipelines take a shared-storage
+scratch dir — the lake's own storage root is the natural choice — since a
+file written by a task on one node must be readable by tasks (and the
+driver's cleanup) on every other.
 """
 
 from __future__ import annotations
@@ -57,7 +62,15 @@ def bucketed_sink_roundtrip(sf_dir: str) -> pd.DataFrame:
             part = t2.group_by(["bucket"]).aggregate(
                 [("cents", "sum"), ("cents", "count")]
             )
-            return part.rename_columns(["bucket", "sum_cents", "n_events"])
+            # select by NAME: group_by output column order is a pyarrow
+            # version detail (keys-first on 16.x, aggregates-first earlier)
+            return pa.table(
+                {
+                    "bucket": part["bucket"],
+                    "sum_cents": part["cents_sum"],
+                    "n_events": part["cents_count"],
+                }
+            )
 
         from ray.data.aggregate import Sum
 
@@ -151,8 +164,13 @@ def checked_timestamp_roundtrip(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
 
     def conv(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())
-        secs = checked_int64(pc.divide(us, 1_000_000), "ts_s")  # int64 divide truncates
+        import numpy as np
+
+        # FLOOR division (np.floor_divide), not Arrow's truncating int64
+        # divide: a pre-epoch ts (negative µs) must floor to the earlier
+        # second exactly like the oracle's date_trunc('second')
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        secs = checked_int64(pa.array(np.floor_divide(us, 1_000_000)), "ts_s")
         return pa.table({"event_id": t["event_id"], "ts_s": checked_timestamp_s(secs)})
 
     out = ds.map_batches(conv, batch_format="pyarrow").to_pandas()

@@ -76,3 +76,26 @@ def test_roundtrips_survive_tiny_corpus(tmp_path):
     out = csv_backfill_ranges(dst)  # possibly zero purchases → typed empty
     assert list(out.columns) == ["start_lsn", "end_lsn"]
     assert str(out["start_lsn"].dtype) == "int64"
+
+
+def test_checked_timestamp_floors_pre_epoch(tmp_path):
+    # a pre-1970 ts must floor to the EARLIER second, exactly like the
+    # oracle's date_trunc('second') — truncating int division gets this
+    # wrong (rounds toward zero); np.floor_divide is the fix under test
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = str(tmp_path)
+    ts = pd.to_datetime(
+        ["1969-12-31 23:59:59.500000", "1970-01-01 00:00:00.500000"]
+    )
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))}),
+        f"{dst}/events.parquet",
+    )
+    out = checked_timestamp_roundtrip(dst)
+    assert list(out["ts_s"].astype(str)) == [
+        "1969-12-31 23:59:59", "1970-01-01 00:00:00"
+    ]
