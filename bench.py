@@ -107,6 +107,9 @@ def _run_headline() -> dict:
             # BENCH_TRACK_HISTORY=1: measure the SCD2 sidecar's overhead
             # (version-preserving combiner + per-unit archive write)
             track_history=bool(os.environ.get("BENCH_TRACK_HISTORY")),
+            # BENCH_MERGE_MODE=mor: the delta-write path (sparse-epoch
+            # regime); combine with a small BENCH_SPE for many sparse epochs
+            merge_mode=os.environ.get("BENCH_MERGE_MODE", "cow"),
         )
         secs.append(time.perf_counter() - t0)
     n = int(os.environ.get("BENCH_EVENTS", _SF_EVENTS[tag]))
